@@ -1,0 +1,165 @@
+"""
+Semi-Lagrangian backward advection (reference:
+pysteps/extrapolation/semilagrangian.py:21-266, scheme of Germann &
+Zawadzki 2002).
+
+TPU-native: the per-step displacement integration (midpoint rule) and the
+field warp are fused jitted gathers; the lead-time loop is a ``lax.scan``.
+``semilag_step`` is the incremental one-step core used inside model scan
+loops (the reference achieves the same with ``displacement_prev`` caching,
+nowcasts/utils.py:441-471).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pysteps_tpu.ops.warp import bilinear_warp, warp
+
+
+def _sample_velocity(velocity, displacement):
+    """Sample the (2, m, n) velocity field at positions displaced by
+    ``displacement`` (edge-clamped, bilinear)."""
+    m, n = velocity.shape[1:]
+    yy, xx = jnp.meshgrid(
+        jnp.arange(m, dtype=velocity.dtype),
+        jnp.arange(n, dtype=velocity.dtype),
+        indexing="ij",
+    )
+    cy = yy + displacement[1]
+    cx = xx + displacement[0]
+    vx = bilinear_warp(velocity[0], cy, cx, mode="nearest")
+    vy = bilinear_warp(velocity[1], cy, cx, mode="nearest")
+    return jnp.stack([vx, vy])
+
+
+def integrate_displacement(
+    velocity, displacement, td, n_iter=1, vel_timestep=1.0
+):
+    """Advance the accumulated backward displacement by one interval ``td``
+    using the midpoint rule with ``n_iter`` inner iterations
+    (reference: semilagrangian.py:209-219)."""
+    scale = td / vel_timestep
+    if n_iter > 0:
+        vel_inc = _sample_velocity(velocity, displacement) * scale / n_iter
+        for _ in range(n_iter):
+            vel_inc = (
+                _sample_velocity(velocity, displacement - vel_inc / 2.0)
+                * scale
+                / n_iter
+            )
+            displacement = displacement - vel_inc
+            vel_inc = _sample_velocity(velocity, displacement) * scale / n_iter
+    else:
+        vel_inc = _sample_velocity(velocity, displacement) * scale
+        displacement = displacement - vel_inc
+    return displacement
+
+
+def semilag_step(
+    field,
+    velocity,
+    displacement,
+    td=1.0,
+    n_iter=1,
+    vel_timestep=1.0,
+    interp_order=1,
+    outval=jnp.nan,
+):
+    """One incremental semi-Lagrangian step: integrate displacement over
+    ``td`` and warp ``field`` along it.  Returns (warped, displacement)."""
+    displacement = integrate_displacement(
+        velocity, displacement, td, n_iter=n_iter, vel_timestep=vel_timestep
+    )
+    warped = warp(field, displacement, order=interp_order, cval=outval)
+    return warped, displacement
+
+
+@functools.partial(jax.jit, static_argnames=("n_iter", "interp_order"))
+def _extrapolate_core(
+    field, velocity, timestep_diffs, n_iter, interp_order, outval,
+    displacement_init, vel_timestep,
+):
+    def body(displacement, td):
+        disp = integrate_displacement(
+            velocity, displacement, td, n_iter=n_iter, vel_timestep=vel_timestep
+        )
+        warped = warp(field, disp, order=interp_order, cval=outval)
+        return disp, warped
+
+    displacement, fields = jax.lax.scan(body, displacement_init, timestep_diffs)
+    return fields, displacement
+
+
+def extrapolate(
+    precip,
+    velocity,
+    timesteps,
+    outval=np.nan,
+    xy_coords=None,
+    allow_nonfinite_values=False,
+    vel_timestep=1,
+    **kwargs,
+):
+    """Semi-Lagrangian extrapolation with the reference's public signature
+    (reference: semilagrangian.py:21).
+
+    timesteps: int (number of unit steps) or ascending list of float lead
+    times.  Other kwargs: displacement_prev, n_iter, return_displacement,
+    interp_order (0 or 1).
+    """
+    del xy_coords  # grid coordinates are implicit (pixel units)
+    displacement_prev = kwargs.get("displacement_prev", None)
+    n_iter = kwargs.get("n_iter", 1)
+    return_displacement = kwargs.get("return_displacement", False)
+    interp_order = kwargs.get("interp_order", 1)
+
+    if interp_order not in (0, 1):
+        raise NotImplementedError(
+            "interp_order must be 0 or 1 (cubic spline warp not implemented)"
+        )
+
+    velocity = jnp.asarray(velocity, jnp.float32)
+    if precip is None and not return_displacement:
+        raise ValueError("precip is None but return_displacement is False")
+
+    if isinstance(timesteps, int):
+        timestep_list = np.arange(1, timesteps + 1, dtype=np.float64)
+        vel_timestep = 1.0
+    else:
+        timestep_list = np.asarray(timesteps, dtype=np.float64)
+        if np.any(np.diff(timestep_list) <= 0.0):
+            raise ValueError("the timestep sequence is not monotonically increasing")
+    timestep_diffs = jnp.asarray(
+        np.hstack([[timestep_list[0]], np.diff(timestep_list)]), jnp.float32
+    )
+
+    if precip is not None:
+        precip = jnp.asarray(precip, jnp.float32)
+        if outval == "min":
+            outval = float(jnp.nanmin(precip))
+
+    if displacement_prev is not None:
+        displacement_init = jnp.asarray(displacement_prev, jnp.float32)
+    else:
+        displacement_init = jnp.zeros_like(velocity)
+
+    field = precip if precip is not None else jnp.zeros(velocity.shape[1:])
+    fields, displacement = _extrapolate_core(
+        field,
+        velocity,
+        timestep_diffs,
+        int(n_iter),
+        int(interp_order),
+        jnp.float32(outval) if precip is not None else jnp.float32(np.nan),
+        displacement_init,
+        jnp.float32(vel_timestep),
+    )
+
+    if precip is None:
+        return None, displacement
+    if return_displacement:
+        return fields, displacement
+    return fields

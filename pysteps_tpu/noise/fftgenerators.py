@@ -1,0 +1,413 @@
+"""
+Stochastic noise generators by Fourier filtering
+(reference: pysteps/noise/fftgenerators.py).
+
+TPU-native redesign:
+
+- Filters are built once at init (host + device mix; the parametric
+  power-law fit runs host-side with scipy) and stored as jnp arrays.
+- Generation is a pure jitted function of a ``jax.random`` key: white noise
+  -> rfft2/fft2 -> multiply filter -> inverse FFT -> standardize.  It vmaps
+  over ensemble members, so a whole ensemble's noise is one batched FFT.
+- The SSFT/nested generators replace the reference's per-window Python loop
+  of full-field FFTs (fftgenerators.py:832-850) with a single batched ifft2
+  over the window axis plus a precomputed mask stack — one fused kernel.
+
+Filter dicts carry: "field" (filter magnitudes), "input_shape",
+"use_full_fft"; SSFT filters additionally "masks" and "norm" stacks.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pysteps_tpu.utils import tapering as tapering_utils
+from pysteps_tpu.utils import spectral as spectral_utils
+from pysteps_tpu.utils.arrays import compute_centred_coord_array
+
+
+def _prep_field(field, rm_rdisc):
+    field = np.array(field, dtype=np.float64)
+    if rm_rdisc:
+        wet = field > field.min()
+        if np.any(wet):
+            field[wet] -= field[wet].min() - field.min()
+    if field.ndim == 2:
+        field = field[None]
+    field -= field.min(axis=(1, 2))[:, None, None]
+    return field
+
+
+def initialize_nonparam_2d_fft_filter(field, **kwargs):
+    """|FFT| of the input field(s) as the noise filter — the STEPS default
+    (reference: fftgenerators.py:221)."""
+    win_fun = kwargs.get("win_fun", "tukey")
+    donorm = kwargs.get("donorm", False)
+    rm_rdisc = kwargs.get("rm_rdisc", True)
+    use_full_fft = kwargs.get("use_full_fft", False)
+
+    field = _prep_field(field, rm_rdisc)
+    field_shape = field.shape[1:]
+
+    if win_fun is not None:
+        taper = tapering_utils.compute_window_function(
+            field_shape[0], field_shape[1], win_fun
+        )
+    else:
+        taper = np.ones(field_shape)
+
+    tapered = jnp.asarray(field * taper[None])
+    if use_full_fft:
+        F = jnp.mean(jnp.fft.fft2(tapered), axis=0)
+    else:
+        F = jnp.mean(jnp.fft.rfft2(tapered), axis=0)
+
+    if donorm:
+        re, im = jnp.real(F), jnp.imag(F)
+        re = jnp.where(jnp.std(re) > 0, (re - jnp.mean(re)) / jnp.std(re), re)
+        im = jnp.where(jnp.std(im) > 0, (im - jnp.mean(im)) / jnp.std(im), im)
+        F = re + 1j * im
+
+    return {
+        "field": jnp.abs(F),
+        "input_shape": field_shape,
+        "use_full_fft": use_full_fft,
+    }
+
+
+def _piecewise_linear(x, x0, y0, beta1, beta2):
+    return np.where(x < x0, beta1 * x + y0 - beta1 * x0, beta2 * x + y0 - beta2 * x0)
+
+
+def initialize_param_2d_fft_filter(field, **kwargs):
+    """Fit a two-slope power-law to the radially averaged spectrum and build
+    an isotropic parametric filter (reference: fftgenerators.py:53-219).
+
+    The scipy curve_fit runs host-side at init; the resulting filter is a
+    static jnp array.
+    """
+    from scipy import optimize
+
+    win_fun = kwargs.get("win_fun", None)
+    model = kwargs.get("model", "power-law")
+    weighted = kwargs.get("weighted", False)
+    rm_rdisc = kwargs.get("rm_rdisc", False)
+    if model.lower() != "power-law":
+        raise ValueError(f"unknown parametric model {model}")
+
+    field = _prep_field(field, rm_rdisc)
+    M, N = field.shape[1:]
+    if win_fun is not None:
+        taper = tapering_utils.compute_window_function(M, N, win_fun)
+    else:
+        taper = np.ones((M, N))
+
+    F = np.zeros((M, N), dtype=complex)
+    for i in range(field.shape[0]):
+        F += np.fft.fftshift(np.fft.fft2(field[i] * taper))
+    F /= field.shape[0]
+    psd_2d = np.abs(F) ** 2 / F.size
+    psd = np.asarray(spectral_utils.rapsd(jnp.asarray(psd_2d), fft=False))
+    L = max(M, N)
+    wn = np.arange(int(L / 2) + 1) if L % 2 == 1 else np.arange(int(L / 2))
+
+    logwn, logpsd = np.log(wn[1:]), np.log(np.maximum(psd[1:], 1e-40))
+    if weighted:
+        p0 = np.polyfit(logwn, logpsd, 1, w=np.sqrt(psd[1:]))
+    else:
+        p0 = np.polyfit(logwn, logpsd, 1)
+    beta = p0[0]
+
+    bounds = ([2.0, 0, -4, -4], [5.0, 20, -1.0, -1.0])
+    try:
+        p, _ = optimize.curve_fit(
+            lambda x, x0, y0, b1, b2: _piecewise_linear(x, x0, y0, b1, b2),
+            logwn,
+            logpsd,
+            p0=[2.0, 0, beta, beta],
+            bounds=bounds,
+            sigma=1 / np.sqrt(psd[1:]) if weighted else None,
+        )
+    except RuntimeError:
+        p = np.array([2.0, p0[1], beta, beta])
+
+    yc, xc = compute_centred_coord_array(M, N)
+    R = np.fft.fftshift(np.sqrt(xc * xc + yc * yc))
+    pf = p.copy()
+    pf[2:] = pf[2:] / 2  # amplitude = sqrt(power)
+    with np.errstate(divide="ignore"):
+        Ffilt = np.exp(_piecewise_linear(np.log(R), *pf))
+    Ffilt[~np.isfinite(Ffilt)] = 1.0
+
+    return {
+        "field": jnp.asarray(Ffilt),
+        "input_shape": (M, N),
+        "use_full_fft": True,
+        "model": "power-law",
+        "pars": p,
+    }
+
+
+def generate_noise_2d_fft_filter(
+    F, randstate=None, seed=None, fft_method=None, domain="spatial", key=None
+):
+    """Generate a standardized correlated-noise field from a global filter
+    (reference: fftgenerators.py:330).
+
+    TPU-native: pass ``key`` (a jax.random key).  ``seed`` is accepted for
+    API parity and converted to a key; randstate/fft_method are ignored.
+    """
+    if domain not in ("spatial", "spectral"):
+        raise ValueError(f"invalid domain {domain}")
+    if key is None:
+        key = jax.random.PRNGKey(seed if seed is not None else 0)
+    return _generate_fft_noise(
+        key, F["field"], F["input_shape"], F["use_full_fft"], domain
+    )
+
+
+def _generate_fft_noise(key, filt, input_shape, use_full_fft, domain="spatial"):
+    """Jittable core: white noise -> filter -> standardized noise.
+
+    vmap over keys for members.
+    """
+    m, n = input_shape
+    white = jax.random.normal(key, (m, n), dtype=jnp.float32)
+    if use_full_fft:
+        fN = jnp.fft.fft2(white) * filt
+        if domain == "spatial":
+            N = jnp.real(jnp.fft.ifft2(fN))
+            return (N - jnp.mean(N)) / jnp.std(N)
+        # spectral output: zero the DC bin, unit spectral std
+        fN = fN.at[0, 0].set(0.0)
+        return fN / spectral_utils.std(fN, input_shape, use_full_fft=True)
+    fN = jnp.fft.rfft2(white) * filt
+    if domain == "spatial":
+        N = jnp.fft.irfft2(fN, s=input_shape)
+        return (N - jnp.mean(N)) / jnp.std(N)
+    fN = fN.at[0, 0].set(0.0)
+    return fN / spectral_utils.std(fN, input_shape, use_full_fft=False)
+
+
+def _window_indices(dim, n_windows, win_size, overlap):
+    idx = []
+    for i in range(n_windows):
+        lo = int(max(i * win_size - overlap * win_size, 0))
+        hi = int(min(lo + win_size + overlap * win_size, dim))
+        idx.append((lo, hi))
+    return idx
+
+
+def _get_mask(size, idxi, idxj, win_fun):
+    """Zero mask with a tapered window at the given position
+    (reference: fftgenerators.py:882)."""
+    win_size = (idxi[1] - idxi[0], idxj[1] - idxj[0])
+    if win_fun is not None:
+        wind = tapering_utils.compute_window_function(win_size[0], win_size[1], win_fun)
+        wind += 1e-6
+    else:
+        wind = np.ones(win_size)
+    mask = np.zeros(size)
+    mask[idxi[0] : idxi[1], idxj[0] : idxj[1]] = wind
+    return mask
+
+
+def initialize_nonparam_2d_ssft_filter(field, **kwargs):
+    """Short-space Fourier transform filter: local |FFT| filters on
+    overlapping windows (reference: fftgenerators.py:442-575).
+
+    Returns a filter dict whose "field" is (wy, wx, m, n) filter magnitudes
+    and whose "masks" is the matching (wy, wx, m, n) taper-mask stack used
+    at generation time.
+    """
+    win_size = kwargs.get("win_size", (128, 128))
+    if isinstance(win_size, int):
+        win_size = (win_size, win_size)
+    win_fun = kwargs.get("win_fun", "tukey")
+    overlap = kwargs.get("overlap", 0.3)
+    war_thr = kwargs.get("war_thr", 0.1)
+    rm_rdisc = kwargs.get("rm_rdisc", True)
+
+    field = _prep_field(field, rm_rdisc)
+    nr_fields, dim_y, dim_x = field.shape
+    dim = (dim_y, dim_x)
+
+    num_windows_y = int(np.ceil(dim_y / win_size[0]))
+    num_windows_x = int(np.ceil(dim_x / win_size[1]))
+
+    F0 = np.asarray(
+        initialize_nonparam_2d_fft_filter(
+            field, win_fun=win_fun, donorm=True, use_full_fft=True
+        )["field"]
+    )
+    F = np.tile(F0, (num_windows_y, num_windows_x, 1, 1))
+
+    for i in range(num_windows_y):
+        for j in range(num_windows_x):
+            lo_i = int(max(i * win_size[0] - overlap * win_size[0], 0))
+            hi_i = int(min(lo_i + win_size[0] + overlap * win_size[0], dim_y))
+            lo_j = int(max(j * win_size[1] - overlap * win_size[1], 0))
+            hi_j = int(min(lo_j + win_size[1] + overlap * win_size[1], dim_x))
+            mask = _get_mask(dim, (lo_i, hi_i), (lo_j, hi_j), win_fun)
+            war = float(np.sum((field * mask[None]) > 0.01)) / (
+                (hi_i - lo_i) * (hi_j - lo_j) * nr_fields
+            )
+            if war > war_thr:
+                F[i, j] = np.asarray(
+                    initialize_nonparam_2d_fft_filter(
+                        field * mask[None],
+                        win_fun=None,
+                        donorm=True,
+                        use_full_fft=True,
+                    )["field"]
+                )
+
+    return {
+        "field": jnp.asarray(F),
+        "input_shape": dim,
+        "use_full_fft": True,
+        "win_fun": win_fun,
+        "overlap_gen": kwargs.get("overlap_gen", 0.2),
+    }
+
+
+def initialize_nonparam_2d_nested_filter(field, gridres=1.0, **kwargs):
+    """Hierarchical quad-tree refinement of local spectra
+    (reference: fftgenerators.py:577-733)."""
+    max_level = kwargs.get("max_level", 3)
+    win_fun = kwargs.get("win_fun", "tukey")
+    war_thr = kwargs.get("war_thr", 0.1)
+    rm_rdisc = kwargs.get("rm_rdisc", True)
+
+    field = _prep_field(field, rm_rdisc)
+    nr_fields, dim_y, dim_x = field.shape
+    dim = (dim_y, dim_x)
+
+    freqx = np.fft.fftfreq(dim_x, gridres)
+    freqy = np.fft.fftfreq(dim_y, gridres)
+    fx, fy = np.meshgrid(freqx, freqy)
+    freq_grid = np.sqrt(fx**2 + fy**2)
+
+    F0 = np.asarray(
+        initialize_nonparam_2d_fft_filter(
+            field, win_fun=win_fun, donorm=True, use_full_fft=True
+        )["field"]
+    )
+    side = 2**max_level
+    F = np.tile(F0, (side, side, 1, 1))
+
+    def split(idxi, idxj, segments):
+        si = (idxi[1] - idxi[0]) // segments
+        sj = (idxj[1] - idxj[0]) // segments
+        out_i, out_j = [], []
+        for a in range(segments):
+            for b in range(segments):
+                i0 = idxi[0] + a * si
+                j0 = idxj[0] + b * sj
+                out_i.append((i0, min(i0 + si, idxi[1])))
+                out_j.append((j0, min(j0 + sj, idxj[1])))
+        return out_i, out_j
+
+    level = 0
+    Idxi, Idxj = [(0, dim_y)], [(0, dim_x)]
+    Idxipsd, Idxjpsd = [(0, side)], [(0, side)]
+    while level < max_level:
+        for m in range(len(Idxi)):
+            Ii, Ij = split(Idxi[m], Idxj[m], 2)
+            Pi, Pj = split(Idxipsd[m], Idxjpsd[m], 2)
+            for k in range(len(Ii)):
+                mask = _get_mask(dim, Ii[k], Ij[k], win_fun)
+                war = np.sum((field * mask[None]) > 0.01) / float(
+                    (Ii[k][1] - Ii[k][0]) * (Ij[k][1] - Ij[k][0]) * nr_fields
+                )
+                if war > war_thr:
+                    newfilter = np.asarray(
+                        initialize_nonparam_2d_fft_filter(
+                            field * mask[None],
+                            win_fun=None,
+                            donorm=True,
+                            use_full_fft=True,
+                        )["field"]
+                    )
+                    kshape = 0.05
+                    x0 = (Ii[k][1] - Ii[k][0]) / 2.0
+                    with np.errstate(divide="ignore"):
+                        merge = 1 / (1 + np.exp(-kshape * (1 / freq_grid - x0 * gridres)))
+                    merge[freq_grid == 0] = 1.0
+                    newfilter *= 1 - merge
+                    sl = np.s_[Pi[k][0] : Pi[k][1], Pj[k][0] : Pj[k][1]]
+                    F[sl] *= merge[None, None]
+                    F[sl] += newfilter[None, None]
+        level += 1
+        Idxi, Idxj = split((0, dim_y), (0, dim_x), 2**level)
+        Idxipsd, Idxjpsd = split((0, side), (0, side), 2**level)
+
+    return {
+        "field": jnp.asarray(F),
+        "input_shape": dim,
+        "use_full_fft": True,
+        "win_fun": win_fun,
+        "overlap_gen": kwargs.get("overlap_gen", 0.2),
+    }
+
+
+def _ssft_gen_masks(filter_shape, input_shape, overlap, win_fun):
+    """Precompute the (wy, wx, m, n) composition-mask stack used by the SSFT
+    generator (static per filter)."""
+    wy, wx = filter_shape[:2]
+    dim_y, dim_x = input_shape
+    win_size = (dim_y / wy, dim_x / wx)
+    masks = np.zeros((wy, wx, dim_y, dim_x))
+    for i in range(wy):
+        for j in range(wx):
+            lo_i = int(max(i * win_size[0] - overlap * win_size[0], 0))
+            hi_i = int(min(lo_i + win_size[0] + overlap * win_size[0], dim_y))
+            lo_j = int(max(j * win_size[1] - overlap * win_size[1], 0))
+            hi_j = int(min(lo_j + win_size[1] + overlap * win_size[1], dim_x))
+            masks[i, j] = _get_mask(
+                (dim_y, dim_x), (lo_i, hi_i), (lo_j, hi_j), win_fun
+            )
+    return masks
+
+
+_ssft_mask_cache = {}
+
+
+def generate_noise_2d_ssft_filter(F, randstate=None, seed=None, key=None, **kwargs):
+    """Locally correlated noise from an SSFT/nested filter
+    (reference: fftgenerators.py:735-850).
+
+    TPU-native: one fft2 of the white field, a batched multiply against the
+    (wy, wx, m, n) filter stack, one batched ifft2, and a mask-weighted
+    composite — no Python loop in the hot path.
+    """
+    if kwargs.get("domain", "spatial") == "spectral":
+        raise NotImplementedError("SSFT noise is spatial-domain only")
+    overlap = kwargs.get("overlap", F.get("overlap_gen", 0.2))
+    win_fun = kwargs.get("win_fun", F.get("win_fun", "tukey"))
+    if key is None:
+        key = jax.random.PRNGKey(seed if seed is not None else 0)
+
+    filt = F["field"]
+    input_shape = F["input_shape"]
+    cache_key = (filt.shape, input_shape, float(overlap), win_fun)
+    if cache_key not in _ssft_mask_cache:
+        _ssft_mask_cache[cache_key] = jnp.asarray(
+            _ssft_gen_masks(filt.shape, input_shape, overlap, win_fun),
+            jnp.float32,
+        )
+    masks = _ssft_mask_cache[cache_key]
+    return _generate_ssft_noise(key, filt, masks, input_shape)
+
+
+def _generate_ssft_noise(key, filt, masks, input_shape):
+    """Jittable SSFT noise core."""
+    m, n = input_shape
+    white = jax.random.normal(key, (m, n), dtype=jnp.float32)
+    fN = jnp.fft.fft2(white)  # (m, n) complex
+    # batched local filtering over the window grid
+    flN = jnp.real(jnp.fft.ifft2(fN[None, None] * filt, axes=(-2, -1)))
+    cN = jnp.sum(flN * masks, axis=(0, 1))
+    sM = jnp.sum(masks, axis=(0, 1))
+    cN = jnp.where(sM > 0, cN / jnp.where(sM > 0, sM, 1.0), cN)
+    return (cN - jnp.mean(cN)) / jnp.std(cN)

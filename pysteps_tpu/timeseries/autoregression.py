@@ -1,0 +1,222 @@
+"""
+AR(p)/VAR(p) estimation and iteration
+(reference: pysteps/timeseries/autoregression.py).
+
+The iteration (`iterate_ar_model`) is the per-step inner op of
+STEPS/S-PROG/ANVIL: a fused multiply-add over the cascade stack, written to
+broadcast over arbitrary leading batch axes (levels, members) so a whole
+ensemble's AR update is one fused XLA kernel.  Estimation (Yule-Walker
+solves of p x p systems) happens once at init; the *localized* variants keep
+per-pixel parameter maps and vmap the tiny solves over pixels.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def adjust_lag2_corrcoef1(gamma_1, gamma_2):
+    """Simple stationarity clamp for lag-2 autocorrelation
+    (reference: autoregression.py:31)."""
+    gamma_2 = jnp.maximum(gamma_2, 2 * gamma_1 * gamma_1 - 1 + 1e-10)
+    return jnp.minimum(gamma_2, 1 - 1e-10)
+
+
+def adjust_lag2_corrcoef2(gamma_1, gamma_2):
+    """Advanced stationarity clamp (reference: autoregression.py:55)."""
+    gamma_2 = jnp.maximum(gamma_2, 2 * gamma_1 * gamma_2 - 1)
+    gamma_2 = jnp.maximum(
+        gamma_2,
+        (3 * gamma_1**2 - 2 + 2 * (1 - gamma_1**2) ** 1.5) / gamma_1**2,
+    )
+    return gamma_2
+
+
+def estimate_ar_params_yw(gamma, d=0, check_stationarity=True):
+    """Yule-Walker AR(p) fit from lag-l autocorrelations
+    (reference: autoregression.py:402).
+
+    Returns array of length p+1: phi_1..phi_p plus the innovation
+    coefficient phi_pert = sqrt(1 - sum gamma_j phi_j) (Pulkkinen 2019 eq 6).
+    Accepts gamma with optional leading batch axes (..., p): batched solves.
+    """
+    if d not in (0, 1):
+        raise ValueError(f"d = {d}, but 0 or 1 required")
+    gamma = jnp.asarray(gamma)
+    p = gamma.shape[-1]
+    # Toeplitz system G phi = gamma with G[i,j] = gamma_|i-j|, gamma_0 = 1
+    g = jnp.concatenate([jnp.ones(gamma.shape[:-1] + (1,)), gamma], axis=-1)
+    idx = np.abs(np.subtract.outer(np.arange(p), np.arange(p)))
+    G = g[..., idx]
+    phi = jnp.linalg.solve(G, gamma[..., None])[..., 0]
+    if check_stationarity and gamma.ndim == 1:
+        if not test_ar_stationarity(np.asarray(phi)):
+            raise RuntimeError("nonstationary AR(p) process")
+    c = 1.0 - jnp.sum(gamma * phi, axis=-1)
+    phi_pert = jnp.sqrt(jnp.maximum(c, 0.0))
+    if d == 1:
+        phi = _differenced_to_undifferenced(phi)
+    return jnp.concatenate([phi, phi_pert[..., None]], axis=-1)
+
+
+def estimate_ar_params_yw_localized(gamma, d=0):
+    """Per-pixel Yule-Walker fit: gamma is a list/stack of (m, n) lag maps
+    (reference: autoregression.py:479).  Returns (p+1, m, n)."""
+    gamma = jnp.stack(gamma) if isinstance(gamma, (list, tuple)) else jnp.asarray(gamma)
+    # (p, m, n) -> (m, n, p) batched solve
+    out = estimate_ar_params_yw(
+        jnp.moveaxis(gamma, 0, -1), d=d, check_stationarity=False
+    )
+    return jnp.moveaxis(out, -1, 0)
+
+
+def _differenced_to_undifferenced(phi):
+    """Convert AR params fitted on the differenced series to ARI(p,1) params
+    on the original series (reference: autoregression.py:1199 for q=d=1):
+    x_t = x_{t-1} + sum phi_i (x_{t-i} - x_{t-i-1})."""
+    p = phi.shape[-1]
+    # polynomial multiply (1 - sum phi_i B^i)(1 - B) -> coefficients on B^1..B^(p+1)
+    out = jnp.zeros(phi.shape[:-1] + (p + 1,))
+    out = out.at[..., 0].set(1.0 + phi[..., 0])
+    if p > 1:
+        out = out.at[..., 1:p].set(phi[..., 1:] - phi[..., :-1])
+    out = out.at[..., p].set(-phi[..., p - 1])
+    return out
+
+
+def estimate_ar_params_ols(
+    x, p, d=0, check_stationarity=True, include_constant_term=False, h=0, lam=0.0
+):
+    """OLS AR(p) fit from a sample time series of shape (n, ...)
+    (reference: autoregression.py:123)."""
+    x = jnp.asarray(x)
+    if d == 1:
+        x = jnp.diff(x, axis=0)
+    n = x.shape[0]
+    if n < p + 1:
+        raise ValueError(f"n={n} samples insufficient for AR({p}) OLS fit")
+    # build design matrix from lagged flattened fields
+    flat = x.reshape(n, -1)
+    rows = []
+    targets = []
+    for k in range(p, n):
+        rows.append(jnp.stack([flat[k - i - 1] for i in range(p)], axis=-1))
+        targets.append(flat[k])
+    X = jnp.concatenate(rows, axis=0)  # (N, p)
+    y = jnp.concatenate(targets, axis=0)
+    if include_constant_term:
+        X = jnp.concatenate([X, jnp.ones((X.shape[0], 1))], axis=1)
+    XtX = X.T @ X + lam * jnp.eye(X.shape[1])
+    phi = jnp.linalg.solve(XtX, X.T @ y)
+    resid = y - X @ phi
+    phi_pert = jnp.std(resid)
+    phi_main = phi[:p]
+    if check_stationarity and not test_ar_stationarity(np.asarray(phi_main)):
+        raise RuntimeError("nonstationary AR(p) process")
+    if d == 1:
+        phi_main = _differenced_to_undifferenced(phi_main)
+    return jnp.concatenate([phi_main, jnp.array([phi_pert])])
+
+
+def iterate_ar_model(x, phi, eps=None):
+    """One AR(p) step over a sliding window stack
+    (reference: autoregression.py:1020).
+
+    x: (..., p, m, n) window of the p most recent states (oldest first).
+    phi: (..., p+1) parameters broadcastable against x's leading axes.
+    eps: optional innovation (..., m, n).
+    Returns the shifted window with the new state appended.
+    """
+    x = jnp.asarray(x)
+    phi = jnp.asarray(phi)
+    p = x.shape[-3]
+    # lag i uses x[..., -(i+1), :, :] and phi[..., i]
+    coeffs = phi[..., :p][..., ::-1]  # align oldest-first window
+    x_new = jnp.sum(x * coeffs[..., :, None, None], axis=-3)
+    if eps is not None:
+        x_new = x_new + phi[..., -1:, None] * eps
+    return jnp.concatenate([x[..., 1:, :, :], x_new[..., None, :, :]], axis=-3)
+
+
+def iterate_var_model(x, phi, eps=None):
+    """One VAR(p) step (reference: autoregression.py:1076).
+
+    x: (p, q, ...) window; phi: list of (q, q) matrices (p+1 of them).
+    """
+    x = jnp.asarray(x)
+    p = len(phi) - 1
+    x_new = jnp.zeros(x.shape[1:])
+    for l in range(p):
+        x_new = x_new + jnp.einsum("ij,j...->i...", phi[l], x[-(l + 1)])
+    if eps is not None:
+        x_new = x_new + jnp.einsum("ij,j...->i...", phi[-1] @ phi[-1], eps)
+    return jnp.concatenate([x[1:], x_new[None]], axis=0)
+
+
+def estimate_var_params_yw(gamma, d=0, check_stationarity=True):
+    """Yule-Walker VAR(p) fit from lag-l cross-correlation matrices
+    (reference: autoregression.py:854).  gamma: list of (q, q) matrices
+    Gamma_0..Gamma_p."""
+    q = gamma[0].shape[0]
+    p = len(gamma) - 1
+    G = jnp.block(
+        [
+            [gamma[abs(i - j)].T if i > j else gamma[abs(i - j)] for j in range(p)]
+            for i in range(p)
+        ]
+    )
+    b = jnp.concatenate([gamma[i].T for i in range(1, p + 1)], axis=0)
+    x = jnp.linalg.solve(G, b)
+    phi = [x[i * q : (i + 1) * q, :] for i in range(p)]
+    if check_stationarity and not test_var_stationarity(
+        [np.asarray(m) for m in phi]
+    ):
+        raise RuntimeError("nonstationary VAR(p) process")
+    # innovation matrix: zero, as in the reference (estimation not implemented)
+    phi.append(jnp.zeros((q, q)))
+    return phi
+
+
+def ar_acf(gamma, n=None):
+    """Extend lag-correlations to the theoretical ACF of the fitted AR(p)
+    (reference: autoregression.py:81)."""
+    gamma = list(np.asarray(g) for g in np.atleast_1d(np.asarray(gamma)))
+    ar_order = len(gamma)
+    if n is None or n == ar_order:
+        return gamma
+    if n < ar_order:
+        raise ValueError(f"n={n} must be larger than the AR order {ar_order}")
+    phi = np.asarray(estimate_ar_params_yw(jnp.asarray(gamma)))[:-1]
+    acf = [float(g) for g in gamma]
+    for t in range(n - ar_order):
+        gammas = np.array(acf[t : t + ar_order])[::-1]
+        acf.append(float(np.sum(gammas * phi)))
+    return acf
+
+
+def test_ar_stationarity(phi):
+    """Check the AR(p) characteristic roots lie inside the unit circle
+    (reference: autoregression.py:1138)."""
+    phi = np.asarray(phi)
+    p = len(phi)
+    if p == 0:
+        return True
+    companion = np.zeros((p, p))
+    companion[0, :] = phi
+    if p > 1:
+        companion[1:, :-1] = np.eye(p - 1)
+    return bool(np.all(np.abs(np.linalg.eigvals(companion)) < 1.0))
+
+
+def test_var_stationarity(phi):
+    """VAR stationarity via the block-companion spectral radius
+    (reference: autoregression.py:1164)."""
+    phi = [np.asarray(m) for m in phi]
+    q = phi[0].shape[0]
+    p = len(phi)
+    top = np.concatenate(phi, axis=1)
+    comp = np.zeros((p * q, p * q))
+    comp[:q, :] = top
+    if p > 1:
+        comp[q:, :-q] = np.eye((p - 1) * q)
+    return bool(np.all(np.abs(np.linalg.eigvals(comp)) < 1.0))

@@ -1,0 +1,35 @@
+"""
+Morphological image ops (reference: pysteps/utils/images.py:27).
+
+Grayscale/binary opening implemented as erosion+dilation with
+``lax.reduce_window`` (min-pool then max-pool) — no OpenCV.
+"""
+
+import jax
+import jax.numpy as jnp
+
+
+def _pool(field, size, op, init):
+    return jax.lax.reduce_window(
+        field,
+        init,
+        op,
+        window_dimensions=(size, size),
+        window_strides=(1, 1),
+        padding="SAME",
+    )
+
+
+def morph_opening(input_image, thr, n):
+    """Remove features smaller than an n-pixel structuring element
+    (reference: images.py:27 uses cv2.morphologyEx).
+
+    The image is binarized at ``thr``; pixels removed by the opening are set
+    to the image minimum.
+    """
+    field = jnp.asarray(input_image, jnp.float32)
+    binary = (field > thr).astype(jnp.float32)
+    eroded = _pool(binary, n, jax.lax.min, jnp.float32(1.0))
+    opened = _pool(eroded, n, jax.lax.max, jnp.float32(0.0))
+    mask = (binary - opened) > 0  # pixels deleted by the opening
+    return jnp.where(mask, jnp.nanmin(field), field)
