@@ -321,7 +321,7 @@ def initialize_nonparam_2d_nested_filter(field, gridres=1.0, **kwargs):
                     (Ii[k][1] - Ii[k][0]) * (Ij[k][1] - Ij[k][0]) * nr_fields
                 )
                 if war > war_thr:
-                    newfilter = np.asarray(
+                    newfilter = np.array(
                         initialize_nonparam_2d_fft_filter(
                             field * mask[None],
                             win_fun=None,

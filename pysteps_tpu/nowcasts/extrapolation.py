@@ -1,0 +1,36 @@
+"""
+Lagrangian-persistence nowcast: advect the most recent field
+(reference: pysteps/nowcasts/extrapolation.py:19-104).
+"""
+
+import time
+
+import numpy as np
+
+from pysteps_tpu import extrapolation as extrap_module
+
+
+def forecast(
+    precip,
+    velocity,
+    timesteps,
+    extrap_method="semilagrangian",
+    extrap_kwargs=None,
+    measure_time=False,
+):
+    """Extrapolation nowcast (reference: nowcasts/extrapolation.py:19).
+
+    precip: (m, n) most recent observed field; returns (T, m, n).
+    """
+    precip = np.asarray(precip)
+    if precip.ndim != 2:
+        raise ValueError("precip must be a two-dimensional array")
+    extrap_kwargs = dict(extrap_kwargs or {})
+    extrap_kwargs.setdefault("allow_nonfinite_values", bool(np.any(~np.isfinite(precip))))
+
+    t0 = time.time()
+    extrapolator = extrap_module.get_method(extrap_method)
+    out = extrapolator(precip, velocity, timesteps, **extrap_kwargs)
+    if measure_time:
+        return out, 0.0, time.time() - t0
+    return out

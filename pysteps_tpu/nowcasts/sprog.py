@@ -1,0 +1,172 @@
+"""
+S-PROG deterministic nowcast (reference: pysteps/nowcasts/sprog.py:32-432;
+Seed 2003 spectral prognosis).
+
+Shares the STEPS machinery: Lagrangian alignment, cascade decomposition,
+per-level AR(p), with the stochastic terms removed and a percentile mask.
+The lead-time loop is a lax.scan; the whole forecast is one XLA program.
+"""
+
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pysteps_tpu import cascade
+from pysteps_tpu.cascade.decomposition import recompose_core
+from pysteps_tpu.extrapolation.semilagrangian import integrate_displacement
+from pysteps_tpu.nowcasts import utils as nowcast_utils
+from pysteps_tpu.nowcasts.steps import _estimate_params, _lagrangian_alignment
+from pysteps_tpu.ops.warp import warp
+from pysteps_tpu.postprocessing.probmatching import _match_cdf_core
+from pysteps_tpu.timeseries import autoregression
+from pysteps_tpu.utils.check_norain import check_norain
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("int_steps", "probmatching", "n_iter", "interp_order"),
+)
+def _sprog_scan(
+    window0, velocity, phi, means_last, stds_last, precip_last, precip_min,
+    precip_thr, war, mu_0, domain_mask, int_steps, probmatching,
+    n_iter, interp_order,
+):
+    m, n = precip_last.shape
+    displacement0 = jnp.zeros((2, m, n), jnp.float32)
+
+    def step(carry, _):
+        window, displacement = carry
+        window = autoregression.iterate_ar_model(window, phi)
+        field = recompose_core(window[:, -1], means_last, stds_last)
+        # mask out the smallest values so the wet-area ratio stays constant
+        # (reference: sprog.py:396-432 _update)
+        mask = nowcast_utils.compute_percentile_mask(field, war)
+        field = jnp.where(mask, field, precip_min)
+        if probmatching == "cdf":
+            field = _match_cdf_core(field, precip_last)
+        elif probmatching == "mean":
+            wet = field >= precip_thr
+            mu_fct = jnp.sum(jnp.where(wet, field, 0.0)) / jnp.maximum(
+                jnp.sum(wet), 1
+            )
+            field = jnp.where(wet, field - mu_fct + mu_0, field)
+        displacement = integrate_displacement(
+            velocity, displacement, 1.0, n_iter=n_iter
+        )
+        out = warp(field, displacement, order=interp_order, cval=precip_min)
+        out = jnp.where(domain_mask, jnp.nan, out)
+        return (window, displacement), out
+
+    _, outputs = jax.lax.scan(step, (window0, displacement0), None, length=int_steps)
+    return outputs
+
+
+def forecast(
+    precip,
+    velocity,
+    timesteps,
+    precip_thr=None,
+    norain_thr=0.0,
+    n_cascade_levels=6,
+    extrap_method="semilagrangian",
+    decomp_method="fft",
+    bandpass_filter_method="gaussian",
+    ar_order=2,
+    conditional=False,
+    probmatching_method="cdf",
+    num_workers=1,
+    fft_method="numpy",
+    domain="spatial",
+    extrap_kwargs=None,
+    filter_kwargs=None,
+    measure_time=False,
+):
+    """S-PROG forecast with the reference's signature
+    (reference: sprog.py:32).  Returns (num_timesteps, m, n)."""
+    t0 = time.time()
+    precip = np.asarray(precip)
+    if precip.ndim != 3 or precip.shape[0] < ar_order + 1:
+        raise ValueError(
+            f"precip must be (>=ar_order+1, m, n); got {precip.shape}"
+        )
+    if precip_thr is None:
+        raise ValueError("precip_thr required")
+    extrap_kwargs = extrap_kwargs or {}
+    filter_kwargs = filter_kwargs or {}
+
+    if check_norain(precip, precip_thr, norain_thr, None, printmsg=True):
+        return nowcast_utils.zero_precipitation_forecast(
+            None, timesteps, precip, None, True, measure_time, t0
+        )
+
+    precip = precip[-(ar_order + 1) :].astype(np.float32)
+    domain_mask = ~np.isfinite(precip[-1])
+    precip_min = float(np.nanmin(precip))
+    precip = np.where(np.isfinite(precip), precip, precip_min)
+    m, n = precip.shape[1:]
+
+    filter_method = cascade.get_method(bandpass_filter_method)
+    bp_filter = filter_method((m, n), n_cascade_levels, **filter_kwargs)
+    weights_2d = bp_filter["weights_2d"].astype(jnp.float32)
+
+    precip_j = jnp.asarray(precip)
+    velocity_j = jnp.asarray(velocity, jnp.float32)
+    if conditional:
+        mask_thr = jnp.all(precip_j >= precip_thr, axis=0)
+    else:
+        mask_thr = jnp.ones((m, n), dtype=bool)
+
+    precip_aligned = _lagrangian_alignment(
+        precip_j, velocity_j,
+        n_iter=extrap_kwargs.get("n_iter", 1),
+        interp_order=extrap_kwargs.get("interp_order", 1),
+    )
+    cascades_full, means, stds, gamma, phi = _estimate_params(
+        precip_aligned, weights_2d, mask_thr, ar_order, conditional
+    )
+    nowcast_utils.print_corrcoefs(gamma)
+    nowcast_utils.print_ar_params(phi)
+
+    window0 = cascades_full[:, -ar_order:]
+    precip_last = precip_j[-1]
+    wet = precip_last >= precip_thr
+    war = jnp.sum(wet & mask_thr) / jnp.sum(mask_thr)
+    mu_0 = jnp.sum(jnp.where(wet, precip_last, 0.0)) / jnp.maximum(jnp.sum(wet), 1)
+
+    if isinstance(timesteps, int):
+        int_steps = timesteps
+        subsel = None
+    else:
+        subsel = list(timesteps)
+        int_steps = int(np.ceil(max(subsel)))
+
+    init_time = time.time() - t0
+    t1 = time.time()
+    out = _sprog_scan(
+        window0, velocity_j, phi, means[-1], stds[-1], precip_last,
+        jnp.float32(precip_min), jnp.float32(precip_thr), war, mu_0,
+        jnp.asarray(domain_mask), int_steps, probmatching_method,
+        extrap_kwargs.get("n_iter", 1), extrap_kwargs.get("interp_order", 1),
+    )
+    out.block_until_ready()
+    loop_time = time.time() - t1
+
+    if subsel is not None:
+        frames = []
+        for t_sub in subsel:
+            if t_sub == int(t_sub):
+                frames.append(out[int(t_sub) - 1])
+            else:
+                t_int = int(np.ceil(t_sub))
+                lo = out[t_int - 2] if t_int >= 2 else out[0]
+                hi = out[t_int - 1]
+                w = t_sub - (t_int - 1)
+                frames.append((1 - w) * lo + w * hi)
+        out = jnp.stack(frames)
+
+    if measure_time:
+        return out, init_time, loop_time
+    return out

@@ -1,0 +1,635 @@
+"""
+STEPS stochastic ensemble nowcast (reference: pysteps/nowcasts/steps.py;
+Bowler, Pierce & Seed 2006, Pulkkinen et al. 2019).
+
+TPU-native redesign of the reference pipeline (call stack: SURVEY.md §3.1):
+
+- Ensemble members are a **vmapped axis** with per-member
+  ``jax.random.fold_in`` key chains (replacing the reference's seeded
+  RandomState chain, steps.py:885-898) — optionally sharded over the
+  ``ens`` axis of a device mesh (pure data parallelism).
+- The lead-time loop is a single ``lax.scan``; each step fuses, per member:
+  noise generation (batched rfft2) -> noise cascade decomposition ->
+  AR(2) update over all cascade levels -> recomposition -> masking ->
+  sort-based CDF matching -> velocity perturbation -> incremental
+  semi-Lagrangian advection of the output field.
+- Everything between the input radar stack and the (n_ens, T, m, n) output
+  is one compiled XLA program; there is no host round-trip in the loop.
+
+The public ``forecast`` keeps the reference's signature (steps.py:1273).
+"""
+
+import dataclasses
+import functools
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pysteps_tpu import cascade, extrapolation, noise, utils
+from pysteps_tpu.cascade.decomposition import decompose_core, recompose_core
+from pysteps_tpu.extrapolation.semilagrangian import (
+    integrate_displacement,
+)
+from pysteps_tpu.noise.fftgenerators import _generate_fft_noise
+from pysteps_tpu.noise.motion import (
+    _laplace,
+    get_default_params_bps_par,
+    get_default_params_bps_perp,
+)
+from pysteps_tpu.nowcasts import utils as nowcast_utils
+from pysteps_tpu.ops.warp import warp
+from pysteps_tpu.postprocessing.probmatching import _match_cdf_core
+from pysteps_tpu.timeseries import autoregression, correlation
+from pysteps_tpu.utils.check_norain import check_norain
+
+
+@dataclasses.dataclass(frozen=True)
+class StepsNowcasterConfig:
+    """Configuration (reference: steps.py:41-235 StepsNowcasterConfig)."""
+
+    n_ens_members: int = 24
+    n_cascade_levels: int = 6
+    precip_threshold: Optional[float] = None
+    norain_threshold: float = 0.0
+    kmperpixel: Optional[float] = None
+    timestep: Optional[float] = None
+    extrapolation_method: str = "semilagrangian"
+    decomposition_method: str = "fft"
+    bandpass_filter_method: str = "gaussian"
+    noise_method: Optional[str] = "nonparametric"
+    noise_stddev_adj: Optional[str] = None
+    ar_order: int = 2
+    velocity_perturbation_method: Optional[str] = "bps"
+    conditional: bool = False
+    probmatching_method: Optional[str] = "cdf"
+    mask_method: Optional[str] = "incremental"
+    seed: Optional[int] = None
+    num_workers: int = 1
+    fft_method: str = "numpy"
+    domain: str = "spatial"
+    extrapolation_kwargs: dict = dataclasses.field(default_factory=dict)
+    filter_kwargs: dict = dataclasses.field(default_factory=dict)
+    noise_kwargs: dict = dataclasses.field(default_factory=dict)
+    velocity_perturbation_kwargs: dict = dataclasses.field(default_factory=dict)
+    mask_kwargs: dict = dataclasses.field(default_factory=dict)
+    measure_time: bool = False
+    callback: Optional[callable] = None
+    return_output: bool = True
+
+
+def _lagrangian_alignment(precip, velocity, n_iter=1, interp_order=1):
+    """Advect each of the first p input fields to the time of the last one
+    (reference: steps.py:671 __perform_extrapolation; dask fan-out becomes
+    a scan over the shared displacement chain)."""
+    p1 = precip.shape[0]
+    minval = jnp.nanmin(precip)
+
+    def advect_i(i):
+        # field i needs (p1-1-i) unit steps of advection
+        def body(carry, _):
+            disp = carry
+            disp = integrate_displacement(velocity, disp, 1.0, n_iter=n_iter)
+            return disp, None
+
+        n_steps = p1 - 1 - i
+        disp = jnp.zeros_like(velocity)
+        if n_steps > 0:
+            disp, _ = jax.lax.scan(body, disp, None, length=n_steps)
+        return warp(precip[i], disp, order=interp_order, cval=minval)
+
+    return jnp.stack([advect_i(i) for i in range(p1)])
+
+
+def _estimate_params(
+    precip_aligned, weights_2d, mask_thr, ar_order, conditional
+):
+    """Decompose aligned inputs, estimate per-level correlations and AR
+    parameters (reference: steps.py:809-868)."""
+    mask = mask_thr if conditional else None
+    dec = jax.vmap(
+        lambda f: decompose_core(f, weights_2d, mask=mask, normalize=True)
+    )(precip_aligned)
+    levels, means, stds = dec  # (p+1, k, m, n), (p+1, k), (p+1, k)
+    cascades = jnp.swapaxes(levels, 0, 1)  # (k, p+1, m, n)
+
+    # per-level temporal autocorrelation over the mask
+    def level_gamma(xs):
+        g = correlation.temporal_autocorrelation(xs, mask=mask_thr)
+        return jnp.stack(g)
+
+    gamma = jax.vmap(level_gamma)(cascades)  # (k, ar_order)
+    if ar_order == 2:
+        g2 = autoregression.adjust_lag2_corrcoef2(gamma[:, 0], gamma[:, 1])
+        gamma = jnp.stack([gamma[:, 0], g2], axis=1)
+    phi = autoregression.estimate_ar_params_yw(
+        gamma, check_stationarity=False
+    )  # (k, ar_order+1)
+    return cascades, means, stds, gamma, phi
+
+
+def _member_update(
+    key,
+    cascades_j,
+    phi,
+    noise_filt,
+    noise_filt_shape,
+    use_full_fft,
+    weights_2d,
+    noise_std_coeffs,
+    means_last,
+    stds_last,
+    cfg_flags,
+):
+    """One member's cascade update: noise -> AR -> recompose.
+
+    cascades_j: (k, p, m, n).  Returns (new cascades, recomposed field).
+    """
+    has_noise = cfg_flags["noise"]
+    if has_noise:
+        eps = _generate_fft_noise(
+            key, noise_filt, noise_filt_shape, use_full_fft
+        )
+        eps_levels, _, _ = decompose_core(eps, weights_2d, normalize=True)
+        eps_levels = eps_levels * noise_std_coeffs[:, None, None]
+    else:
+        eps_levels = None
+    cascades_j = autoregression.iterate_ar_model(cascades_j, phi, eps=eps_levels)
+    field = recompose_core(cascades_j[:, -1], means_last, stds_last)
+    return cascades_j, field
+
+
+class StepsNowcaster:
+    """Host orchestration around the jitted STEPS core
+    (reference: steps.py:287)."""
+
+    def __init__(self, precip, velocity, timesteps, steps_config):
+        self.precip = np.asarray(precip)
+        self.velocity = np.asarray(velocity)
+        self.timesteps = timesteps
+        self.config = steps_config
+
+    def compute_forecast(self):
+        cfg = self.config
+        t0 = time.time()
+        self._check_inputs()
+
+        # norain early exit (reference: steps.py:360-382)
+        if check_norain(
+            self.precip,
+            cfg.precip_threshold,
+            cfg.norain_threshold,
+            cfg.noise_kwargs.get("win_fun", "tukey"),
+            printmsg=True,
+        ):
+            return nowcast_utils.zero_precipitation_forecast(
+                cfg.n_ens_members,
+                self.timesteps,
+                self.precip,
+                cfg.callback,
+                cfg.return_output,
+                cfg.measure_time,
+                t0,
+            )
+
+        precip = self.precip[-(cfg.ar_order + 1) :].astype(np.float32)
+        domain_mask = ~np.isfinite(precip[-1])
+        precip_min = float(np.nanmin(precip))
+        precip = np.where(np.isfinite(precip), precip, precip_min)
+
+        out, init_time, loop_time = _steps_forecast(
+            jnp.asarray(precip),
+            jnp.asarray(self.velocity, jnp.float32),
+            self.timesteps,
+            cfg,
+            jnp.asarray(domain_mask),
+        )
+
+        if cfg.callback is not None:
+            arr = np.asarray(out)
+            for t in range(arr.shape[1]):
+                cfg.callback(arr[:, t])
+
+        result = out if cfg.return_output else None
+        if cfg.measure_time:
+            return result, init_time, loop_time
+        return result
+
+    def _check_inputs(self):
+        cfg = self.config
+        if self.precip.ndim != 3:
+            raise ValueError("precip must be a three-dimensional array")
+        if self.precip.shape[0] < cfg.ar_order + 1:
+            raise ValueError(
+                f"precip.shape[0] must be at least ar_order+1 "
+                f"({cfg.ar_order + 1}), got {self.precip.shape[0]}"
+            )
+        if self.velocity.ndim != 3:
+            raise ValueError("velocity must be a three-dimensional array")
+        if self.precip.shape[1:] != self.velocity.shape[1:]:
+            raise ValueError("dimension mismatch between precip and velocity")
+        if isinstance(self.timesteps, list) and not sorted(self.timesteps) == list(
+            self.timesteps
+        ):
+            raise ValueError("timesteps is not in ascending order")
+        if cfg.conditional and cfg.precip_threshold is None:
+            raise ValueError("conditional=True but precip_threshold is not set")
+        if cfg.mask_method is not None and cfg.precip_threshold is None:
+            raise ValueError(
+                f"mask_method={cfg.mask_method} but precip_threshold is not set"
+            )
+        if cfg.noise_stddev_adj == "auto" and cfg.precip_threshold is None:
+            raise ValueError("noise_stddev_adj='auto' but precip_threshold not set")
+        if cfg.noise_stddev_adj not in ("auto", "fixed", None):
+            raise ValueError(
+                f"unknown noise_stddev_adj {cfg.noise_stddev_adj}"
+            )
+        if cfg.velocity_perturbation_method is not None:
+            if cfg.kmperpixel is None:
+                raise ValueError("vel_pert_method is set but kmperpixel=None")
+            if cfg.timestep is None:
+                raise ValueError("vel_pert_method is set but timestep=None")
+
+
+def _steps_forecast(precip, velocity, timesteps, cfg, domain_mask):
+    """Initialization + scan loop.  Returns (out (E,T,m,n), init_s, loop_s)."""
+    t_init0 = time.time()
+    m, n = precip.shape[1:]
+    p = cfg.ar_order
+    E = cfg.n_ens_members
+    k_levels = cfg.n_cascade_levels
+
+    # integer-step schedule; list timesteps are handled by computing to the
+    # integer grid then selecting/interpolating (reference: binned_timesteps)
+    if isinstance(timesteps, int):
+        int_steps = timesteps
+        subsel = None
+    else:
+        ts = list(timesteps)
+        int_steps = int(np.ceil(max(ts)))
+        subsel = ts
+
+    # bandpass filter (static)
+    filter_method = cascade.get_method(cfg.bandpass_filter_method)
+    bp_filter = filter_method((m, n), k_levels, **cfg.filter_kwargs)
+    weights_2d = bp_filter["weights_2d"].astype(jnp.float32)
+
+    base_key = jax.random.PRNGKey(cfg.seed if cfg.seed is not None else 42)
+    key_noise_init, key_members, key_vel = jax.random.split(base_key, 3)
+
+    # conditional statistics mask
+    if cfg.conditional:
+        mask_thr = jnp.all(precip >= cfg.precip_threshold, axis=0)
+    else:
+        mask_thr = jnp.ones((m, n), dtype=bool)
+
+    # Lagrangian alignment of the p+1 input fields
+    extrap_kwargs = dict(cfg.extrapolation_kwargs)
+    precip_aligned = _lagrangian_alignment(
+        precip, velocity,
+        n_iter=extrap_kwargs.get("n_iter", 1),
+        interp_order=extrap_kwargs.get("interp_order", 1),
+    )
+
+    # noise filter init (on the aligned input stack)
+    use_full_fft = False
+    noise_filt = None
+    noise_std_coeffs = jnp.ones(k_levels, jnp.float32)
+    if cfg.noise_method is not None:
+        if cfg.noise_method not in ("nonparametric", "parametric"):
+            raise NotImplementedError(
+                f"noise_method={cfg.noise_method} not yet supported in the "
+                "STEPS core (use SSEPS for localized SSFT noise)"
+            )
+        init_noise, _ = noise.get_method(cfg.noise_method)
+        pert_gen = init_noise(np.asarray(precip_aligned), **cfg.noise_kwargs)
+        noise_filt = jnp.asarray(pert_gen["field"], jnp.float32)
+        use_full_fft = bool(pert_gen.get("use_full_fft", False))
+        if cfg.noise_stddev_adj == "auto":
+            noise_std_coeffs = noise.utils.compute_noise_stddev_adjs(
+                precip[-1],
+                cfg.precip_threshold,
+                float(jnp.min(precip)),
+                bp_filter,
+                None,
+                pert_gen,
+                None,
+                20,
+                conditional=True,
+                key=key_noise_init,
+            ).astype(jnp.float32)
+        elif cfg.noise_stddev_adj == "fixed":
+            noise_std_coeffs = jnp.asarray(
+                [1.0 / (0.75 + 0.09 * k) for k in range(1, k_levels + 1)],
+                jnp.float32,
+            )
+
+    # decompose + AR parameters
+    cascades_full, means, stds, gamma, phi = _estimate_params(
+        precip_aligned, weights_2d, mask_thr, p, cfg.conditional
+    )
+    means_last, stds_last = means[-1], stds[-1]
+    # initial window: the p most recent normalized cascades, per member
+    window = cascades_full[:, -p:]  # (k, p, m, n)
+    cascades0 = jnp.broadcast_to(window, (E,) + window.shape)
+
+    # masks
+    precip_last = precip[-1]
+    war = None
+    mu_0 = None
+    mask_prec0 = jnp.ones((E, m, n), jnp.float32)
+    struct = None
+    mask_rim = None
+    if cfg.mask_method is not None or cfg.probmatching_method == "mean":
+        wet = precip_last >= cfg.precip_threshold
+        war = jnp.sum(wet & mask_thr) / jnp.sum(mask_thr)
+        mu_0 = jnp.sum(jnp.where(wet, precip_last, 0.0)) / jnp.maximum(
+            jnp.sum(wet), 1
+        )
+    if cfg.mask_method == "incremental":
+        mask_rim = cfg.mask_kwargs.get("mask_rim", 10)
+        mask_f = cfg.mask_kwargs.get("mask_f", 1.0)
+        # structuring element scaled by the per-step motion extent
+        # (reference: steps.py mask init, iterate_structure(struct, n))
+        if cfg.timestep is not None and cfg.kmperpixel is not None:
+            n_struct = mask_f * cfg.timestep / cfg.kmperpixel
+        else:
+            n_struct = 3.0
+        struct = jnp.asarray(
+            nowcast_utils.dilation_kernel(max(int((n_struct - 1) / 2.0), 1))
+        )
+        init_mask = nowcast_utils.compute_dilated_mask(
+            precip_last >= cfg.precip_threshold, struct, mask_rim
+        )
+        mask_prec0 = jnp.broadcast_to(init_mask, (E, m, n)).astype(jnp.float32)
+    elif cfg.mask_method == "obs":
+        mask_prec0 = jnp.broadcast_to(
+            (precip_last >= cfg.precip_threshold).astype(jnp.float32), (E, m, n)
+        )
+
+    # velocity perturbation parameters (per member Laplace draws)
+    vel_pert = cfg.velocity_perturbation_method is not None
+    if vel_pert:
+        vp_kwargs = dict(cfg.velocity_perturbation_kwargs)
+        p_par = tuple(vp_kwargs.get("p_par", get_default_params_bps_par()))
+        p_perp = tuple(vp_kwargs.get("p_perp", get_default_params_bps_perp()))
+        vsf = 60.0 / (cfg.timestep * (1.0 / cfg.kmperpixel))
+        vkeys = jax.random.split(key_vel, 2 * E)
+        eps_par = jax.vmap(_laplace)(vkeys[:E])
+        eps_perp = jax.vmap(_laplace)(vkeys[E:])
+        Nv = jnp.linalg.norm(velocity, axis=0)
+        V_n = jnp.where(Nv[None] > 1e-12, velocity / jnp.maximum(Nv[None], 1e-12), 0.0)
+        V_perp = jnp.stack([-V_n[1], V_n[0]])
+    else:
+        p_par = p_perp = None
+        vsf = eps_par = eps_perp = V_n = V_perp = None
+
+    member_keys = jax.vmap(lambda i: jax.random.fold_in(key_members, i))(
+        jnp.arange(E)
+    )
+
+    sprog_mask = cfg.mask_method == "sprog"
+    need_det = cfg.noise_method is None or sprog_mask
+    det_window0 = window if need_det else None
+
+    cfg_static = dict(
+        noise=cfg.noise_method is not None,
+        mask_method=cfg.mask_method,
+        probmatching=cfg.probmatching_method,
+        domain=cfg.domain,
+        vel_pert=vel_pert,
+        timestep_min=float(cfg.timestep) if cfg.timestep else 1.0,
+        mask_rim=mask_rim,
+        n_iter=extrap_kwargs.get("n_iter", 1),
+        interp_order=extrap_kwargs.get("interp_order", 1),
+    )
+
+    init_time = time.time() - t_init0
+    t_loop0 = time.time()
+
+    out = _steps_scan(
+        cascades0,
+        det_window0,
+        mask_prec0,
+        member_keys,
+        velocity,
+        phi,
+        noise_filt,
+        (m, n),
+        use_full_fft,
+        weights_2d,
+        noise_std_coeffs,
+        means_last,
+        stds_last,
+        precip_last,
+        jnp.float32(jnp.min(precip)),
+        jnp.float32(cfg.precip_threshold if cfg.precip_threshold is not None else 0.0),
+        war if war is not None else jnp.float32(0.0),
+        mu_0 if mu_0 is not None else jnp.float32(0.0),
+        struct if struct is not None else jnp.zeros((3, 3), jnp.float32),
+        domain_mask,
+        eps_par, eps_perp, V_n, V_perp,
+        jnp.float32(vsf) if vel_pert else jnp.float32(1.0),
+        p_par, p_perp,
+        int_steps,
+        **cfg_static,
+    )
+    out.block_until_ready()
+    loop_time = time.time() - t_loop0
+
+    if subsel is not None:
+        # select/interpolate requested lead times from the integer grid;
+        # fractional times interpolate linearly between neighbours
+        frames = []
+        arr = out
+        for t_sub in subsel:
+            t_int = int(np.ceil(t_sub))
+            frac = t_sub - (t_int - 1) - 1.0
+            if t_sub == int(t_sub):
+                frames.append(arr[:, int(t_sub) - 1])
+            else:
+                lo = arr[:, t_int - 2] if t_int >= 2 else arr[:, 0]
+                hi = arr[:, t_int - 1]
+                w = t_sub - (t_int - 1)
+                frames.append((1 - w) * lo + w * hi)
+        out = jnp.stack(frames, axis=1)
+
+    return out, init_time, loop_time
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "noise_filt_shape", "use_full_fft", "int_steps", "noise", "mask_method",
+        "probmatching", "domain", "vel_pert", "timestep_min", "mask_rim",
+        "n_iter", "interp_order", "p_par", "p_perp",
+    ),
+)
+def _steps_scan(
+    cascades0, det_window0, mask_prec0, member_keys, velocity, phi,
+    noise_filt, noise_filt_shape, use_full_fft, weights_2d, noise_std_coeffs,
+    means_last, stds_last, precip_last, precip_min, precip_thr, war, mu_0,
+    struct, domain_mask, eps_par, eps_perp, V_n, V_perp, vsf, p_par, p_perp,
+    int_steps, noise, mask_method, probmatching, domain, vel_pert,
+    timestep_min, mask_rim, n_iter, interp_order,
+):
+    E = cascades0.shape[0]
+    m, n = precip_last.shape
+    cfg_flags = {"noise": noise}
+
+    displacement0 = jnp.zeros((E, 2, m, n), jnp.float32)
+
+    def step(carry, t):
+        cascades, det_window, mask_prec, keys, displacement = carry
+        t_total = (t + 1.0) * timestep_min
+
+        # deterministic AR evolution (for sprog mask / no-noise path)
+        if det_window is not None:
+            det_window = autoregression.iterate_ar_model(det_window, phi)
+            det_field = recompose_core(det_window[:, -1], means_last, stds_last)
+            sprog_m = nowcast_utils.compute_percentile_mask(det_field, war)
+        else:
+            det_field = None
+            sprog_m = None
+
+        def member(key, casc_j, mask_j, disp_j, eps_par_j, eps_perp_j):
+            key, k_noise = jax.random.split(key)
+            if noise:
+                casc_j, field = _member_update(
+                    k_noise, casc_j, phi, noise_filt, noise_filt_shape,
+                    use_full_fft, weights_2d, noise_std_coeffs,
+                    means_last, stds_last, cfg_flags,
+                )
+            else:
+                casc_j = det_window
+                field = det_field
+
+            fmin = jnp.min(field)
+            # --- masking (reference: steps.py:1192-1239) ---
+            if mask_method == "incremental":
+                field = fmin + (field - fmin) * mask_j
+                wet_mask = field > fmin
+                field = jnp.where(wet_mask, field, fmin)
+            elif mask_method == "obs":
+                field = jnp.where(mask_j > 0, field, fmin)
+            elif mask_method == "sprog":
+                field = jnp.where(sprog_m, field, fmin)
+
+            # --- probability matching ---
+            if probmatching == "cdf":
+                field = _match_cdf_core(field, precip_last)
+            elif probmatching == "mean":
+                wet = field >= precip_thr
+                mu_fct = jnp.sum(jnp.where(wet, field, 0.0)) / jnp.maximum(
+                    jnp.sum(wet), 1
+                )
+                field = jnp.where(wet, field - mu_fct + mu_0, field)
+
+            # --- incremental mask update ---
+            if mask_method == "incremental":
+                mask_j = nowcast_utils.compute_dilated_mask(
+                    field >= precip_thr, struct, mask_rim
+                )
+
+            # --- velocity perturbation + incremental advection ---
+            if vel_pert:
+                a1, b1, c1 = p_par
+                a2, b2, c2 = p_perp
+                g_par = a1 * t_total**b1 + c1
+                g_perp = a2 * t_total**b2 + c2
+                vel_j = velocity + (
+                    eps_par_j * g_par * V_n + eps_perp_j * g_perp * V_perp
+                ) / vsf
+            else:
+                vel_j = velocity
+            disp_j = integrate_displacement(vel_j, disp_j, 1.0, n_iter=n_iter)
+            out_field = warp(field, disp_j, order=interp_order, cval=precip_min)
+            out_field = jnp.where(domain_mask, jnp.nan, out_field)
+            return key, casc_j, mask_j, disp_j, out_field
+
+        if vel_pert:
+            keys, cascades, mask_prec, displacement, out_fields = jax.vmap(
+                member
+            )(keys, cascades, mask_prec, displacement, eps_par, eps_perp)
+        else:
+            keys, cascades, mask_prec, displacement, out_fields = jax.vmap(
+                lambda k, c, mk, d: member(k, c, mk, d, None, None)
+            )(keys, cascades, mask_prec, displacement)
+
+        return (cascades, det_window, mask_prec, keys, displacement), out_fields
+
+    carry0 = (cascades0, det_window0, mask_prec0, member_keys, displacement0)
+    _, outputs = jax.lax.scan(step, carry0, jnp.arange(int_steps))
+    # (T, E, m, n) -> (E, T, m, n)
+    return jnp.swapaxes(outputs, 0, 1)
+
+
+def forecast(
+    precip,
+    velocity,
+    timesteps,
+    n_ens_members=24,
+    n_cascade_levels=6,
+    precip_thr=None,
+    norain_thr=0.0,
+    kmperpixel=None,
+    timestep=None,
+    extrap_method="semilagrangian",
+    decomp_method="fft",
+    bandpass_filter_method="gaussian",
+    noise_method="nonparametric",
+    noise_stddev_adj=None,
+    ar_order=2,
+    vel_pert_method="bps",
+    conditional=False,
+    probmatching_method="cdf",
+    mask_method="incremental",
+    seed=None,
+    num_workers=1,
+    fft_method="numpy",
+    domain="spatial",
+    extrap_kwargs=None,
+    filter_kwargs=None,
+    noise_kwargs=None,
+    vel_pert_kwargs=None,
+    mask_kwargs=None,
+    measure_time=False,
+    callback=None,
+    return_output=True,
+):
+    """STEPS nowcast with the reference's flat signature
+    (reference: steps.py:1273-1558).  Returns (n_ens_members, T, m, n)."""
+    config = StepsNowcasterConfig(
+        n_ens_members=n_ens_members,
+        n_cascade_levels=n_cascade_levels,
+        precip_threshold=precip_thr,
+        norain_threshold=norain_thr,
+        kmperpixel=kmperpixel,
+        timestep=timestep,
+        extrapolation_method=extrap_method,
+        decomposition_method=decomp_method,
+        bandpass_filter_method=bandpass_filter_method,
+        noise_method=noise_method,
+        noise_stddev_adj=noise_stddev_adj,
+        ar_order=ar_order,
+        velocity_perturbation_method=vel_pert_method,
+        conditional=conditional,
+        probmatching_method=probmatching_method,
+        mask_method=mask_method,
+        seed=seed,
+        num_workers=num_workers,
+        fft_method=fft_method,
+        domain=domain,
+        extrapolation_kwargs=extrap_kwargs or {},
+        filter_kwargs=filter_kwargs or {},
+        noise_kwargs=noise_kwargs or {},
+        velocity_perturbation_kwargs=vel_pert_kwargs or {},
+        mask_kwargs=mask_kwargs or {},
+        measure_time=measure_time,
+        callback=callback,
+        return_output=return_output,
+    )
+    nowcaster = StepsNowcaster(precip, velocity, timesteps, config)
+    return nowcaster.compute_forecast()

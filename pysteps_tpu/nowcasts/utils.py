@@ -1,0 +1,138 @@
+"""
+Shared nowcast machinery (reference: pysteps/nowcasts/utils.py).
+
+Jittable pieces: dilated masks (max-pool dilation instead of
+scipy.binary_dilation), percentile masks (XLA sort), cascade stacking.
+Host pieces: zero-precipitation early exit, irregular-timestep binning.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def binary_dilation(mask, kernel):
+    """Binary dilation of a (m, n) mask by a (a, b) structuring element,
+    as a convolution against the flipped kernel (XLA conv, fused)."""
+    m = mask.astype(jnp.float32)[None, None]
+    k = jnp.asarray(kernel, jnp.float32)[None, None, ::-1, ::-1]
+    out = jax.lax.conv_general_dilated(m, k, (1, 1), "SAME")
+    return out[0, 0] > 0
+
+
+def compute_dilated_mask(input_mask, kr, r):
+    """Buffered rain mask with a grayscale rim built by r iterative 3x3
+    dilations (reference: nowcasts/utils.py:69)."""
+    kr1 = jnp.asarray(
+        [[0, 1, 0], [1, 1, 1], [0, 1, 0]], jnp.float32
+    )  # 2-D connectivity-1 structuring element
+    mask_dilated = binary_dilation(input_mask, kr)
+    mask = mask_dilated.astype(jnp.float32)
+    for _ in range(int(r)):
+        mask_dilated = binary_dilation(mask_dilated, kr1)
+        mask = mask + mask_dilated
+    return mask / jnp.maximum(jnp.max(mask), 1.0)
+
+
+def dilation_kernel(mask_rim):
+    """Circular structuring element matching the reference's
+    scipy.ndimage.generate_binary_structure + iterate pattern
+    (reference: nowcasts/steps.py mask init)."""
+    n = max(int(mask_rim), 1)
+    yy, xx = np.mgrid[-n : n + 1, -n : n + 1]
+    return (np.abs(yy) + np.abs(xx) <= n).astype(np.float32)
+
+
+def compute_percentile_mask(precip, war):
+    """True for pixels above the intensity whose exceedance fraction equals
+    ``war`` (reference: nowcasts/utils.py:102)."""
+    flat = jnp.sort(precip.ravel())
+    n = flat.size
+    # exceedance fraction of sorted values (descending index)
+    i = jnp.clip(jnp.round((1.0 - war) * n).astype(jnp.int32) - 1, 0, n - 1)
+    thr = flat[i]
+    return precip >= thr
+
+
+def stack_cascades(decomp_list, n_levels, convert_to_full_arrays=False):
+    """Stack per-time decompositions into a (k, t, m, n) window array
+    (reference: nowcasts/utils.py:612)."""
+    del convert_to_full_arrays
+    levels = jnp.stack([d["cascade_levels"] for d in decomp_list], axis=1)
+    return levels[:n_levels]
+
+
+def zero_precipitation_forecast(
+    n_ens_members, timesteps, precip, callback=None, return_output=True,
+    measure_time=False, start_time_init=None,
+):
+    """All-zero forecast for the norain early exit
+    (reference: nowcasts/utils.py:141)."""
+    print("No precipitation above the threshold found in the radar field")
+    print("The resulting forecast will contain only zeros")
+    single = n_ens_members is None
+    n_ens = 1 if single else n_ens_members
+    num = timesteps if isinstance(timesteps, int) else len(timesteps)
+    zero_value = float(np.nanmin(precip))
+    frame = np.full(precip.shape[1:], zero_value, dtype=np.float32)
+    out = np.stack([np.stack([frame] * num)] * n_ens)
+    if callback is not None:
+        for t in range(num):
+            callback(out[:, t])
+    result = None
+    if return_output:
+        result = out[0] if single else out
+    if measure_time:
+        import time
+
+        elapsed = time.time() - start_time_init if start_time_init else 0.0
+        return result, elapsed, 0.0
+    return result
+
+
+def binned_timesteps(timesteps):
+    """Bin irregular timesteps into integer intervals
+    (reference: nowcasts/utils.py:34).  Returns list-of-lists where bin t
+    holds the requested lead times in (t-1, t]."""
+    timesteps = list(timesteps)
+    if any(np.diff(timesteps) <= 0):
+        raise ValueError("timesteps is not in ascending order")
+    if any(t < 0 for t in timesteps):
+        raise ValueError("negative timesteps are not allowed")
+    num_bins = int(np.ceil(max(timesteps)))
+    bins = [[] for _ in range(num_bins + 1)]
+    for t in timesteps:
+        b = int(np.ceil(t))
+        bins[b].append(t)
+    return bins
+
+
+def print_ar_params(phi):
+    """AR parameter table (reference: nowcasts/utils.py:536)."""
+    phi = np.asarray(phi)
+    print("****************************************")
+    print("* AR(p) parameters for cascade levels: *")
+    print("****************************************")
+    hdr = "| Level |" + "".join(
+        f"   Phi-{k + 1}   |" for k in range(phi.shape[1] - 1)
+    ) + "   Phi-0   |"
+    print(hdr)
+    print("-" * len(hdr))
+    for i in range(phi.shape[0]):
+        row = f"| {i + 1:5d} |" + "".join(
+            f" {v: 8.6f} |" for v in phi[i]
+        )
+        print(row)
+
+
+def print_corrcoefs(gamma):
+    """Correlation-coefficient table (reference: nowcasts/utils.py:574)."""
+    gamma = np.asarray(gamma)
+    print("************************************************")
+    print("* Correlation coefficients for cascade levels: *")
+    print("************************************************")
+    for i in range(gamma.shape[0]):
+        print(
+            f"| Level {i + 1}: "
+            + " ".join(f"gamma_{k + 1}={v: .6f}" for k, v in enumerate(gamma[i]))
+        )

@@ -1,0 +1,144 @@
+"""
+Probability matching (reference: pysteps/postprocessing/probmatching.py).
+
+``nonparam_match_empirical_cdf`` — the op applied after every STEPS
+recompose — is implemented as a pure jittable double-sort (XLA sort is the
+TPU-native rank machine): sort the target, rank the forecast via
+argsort-of-argsort, gather.  vmaps over ensemble members.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.jit
+def _match_cdf_core(initial, target):
+    shape = initial.shape
+    init = initial.ravel()
+    targ = target.ravel()
+
+    zvalue = jnp.nanmin(init)
+    idxzeros = init == zvalue
+    zvalue_trg = jnp.nanmin(targ)
+    targ = jnp.where(jnp.isnan(targ), zvalue_trg, targ)
+
+    # match the wet-area ratio: if the target has more wet pixels than the
+    # initial field, zero out its lowest values (reference:
+    # probmatching.py:106-112)
+    n_wet_init = jnp.sum(init > zvalue)
+    n_wet_trg = jnp.sum(targ > zvalue_trg)
+    war = n_wet_init / init.size
+    p = jnp.quantile(targ, 1.0 - war)
+    targ = jnp.where(
+        (n_wet_trg > n_wet_init) & (targ < p), zvalue_trg, targ
+    )
+
+    ranked = jnp.sort(targ)
+    orderin = jnp.argsort(init)
+    ranks = jnp.zeros_like(orderin).at[orderin].set(jnp.arange(init.size))
+    out = ranked[ranks]
+    out = jnp.where(idxzeros, zvalue_trg, out)
+    return out.reshape(shape)
+
+
+def nonparam_match_empirical_cdf(initial_array, target_array, ignore_indices=None):
+    """Match the empirical CDF of ``initial_array`` to ``target_array``,
+    conserving ranks and zero pixels (reference: probmatching.py:55)."""
+    initial = jnp.asarray(initial_array, jnp.float32)
+    target = jnp.asarray(target_array, jnp.float32)
+    if initial.size != target.size:
+        raise ValueError(
+            "dimension mismatch between initial_array and target_array"
+        )
+    if ignore_indices is not None:
+        ignore = jnp.asarray(ignore_indices)
+        if ignore.dtype != jnp.bool_:
+            mask = jnp.zeros(initial.shape, bool).ravel().at[ignore].set(True)
+            mask = mask.reshape(initial.shape)
+        else:
+            mask = ignore
+        filled = jnp.where(mask, jnp.nanmin(initial), initial)
+        out = _match_cdf_core(filled, target)
+        return jnp.where(mask, initial, out)
+    return _match_cdf_core(initial, target)
+
+
+def compute_empirical_cdf(bin_edges, hist):
+    """Empirical CDF from a histogram (reference: probmatching.py:24)."""
+    bin_edges = jnp.asarray(bin_edges)
+    hist = jnp.asarray(hist)
+    widths = bin_edges[1:] - bin_edges[:-1]
+    cdf = jnp.concatenate([jnp.zeros(1), jnp.cumsum(widths * hist)])
+    return cdf / cdf[-1]
+
+
+def pmm_init(bin_edges_1, cdf_1, bin_edges_2, cdf_2):
+    """Initialize a probability-matching-method interpolator
+    (reference: probmatching.py:144)."""
+    return {
+        "bin_edges_1": jnp.asarray(bin_edges_1),
+        "cdf_1": jnp.asarray(cdf_1),
+        "bin_edges_2": jnp.asarray(bin_edges_2),
+        "cdf_2": jnp.asarray(cdf_2),
+    }
+
+
+def pmm_compute(pmm, x):
+    """Map values through CDF_1 then inverse CDF_2
+    (reference: probmatching.py:171)."""
+    x = jnp.asarray(x)
+    p = jnp.interp(x, pmm["bin_edges_1"], pmm["cdf_1"])
+    mask = p > 0.9999999
+    out = jnp.interp(p, pmm["cdf_2"], pmm["bin_edges_2"])
+    return jnp.where(mask, jnp.nan, out)
+
+
+def shift_scale(R, f, rain_fraction_trg, second_moment_trg, **kwargs):
+    """Two-moment matching: find (shift, scale) so that the transformed
+    field matches a target rain fraction and second moment
+    (reference: probmatching.py:193, which solves with scipy root finding).
+
+    Here: the shift is fixed directly by the target rain-fraction quantile
+    (exact), and the scale is found by bisection on the second moment —
+    both device-friendly.
+    """
+    R = jnp.asarray(R)
+    rr = jnp.sort(R.ravel())
+    # shift so that the target fraction of pixels exceeds zero
+    shift = jnp.quantile(rr, 1.0 - rain_fraction_trg)
+
+    def second_moment(scale):
+        x = (R - shift) * scale
+        vals = jnp.where(x > 0, 10.0 ** (x / 10.0) if f == "dB" else x, 0.0)
+        return jnp.mean(vals**2)
+
+    lo, hi = 1e-3, 1e3
+    for _ in range(60):
+        mid = jnp.sqrt(lo * hi)
+        lo, hi = jax.lax.cond(
+            second_moment(mid) < second_moment_trg,
+            lambda: (mid, hi),
+            lambda: (lo, mid),
+        )
+    scale = jnp.sqrt(lo * hi)
+    return float(shift), float(scale), (R - shift) * scale
+
+
+def resample_distributions(first_array, second_array, probability_first_array, randgen=None, key=None):
+    """Binomially mix the sorted samples of two distributions — used by
+    STEPS blending to resample radar vs NWP intensity distributions
+    (reference: probmatching.py:277)."""
+    if first_array.shape != second_array.shape:
+        raise ValueError("first_array and second_array must have the same shape")
+    a = jnp.asarray(first_array).ravel()
+    b = jnp.asarray(second_array).ravel()
+    # NaN handling: fill from the other array, then min
+    a = jnp.where(jnp.isnan(a), jnp.nanmin(jnp.stack([a, b])), a)
+    b = jnp.where(jnp.isnan(b), jnp.nanmin(jnp.stack([a, b])), b)
+    asort = jnp.sort(a)[::-1]
+    bsort = jnp.sort(b)[::-1]
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    pick = jax.random.bernoulli(key, probability_first_array, asort.shape)
+    return jnp.where(pick, asort, bsort)

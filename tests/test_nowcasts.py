@@ -1,0 +1,146 @@
+"""Skill-threshold tests for the nowcast models on synthetic sequences,
+mirroring the reference's statistical test strategy
+(pysteps/tests/test_nowcasts_steps.py etc.) with synthetic truth."""
+
+import numpy as np
+import pytest
+
+from pysteps_tpu import nowcasts
+from pysteps_tpu.utils import transformation
+from pysteps_tpu.verification import detcatscores, probscores
+
+VELOCITY = (2.0, 1.0)
+
+
+@pytest.fixture(scope="module")
+def sequence_db():
+    from helpers import make_synthetic_sequence
+
+    frames = make_synthetic_sequence(n_frames=9, velocity=VELOCITY)
+    db, meta = transformation.dB_transform(frames, {"transform": None, "unit": "mm/h", "threshold": 0.1})
+    return np.asarray(db), meta
+
+
+@pytest.fixture(scope="module")
+def velocity_field():
+    v = np.zeros((2, 256, 256), np.float32)
+    v[0] = VELOCITY[0]
+    v[1] = VELOCITY[1]
+    return v
+
+
+def test_extrapolation_nowcast_csi(sequence_db, velocity_field):
+    db, meta = sequence_db
+    fc = nowcasts.get_method("extrapolation")(db[2], velocity_field, 3)
+    fc = np.asarray(fc)
+    assert fc.shape == (3, 256, 256)
+    score = detcatscores.det_cat_fct(fc[-1], db[5], meta["threshold"], "CSI")
+    assert score > 0.95  # exact motion -> near-perfect forecast
+
+
+def test_sprog_csi(sequence_db, velocity_field):
+    db, meta = sequence_db
+    fc = nowcasts.get_method("sprog")(
+        db[:3], velocity_field, 3,
+        precip_thr=meta["threshold"], n_cascade_levels=6,
+    )
+    fc = np.asarray(fc)
+    assert fc.shape == (3, 256, 256)
+    score = detcatscores.det_cat_fct(fc[-1], db[5], meta["threshold"], "CSI")
+    assert score > 0.6
+
+
+@pytest.mark.parametrize(
+    "mask_method,probmatching,noise_stddev_adj,vel_pert",
+    [
+        ("incremental", "cdf", None, None),
+        ("incremental", "cdf", "auto", "bps"),
+        ("obs", "mean", "fixed", None),
+        ("sprog", None, None, None),
+        (None, None, None, None),
+    ],
+)
+def test_steps_crps(
+    sequence_db, velocity_field, mask_method, probmatching,
+    noise_stddev_adj, vel_pert,
+):
+    db, meta = sequence_db
+    fc = nowcasts.get_method("steps")(
+        db[:3], velocity_field, 3,
+        n_ens_members=5,
+        n_cascade_levels=6,
+        precip_thr=meta["threshold"],
+        kmperpixel=1.0,
+        timestep=5,
+        mask_method=mask_method,
+        probmatching_method=probmatching,
+        noise_stddev_adj=noise_stddev_adj,
+        vel_pert_method=vel_pert,
+        seed=42,
+    )
+    fc = np.asarray(fc)
+    assert fc.shape == (5, 3, 256, 256)
+    assert np.all(np.isfinite(fc))
+    crps = probscores.CRPS(fc[:, -1], db[5])
+    # synthetic sequence with exact motion: CRPS well below the dB-space
+    # spread of the field (reference CI bound analog)
+    assert crps < 2.0, f"CRPS {crps} too high"
+
+
+def test_steps_norain(velocity_field):
+    zeros = np.zeros((3, 256, 256), np.float32)
+    fc = nowcasts.get_method("steps")(
+        zeros, velocity_field, 3,
+        n_ens_members=2, n_cascade_levels=6,
+        precip_thr=0.1, kmperpixel=1.0, timestep=5, seed=42,
+    )
+    fc = np.asarray(fc)
+    assert fc.shape == (2, 3, 256, 256)
+    assert np.all(fc == 0.0)
+
+
+def test_steps_members_differ(sequence_db, velocity_field):
+    db, meta = sequence_db
+    fc = np.asarray(
+        nowcasts.get_method("steps")(
+            db[:3], velocity_field, 2,
+            n_ens_members=3, n_cascade_levels=6,
+            precip_thr=meta["threshold"], kmperpixel=1.0, timestep=5, seed=7,
+        )
+    )
+    assert np.nanmax(np.abs(fc[0] - fc[1])) > 0.1
+
+
+def test_steps_reproducible(sequence_db, velocity_field):
+    db, meta = sequence_db
+    kwargs = dict(
+        n_ens_members=2, n_cascade_levels=6, precip_thr=meta["threshold"],
+        kmperpixel=1.0, timestep=5, seed=123,
+    )
+    fc1 = np.asarray(nowcasts.get_method("steps")(db[:3], velocity_field, 2, **kwargs))
+    fc2 = np.asarray(nowcasts.get_method("steps")(db[:3], velocity_field, 2, **kwargs))
+    np.testing.assert_allclose(fc1, fc2, atol=1e-5)
+
+
+def test_lagrangian_probability(sequence_db, velocity_field):
+    db, meta = sequence_db
+    P = np.asarray(
+        nowcasts.get_method("lagrangian_probability")(
+            db[2], velocity_field, 3, threshold=meta["threshold"]
+        )
+    )
+    assert P.shape == (3, 256, 256)
+    valid = np.isfinite(P)
+    assert np.all((P[valid] >= 0) & (P[valid] <= 1))
+
+
+def test_steps_list_timesteps(sequence_db, velocity_field):
+    db, meta = sequence_db
+    fc = np.asarray(
+        nowcasts.get_method("steps")(
+            db[:3], velocity_field, [3],
+            n_ens_members=2, n_cascade_levels=6,
+            precip_thr=meta["threshold"], kmperpixel=1.0, timestep=5, seed=42,
+        )
+    )
+    assert fc.shape == (2, 1, 256, 256)
