@@ -1,0 +1,106 @@
+"""
+Dense Lucas-Kanade optical flow (reference:
+pysteps/motion/lucaskanade.py:38-279).
+
+Pipeline (all OpenCV stages re-implemented natively):
+morphological declutter -> Shi-Tomasi corners (feature/shitomasi.py) ->
+pyramidal LK tracking (tracking/lucaskanade.py) -> outlier removal ->
+declustering -> IDW/RBF interpolation to a dense (2, m, n) field.
+"""
+
+import time
+
+import jax.numpy as jnp
+import numpy as np
+
+from pysteps_tpu.feature import shitomasi
+from pysteps_tpu.tracking.lucaskanade import track_features
+from pysteps_tpu.utils import cleansing, images, interpolate
+
+
+def dense_lucaskanade(input_images, lk_kwargs=None, fd_method="shitomasi",
+                      fd_kwargs=None, interp_method="idwinterp2d",
+                      interp_kwargs=None, dense=True, nr_std_outlier=3,
+                      k_outlier=30, size_opening=3, decl_scale=20,
+                      verbose=False, **kwargs):
+    """Dense LK flow with the reference's signature
+    (reference: motion/lucaskanade.py:38).  Returns (2, m, n), or (xy, uv)
+    if dense=False.
+    """
+    input_images = np.asarray(input_images, dtype=np.float32)
+    if input_images.ndim != 3 or input_images.shape[0] < 2:
+        raise ValueError("input_images must be (T>=2, m, n)")
+    lk_kwargs = lk_kwargs or {}
+    fd_kwargs = fd_kwargs or {}
+    interp_kwargs = dict(interp_kwargs or {})
+
+    if verbose:
+        print("Computing the motion field with the Lucas-Kanade method.")
+        t0 = time.time()
+
+    nr_fields = input_images.shape[0]
+    domain_size = input_images.shape[1:]
+    xy_all, uv_all = [], []
+    for i in range(nr_fields - 1):
+        prvs = input_images[i].copy()
+        nxt = input_images[i + 1].copy()
+        minval = np.nanmin(prvs) if np.any(np.isfinite(prvs)) else 0.0
+        prvs_f = np.where(np.isfinite(prvs), prvs, minval)
+        nxt_f = np.where(np.isfinite(nxt), nxt, np.nanmin(nxt) if np.any(np.isfinite(nxt)) else 0.0)
+
+        # remove small-scale clutter
+        if size_opening is not None and size_opening > 0:
+            prvs_f = np.asarray(images.morph_opening(prvs_f, minval, size_opening))
+            nxt_f = np.asarray(
+                images.morph_opening(nxt_f, float(np.min(nxt_f)), size_opening)
+            )
+
+        # corners on the previous frame
+        mask_img = np.where(np.isfinite(prvs), prvs, np.nan)
+        points = shitomasi.detection(mask_img, **fd_kwargs)
+        if points.shape[0] == 0:
+            continue
+
+        xy, uv = track_features(prvs_f, nxt_f, points, **lk_kwargs)
+        if xy.shape[0] > 0:
+            xy_all.append(xy)
+            uv_all.append(uv)
+
+    if not xy_all:
+        if dense:
+            return np.zeros((2,) + domain_size, dtype=np.float32)
+        return np.zeros((0, 2)), np.zeros((0, 2))
+
+    xy = np.concatenate(xy_all)
+    uv = np.concatenate(uv_all)
+
+    # outlier removal (reference: utils/cleansing.py:124)
+    if nr_std_outlier is not None and xy.shape[0] > 2:
+        outliers = cleansing.detect_outliers(
+            uv, nr_std_outlier, coord=xy, k=k_outlier, verbose=verbose
+        )
+        xy, uv = xy[~outliers], uv[~outliers]
+
+    if not dense:
+        return xy, uv
+
+    # declustering (reference: utils/cleansing.py:21)
+    if decl_scale is not None and decl_scale > 1 and xy.shape[0] > 1:
+        xy, uv = cleansing.decluster(xy, uv, decl_scale, 1, verbose)
+
+    if xy.shape[0] == 0:
+        return np.zeros((2,) + domain_size, dtype=np.float32)
+
+    # densify
+    xgrid = np.arange(domain_size[1], dtype=np.float32)
+    ygrid = np.arange(domain_size[0], dtype=np.float32)
+    interp = (
+        interpolate.rbfinterp2d
+        if interp_method == "rbfinterp2d"
+        else interpolate.idwinterp2d
+    )
+    uvgrid = np.asarray(interp(xy, uv, xgrid, ygrid, **interp_kwargs))
+
+    if verbose:
+        print(f"--- total time: {time.time() - t0:.2f} seconds ---")
+    return uvgrid.astype(np.float32)

@@ -1,0 +1,181 @@
+"""
+Proesmans anisotropic-diffusion optical flow
+(reference: pysteps/motion/proesmans.py:22-110 +
+pysteps/motion/_proesmans.pyx; Proesmans et al. 1994).
+
+TPU-native: the per-pixel Gauss-Seidel sweeps of the Cython kernel become
+vectorized Jacobi iterations under a ``lax.scan`` — the
+consistency-weighted Laplacian is two 3x3 convolutions, the brightness
+update a fused gather + elementwise solve.  Coarse-to-fine over a Gaussian
+pyramid as in ``_construct_image_pyramid`` (_proesmans.pyx:66).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.ndimage import gaussian_filter
+
+from pysteps_tpu.ops.warp import bilinear_warp
+
+_INTENSITY_SCALE = 1.0 / 255.0
+
+
+def _sobel_gradients(img):
+    # note the reference kernel signs (_proesmans.pyx:250+): +1 on the left
+    kx = (
+        jnp.asarray([[1, 0, -1], [2, 0, -2], [1, 0, -1]], jnp.float32)
+        / 8.0
+        * _INTENSITY_SCALE
+    )
+    gx = jax.lax.conv_general_dilated(img[None, None], kx[None, None], (1, 1), "SAME")[0, 0]
+    gy = jax.lax.conv_general_dilated(img[None, None], kx.T[None, None], (1, 1), "SAME")[0, 0]
+    return -gx, -gy  # flip back to standard forward-difference sign
+
+
+_LAP_KERNEL = jnp.asarray(
+    [[1 / 12, 1 / 6, 1 / 12], [1 / 6, 0.0, 1 / 6], [1 / 12, 1 / 6, 1 / 12]],
+    jnp.float32,
+)
+
+
+def _conv3(field):
+    return jax.lax.conv_general_dilated(
+        field[None, None], _LAP_KERNEL[None, None], (1, 1), "SAME"
+    )[0, 0]
+
+
+def _consistency(V, m, n):
+    """Forward-backward consistency weights gamma
+    (reference: _proesmans.pyx _compute_consistency_maps)."""
+    yy, xx = jnp.meshgrid(
+        jnp.arange(m, dtype=jnp.float32), jnp.arange(n, dtype=jnp.float32),
+        indexing="ij",
+    )
+
+    def one(i):
+        Vf = V[i]
+        Vb = V[1 - i]
+        cx = xx + Vf[0]
+        cy = yy + Vf[1]
+        inside = (cx >= 0) & (cx < n) & (cy >= 0) & (cy < m)
+        ub = bilinear_warp(Vb[0], cy, cx, mode="nearest")
+        vb = bilinear_warp(Vb[1], cy, cx, mode="nearest")
+        c = jnp.sqrt((Vf[0] + ub) ** 2 + (Vf[1] + vb) ** 2)
+        c_valid = jnp.where(inside, c, 0.0)
+        K = 0.9 * jnp.sum(c_valid) / jnp.maximum(jnp.sum(inside), 1)
+        gamma = jnp.where(
+            K > 1e-8,
+            jnp.where(inside, 1.0 / (1.0 + (c / jnp.maximum(K, 1e-8)) ** 2), 1.0),
+            1.0,
+        )
+        return gamma
+
+    return jnp.stack([one(0), one(1)])
+
+
+@functools.partial(jax.jit, static_argnames=("num_iter",))
+def _proesmans_level(R, V0, lam, num_iter):
+    """Jacobi iterations of the coupled two-way flow at one pyramid level.
+
+    R: (2, m, n) image pair; V0: (2, 2, m, n) fwd/bwd flows (u, v)."""
+    m, n = R.shape[1:]
+    G = jnp.stack([jnp.stack(_sobel_gradients(R[0])), jnp.stack(_sobel_gradients(R[1]))])
+    yy, xx = jnp.meshgrid(
+        jnp.arange(m, dtype=jnp.float32), jnp.arange(n, dtype=jnp.float32),
+        indexing="ij",
+    )
+
+    def iteration(V, _):
+        GAMMA = _consistency(V, m, n)
+
+        def direction(j):
+            R1, R2 = R[j], R[1 - j]
+            gx, gy = G[j, 0], G[j, 1]
+            gamma = GAMMA[j]
+            Vj = V[j]
+            wsum = _conv3(gamma)
+            u_avg = jnp.where(
+                wsum > 1e-8, _conv3(gamma * Vj[0]) / jnp.maximum(wsum, 1e-8), 0.0
+            )
+            v_avg = jnp.where(
+                wsum > 1e-8, _conv3(gamma * Vj[1]) / jnp.maximum(wsum, 1e-8), 0.0
+            )
+            cx = xx + u_avg
+            cy = yy + v_avg
+            inside = (cx >= 0) & (cx < n - 1) & (cy >= 0) & (cy < m - 1)
+            It = (bilinear_warp(R2, cy, cx, mode="nearest") - R1) * _INTENSITY_SCALE
+            ic = lam * It / (1.0 + lam * (gx * gx + gy * gy))
+            u_next = jnp.where(inside, u_avg - gx * ic, u_avg)
+            v_next = jnp.where(inside, v_avg - gy * ic, v_avg)
+            # preserve boundary pixels (reference updates interior only)
+            interior = (
+                (yy >= 1) & (yy <= m - 2) & (xx >= 1) & (xx <= n - 2)
+            )
+            u_next = jnp.where(interior, u_next, u_avg)
+            v_next = jnp.where(interior, v_next, v_avg)
+            return jnp.stack([u_next, v_next])
+
+        V = jnp.stack([direction(0), direction(1)])
+        return V, None
+
+    V, _ = jax.lax.scan(iteration, V0, None, length=num_iter)
+    return V
+
+
+def proesmans(
+    input_images,
+    lam=50.0,
+    num_iter=100,
+    num_levels=6,
+    filter_std=0.0,
+    verbose=True,
+    full_output=False,
+    **kwargs,
+):
+    """Proesmans dense flow (reference: motion/proesmans.py:22).
+
+    Returns (2, m, n) forward advection field; with full_output=True,
+    (V (2,2,m,n), consistency maps)."""
+    input_images = np.asarray(input_images, dtype=np.float32)
+    if input_images.ndim != 3 or input_images.shape[0] != 2:
+        raise ValueError("input_images must have shape (2, m, n)")
+    im1, im2 = input_images[-2], input_images[-1]
+    if filter_std > 0.0:
+        im1 = gaussian_filter(im1, filter_std, mode="mirror")
+        im2 = gaussian_filter(im2, filter_std, mode="mirror")
+
+    # rescale to [0, 255] as the reference's ubyte conversion
+    lo = min(np.nanmin(im1), np.nanmin(im2))
+    hi = max(np.nanmax(im1), np.nanmax(im2))
+    scale = 255.0 / max(hi - lo, 1e-9)
+    im1 = np.nan_to_num((im1 - lo) * scale, nan=0.0)
+    im2 = np.nan_to_num((im2 - lo) * scale, nan=0.0)
+
+    # Gaussian pyramid
+    pyr = [(im1, im2)]
+    for _ in range(num_levels - 1):
+        a, b = pyr[-1]
+        if min(a.shape) < 16:
+            break
+        a = gaussian_filter(a, 1.0, mode="mirror")[::2, ::2]
+        b = gaussian_filter(b, 1.0, mode="mirror")[::2, ::2]
+        pyr.append((a, b))
+
+    V = jnp.zeros((2, 2) + pyr[-1][0].shape, jnp.float32)
+    for lvl in range(len(pyr) - 1, -1, -1):
+        a, b = pyr[lvl]
+        R = jnp.stack([jnp.asarray(a), jnp.asarray(b)])
+        V = _proesmans_level(R, V, jnp.float32(lam), int(num_iter))
+        if lvl > 0:
+            target_shape = pyr[lvl - 1][0].shape
+            V = (
+                jax.image.resize(V, (2, 2) + target_shape, method="bilinear")
+                * 2.0
+            )
+
+    if full_output:
+        gamma = _consistency(V, V.shape[2], V.shape[3])
+        return np.asarray(V), np.asarray(gamma)
+    return np.asarray(V[0])

@@ -1,0 +1,294 @@
+"""
+Variational Echo Tracking (reference: pysteps/motion/vet.py:303-648 +
+pysteps/motion/_vet.pyx; Laroche & Zawadzki 1995, Germann & Zawadzki 2002).
+
+TPU-native redesign: the Cython ``_warp``/``_cost_function`` OpenMP kernels
+become one jitted cost function — sector displacements are bilinearly
+interpolated from sector centres to pixels (broadcast math), the template
+is warped with the fused bilinear gather, and the smoothness penalty is a
+second-difference stencil.  The hand-written analytic gradient is replaced
+by ``jax.grad``; scipy CG drives the same coarse-to-fine scaling-guess
+loop, calling the jitted value-and-grad.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from scipy.ndimage import zoom
+
+from pysteps_tpu.ops.warp import bilinear_warp
+
+
+def get_padding(dimension_size, sectors):
+    """Padding so the dimension divides evenly into sectors
+    (reference: vet.py:60)."""
+    rem = dimension_size % sectors
+    if rem != 0:
+        pad = sectors - rem
+        before = pad // 2
+        return before, before if pad % 2 == 0 else before + 1
+    return 0, 0
+
+
+def _sector_centers(size, n_sectors):
+    coords = np.arange(size, dtype=np.float64)
+    return coords.reshape(n_sectors, size // n_sectors).mean(axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("sectors",))
+def _sector_to_pixels(sector_displacement, sectors, image_shape_arrays):
+    """Bilinearly interpolate per-sector displacements (2, si, sj) to the
+    full pixel grid, extrapolating linearly at the edges — matching the
+    interpolation-coefficient construction in _vet.pyx:330+."""
+    xs_centers, ys_centers, xi, yj = image_shape_arrays
+    si, sj = sectors
+    # index of the lower sector centre for each pixel, clamped to [0, s-2]
+    def axis_interp(coords, centers):
+        n_sec = centers.shape[0]
+        if n_sec == 1:
+            return jnp.zeros_like(coords, dtype=jnp.int32), jnp.zeros_like(coords)
+        idx = jnp.clip(
+            jnp.searchsorted(centers, coords, side="right") - 1, 0, n_sec - 2
+        )
+        c0 = centers[idx]
+        c1 = centers[idx + 1]
+        t = (coords - c0) / (c1 - c0)
+        return idx, t
+
+    li, ti = axis_interp(xi, xs_centers)  # rows (axis 0)
+    mj, tj = axis_interp(yj, ys_centers)  # cols (axis 1)
+
+    def interp_one(field):  # field: (si, sj)
+        f00 = field[li[:, None], mj[None, :]]
+        f01 = field[li[:, None], (mj + 1).clip(max=sj - 1)[None, :]]
+        f10 = field[(li + 1).clip(max=si - 1)[:, None], mj[None, :]]
+        f11 = field[(li + 1).clip(max=si - 1)[:, None], (mj + 1).clip(max=sj - 1)[None, :]]
+        ti2 = ti[:, None]
+        tj2 = tj[None, :]
+        return (
+            f00 * (1 - ti2) * (1 - tj2)
+            + f01 * (1 - ti2) * tj2
+            + f10 * ti2 * (1 - tj2)
+            + f11 * ti2 * tj2
+        )
+
+    return jnp.stack(
+        [interp_one(sector_displacement[0]), interp_one(sector_displacement[1])]
+    )
+
+
+def _smoothness_penalty(d):
+    """Second-difference (thin-plate-like) penalty over the sector grid
+    (reference: _vet.pyx smoothness term of Laroche & Zawadzki 1995)."""
+    total = 0.0
+    for comp in (d[0], d[1]):
+        if comp.shape[0] > 2:
+            dxx = comp[2:, :] - 2 * comp[1:-1, :] + comp[:-2, :]
+            total += jnp.sum(dxx**2)
+        if comp.shape[1] > 2:
+            dyy = comp[:, 2:] - 2 * comp[:, 1:-1] + comp[:, :-2]
+            total += jnp.sum(dyy**2)
+        if comp.shape[0] > 1 and comp.shape[1] > 1:
+            dxy = (
+                comp[1:, 1:] - comp[1:, :-1] - comp[:-1, 1:] + comp[:-1, :-1]
+            )
+            total += 2.0 * jnp.sum(dxy**2)
+    return total
+
+
+def _make_cost(template, target, mask, smooth_gain, sectors, interp_arrays):
+    """Jitted cost + grad closure for one sector scale.
+
+    Pixel-space cost: masked SSD between the warped template and the
+    target (reference: _vet.pyx residuals) plus smooth_gain * smoothness.
+    Axis convention inside the solver follows the reference's "ij":
+    displacement[0] moves axis 0 (rows), displacement[1] axis 1 (cols).
+    """
+    m, n = template.shape
+    yy, xx = jnp.meshgrid(
+        jnp.arange(m, dtype=jnp.float32), jnp.arange(n, dtype=jnp.float32),
+        indexing="ij",
+    )
+
+    def cost(sector_disp_flat):
+        d = sector_disp_flat.reshape((2,) + tuple(sectors))
+        disp = _sector_to_pixels(d, tuple(sectors), interp_arrays)
+        # morph convention: displacement refers to the destination, the
+        # warped image samples at x - d (reference: _vet.pyx::_warp)
+        cy = yy - disp[0]
+        cx = xx - disp[1]
+        warped = bilinear_warp(template, cy, cx, mode="nearest")
+        resid = jnp.where(mask, 0.0, (warped - target) ** 2)
+        sector_area = (m // sectors[0]) * (n // sectors[1])
+        return jnp.sum(resid) + smooth_gain * _smoothness_penalty(d) * sector_area
+
+    return jax.jit(jax.value_and_grad(cost))
+
+
+def _global_shift(template, target):
+    """Global translation estimate via FFT cross-correlation — used to seed
+    the coarsest scaling guess so the local optimizer is not trapped by
+    fine-texture ripples.  Returns (di, dj) such that
+    target(x) ~ template(x - d)."""
+    t = template - np.mean(template)
+    g = target - np.mean(target)
+    xc = np.fft.irfft2(
+        np.fft.rfft2(g) * np.conj(np.fft.rfft2(t)), s=t.shape
+    )
+    idx = np.unravel_index(np.argmax(xc), xc.shape)
+    di = idx[0] if idx[0] <= t.shape[0] // 2 else idx[0] - t.shape[0]
+    dj = idx[1] if idx[1] <= t.shape[1] // 2 else idx[1] - t.shape[1]
+    return float(di), float(dj)
+
+
+def _minimize_adam(cost_fns, x0, n_steps=300, lr=0.2):
+    """Minimize the summed jitted costs with Adam (lax.scan on device)."""
+    opt = optax.adam(lr)
+
+    def total(x):
+        vals = [c(x) for c in cost_fns]
+        val = sum(v for v, _ in vals)
+        grad = sum(g for _, g in vals)
+        return val, grad
+
+    @jax.jit
+    def run(x0):
+        state0 = opt.init(x0)
+
+        def step(carry, _):
+            x, state = carry
+            val, grad = total(x)
+            updates, state = opt.update(grad, state, x)
+            x = optax.apply_updates(x, updates)
+            return (x, state), val
+
+        (x, _), vals = jax.lax.scan(step, (x0, state0), None, length=n_steps)
+        return x, vals[-1]
+
+    x, final_cost = run(x0)
+    return x, float(final_cost)
+
+
+def vet(
+    input_images,
+    sectors=((32, 16, 4, 2), (32, 16, 4, 2)),
+    smooth_gain=1e6,
+    first_guess=None,
+    intermediate_steps=False,
+    verbose=True,
+    indexing="yx",
+    padding=0,
+    options=None,
+    **kwargs,
+):
+    """VET dense displacement field (reference: motion/vet.py:303).
+
+    Returns (2, m, n) displacement in pixels/timestep (xy indexing by
+    default, matching the reference's output convention).
+    """
+    input_images = np.asarray(input_images, dtype=np.float64)
+    if input_images.ndim != 3 or input_images.shape[0] not in (2, 3):
+        raise ValueError("input_images must have shape (2 or 3, m, n)")
+    options = dict(options or {})
+    maxiter = options.pop("maxiter", 100)
+    gtol = options.pop("gtol", 0.1)
+
+    mask = ~np.isfinite(input_images)
+    fill = np.nanmin(input_images)
+    imgs = np.where(mask, fill, input_images)
+    mask_any = np.any(mask, axis=0)
+
+    if padding > 0:
+        imgs = np.pad(imgs, ((0, 0), (padding, padding), (padding, padding)), "edge")
+        mask_any = np.pad(mask_any, ((padding, padding), (padding, padding)), "edge")
+
+    if isinstance(sectors, (tuple, list)) and np.ndim(sectors[0]) > 0:
+        sectors_i = np.sort(np.asarray(sectors[0]))  # coarse -> fine
+        sectors_j = np.sort(np.asarray(sectors[1]))
+    else:
+        sectors_i = np.sort(np.asarray(sectors))
+        sectors_j = sectors_i
+
+    pairs = list(zip(sectors_i, sectors_j))
+    if first_guess is None:
+        guess = np.zeros((2, int(pairs[0][0]), int(pairs[0][1])))
+        di, dj = _global_shift(imgs[0], imgs[1])
+        guess[0] += di
+        guess[1] += dj
+    else:
+        guess = np.asarray(first_guess, dtype=np.float64)
+    scaling_guesses = []
+    prev = pairs[0]
+
+    for n_scale, (si, sj) in enumerate(pairs):
+        # pad image so sectors divide evenly
+        pad_i = get_padding(imgs.shape[1], si)
+        pad_j = get_padding(imgs.shape[2], sj)
+        if (pad_i, pad_j) != ((0, 0), (0, 0)):
+            _imgs = np.pad(imgs, ((0, 0), pad_i, pad_j), "edge")
+            _mask = np.pad(mask_any, (pad_i, pad_j), "edge")
+        else:
+            _imgs, _mask = imgs, mask_any
+
+        if n_scale > 0:
+            guess = zoom(
+                guess, (1, si / prev[0], sj / prev[1]), order=1, mode="nearest"
+            )
+
+        m, n = _imgs.shape[1:]
+        xs_centers = jnp.asarray(_sector_centers(m, si), jnp.float32)
+        ys_centers = jnp.asarray(_sector_centers(n, sj), jnp.float32)
+        interp_arrays = (
+            xs_centers,
+            ys_centers,
+            jnp.arange(m, dtype=jnp.float32),
+            jnp.arange(n, dtype=jnp.float32),
+        )
+        pairs_cost = []
+        for a, b in zip(range(_imgs.shape[0] - 1), range(1, _imgs.shape[0])):
+            pairs_cost.append(
+                _make_cost(
+                    jnp.asarray(_imgs[a], jnp.float32),
+                    jnp.asarray(_imgs[b], jnp.float32),
+                    jnp.asarray(_mask),
+                    smooth_gain,
+                    (int(si), int(sj)),
+                    interp_arrays,
+                )
+            )
+
+        # on-device Adam minimization of the jitted cost (the reference uses
+        # scipy CG on the Cython cost+gradient; float32 device math breaks
+        # scipy's Wolfe line searches, and a fixed-step first-order loop
+        # stays entirely on the accelerator)
+        x, final_cost = _minimize_adam(
+            pairs_cost, jnp.asarray(guess.ravel(), jnp.float32),
+            n_steps=max(3 * maxiter, 300), lr=0.2,
+        )
+        guess = np.asarray(x, np.float64).reshape(guess.shape)
+        if verbose:
+            print(f"VET scale {si}x{sj}: cost={final_cost:.4g}")
+        scaling_guesses.append(guess[::-1] if indexing == "yx" else guess)
+        prev = (si, sj)
+
+    # upsample sector displacement to the full grid
+    m, n = imgs.shape[1:]
+    # account for the final scale's sector padding when zooming up
+    pad_i = get_padding(m, prev[0])
+    pad_j = get_padding(n, prev[1])
+    mi = m + pad_i[0] + pad_i[1]
+    nj = n + pad_j[0] + pad_j[1]
+    dense = zoom(
+        guess, (1, mi / prev[0], nj / prev[1]), order=1, mode="nearest"
+    )
+    dense = dense[:, pad_i[0] : mi - pad_i[1], pad_j[0] : nj - pad_j[1]]
+    if indexing == "yx":
+        dense = dense[::-1]
+    if padding > 0:
+        dense = dense[:, padding:-padding, padding:-padding]
+    if intermediate_steps:
+        return dense, scaling_guesses
+    return dense
