@@ -15,6 +15,10 @@ import time
 
 import numpy as np
 
+from pysteps_tpu.compilation_cache import enable as _enable_cache
+
+_enable_cache()
+
 
 def make_sequence(n_frames=3, shape=(512, 512), velocity=(2.0, 1.0), seed=42):
     sys.path.insert(0, "tests")

@@ -1,0 +1,334 @@
+"""
+SSEPS: short-space ensemble prediction system — localized STEPS
+(reference: pysteps/nowcasts/sseps.py:40-1036; Nerini et al. 2017).
+
+TPU-native redesign: the reference estimates noise/cascade/AR parameters
+globally and again per overlapping window, falling back to global values
+for dry windows (war <= war_thr), then re-blends per-window parameters at
+every update step.  Here the per-window parameters are blended **once** at
+init into per-pixel parameter maps using the windows' tapered masks as the
+blending weights (the masks ARE the reference's blending weights), so the
+inner loop is a fused localized AR update — same structure as the
+localized ARI in ANVIL — plus SSFT noise, masking, CDF matching and
+incremental advection, all inside one lax.scan.
+"""
+
+import dataclasses
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pysteps_tpu import cascade, noise
+from pysteps_tpu.cascade.decomposition import decompose_core
+from pysteps_tpu.extrapolation.semilagrangian import integrate_displacement
+from pysteps_tpu.noise.fftgenerators import (
+    _generate_ssft_noise,
+    _get_mask,
+    _ssft_gen_masks,
+    initialize_nonparam_2d_ssft_filter,
+)
+from pysteps_tpu.nowcasts import utils as nowcast_utils
+from pysteps_tpu.nowcasts.steps import _lagrangian_alignment
+from pysteps_tpu.ops.warp import warp
+from pysteps_tpu.postprocessing.probmatching import _match_cdf_core
+from pysteps_tpu.timeseries import autoregression, correlation
+from pysteps_tpu.utils.check_norain import check_norain
+
+
+@functools.partial(jax.jit, static_argnames=("ar_order",))
+def _window_params(cascades, weights, war, war_thr, g_gamma, ar_order):
+    """Per-window gamma from tapered-window-weighted correlations, falling
+    back to the global gamma for dry windows (reference: sseps.py:531)."""
+    # cascades: (k, p+1, m, n); weights: (m, n) tapered window mask
+    k_levels = cascades.shape[0]
+
+    def level_gamma(xs):
+        g = []
+        for lag in range(ar_order):
+            a, b = xs[-1], xs[-(lag + 2)]
+            wsum = jnp.maximum(jnp.sum(weights), 1e-6)
+            ma = jnp.sum(a * weights) / wsum
+            mb = jnp.sum(b * weights) / wsum
+            va = jnp.sum((a - ma) ** 2 * weights)
+            vb = jnp.sum((b - mb) ** 2 * weights)
+            cov = jnp.sum((a - ma) * (b - mb) * weights)
+            g.append(cov / jnp.sqrt(jnp.maximum(va * vb, 1e-30)))
+        return jnp.stack(g)
+
+    gamma = jax.vmap(level_gamma)(cascades)  # (k, ar_order)
+    gamma = jnp.where(war > war_thr, gamma, g_gamma)
+    if ar_order == 2:
+        g2 = autoregression.adjust_lag2_corrcoef2(gamma[:, 0], gamma[:, 1])
+        gamma = jnp.stack([gamma[:, 0], g2], axis=1)
+    phi = autoregression.estimate_ar_params_yw(gamma, check_stationarity=False)
+
+    # window statistics of the most recent field's cascade levels
+    wsum = jnp.maximum(jnp.sum(weights), 1e-6)
+    mu = jnp.sum(cascades[:, -1] * weights, axis=(-2, -1)) / wsum
+    var = (
+        jnp.sum((cascades[:, -1] - mu[:, None, None]) ** 2 * weights, axis=(-2, -1))
+        / wsum
+    )
+    sigma = jnp.sqrt(var)
+    return gamma, phi, mu, sigma
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("int_steps", "mask_method", "probmatching", "mask_rim", "struct_radius", "E"),
+)
+def _sseps_scan(
+    window, mask_prec_init, member_keys, velocity, phi_map, mu_map, sigma_map,
+    ssft_filt, ssft_masks, weights_2d, precip_last, precip_min, precip_thr,
+    domain_mask, int_steps, mask_method, probmatching, mask_rim,
+    struct_radius, E,
+):
+    k_levels, p, m, n = window.shape
+    cascades0 = jnp.broadcast_to(window, (E,) + window.shape)
+    mask_prec0 = jnp.broadcast_to(mask_prec_init, (E, m, n))
+    displacement0 = jnp.zeros((E, 2, m, n), jnp.float32)
+
+    def step(carry, _):
+        cascades, mask_prec, keys, displacement = carry
+
+        def member(key, casc_j, mask_j, disp_j):
+            key, k_noise = jax.random.split(key)
+            eps = _generate_ssft_noise(k_noise, ssft_filt, ssft_masks, (m, n))
+            eps_levels, _, _ = decompose_core(eps, weights_2d, normalize=True)
+            # localized AR update with per-pixel parameters + innovation
+            coeffs = phi_map[:, :p][:, ::-1]
+            x_new = jnp.sum(casc_j * coeffs, axis=1) + phi_map[:, -1] * eps_levels
+            casc_j = jnp.concatenate([casc_j[:, 1:], x_new[:, None]], axis=1)
+            # localized recomposition
+            field = jnp.sum(casc_j[:, -1] * sigma_map + mu_map, axis=0)
+
+            fmin = jnp.min(field)
+            if mask_method == "incremental":
+                field = fmin + (field - fmin) * mask_j
+                field = jnp.where(field > fmin, field, fmin)
+            elif mask_method == "obs":
+                field = jnp.where(mask_j > 0, field, fmin)
+
+            if probmatching == "cdf":
+                field = _match_cdf_core(field, precip_last)
+
+            if mask_method == "incremental":
+                mask_j = nowcast_utils.compute_dilated_mask(
+                    field >= precip_thr, struct_radius, mask_rim
+                )
+
+            disp_j = integrate_displacement(velocity, disp_j, 1.0)
+            out = warp(field, disp_j, order=1, cval=precip_min)
+            out = jnp.where(domain_mask, jnp.nan, out)
+            return key, casc_j, mask_j, disp_j, out
+
+        keys, cascades, mask_prec, displacement, outs = jax.vmap(member)(
+            keys, cascades, mask_prec, displacement
+        )
+        return (cascades, mask_prec, keys, displacement), outs
+
+    carry0 = (cascades0, mask_prec0, member_keys, displacement0)
+    _, outputs = jax.lax.scan(step, carry0, None, length=int_steps)
+    return jnp.swapaxes(outputs, 0, 1)
+
+
+def forecast(
+    precip,
+    metadata,
+    velocity,
+    timesteps,
+    n_ens_members=24,
+    n_cascade_levels=6,
+    win_size=256,
+    overlap=0.1,
+    war_thr=0.1,
+    extrap_method="semilagrangian",
+    decomp_method="fft",
+    bandpass_filter_method="gaussian",
+    noise_method="ssft",
+    ar_order=2,
+    vel_pert_method=None,
+    probmatching_method="cdf",
+    mask_method="incremental",
+    callback=None,
+    fft_method="numpy",
+    return_output=True,
+    seed=None,
+    num_workers=1,
+    extrap_kwargs=None,
+    filter_kwargs=None,
+    noise_kwargs=None,
+    vel_pert_kwargs=None,
+    mask_kwargs=None,
+    measure_time=False,
+):
+    """SSEPS forecast with the reference's signature
+    (reference: sseps.py:40).  Returns (n_ens_members, T, m, n)."""
+    t0 = time.time()
+    precip = np.asarray(precip, np.float32)
+    extrap_kwargs = dict(extrap_kwargs or {})
+    noise_kwargs = dict(noise_kwargs or {})
+    mask_kwargs = dict(mask_kwargs or {})
+    filter_kwargs = filter_kwargs or {}
+    if isinstance(win_size, int):
+        win_size = (win_size, win_size)
+
+    precip_thr = metadata["threshold"]
+    timestep = metadata["accutime"]
+    kmperpixel = metadata["xpixelsize"] / 1000
+
+    if check_norain(precip, precip_thr, 0.0, None, printmsg=True):
+        return nowcast_utils.zero_precipitation_forecast(
+            n_ens_members, timesteps, precip, callback, return_output,
+            measure_time, t0,
+        )
+
+    precip = precip[-(ar_order + 1) :]
+    m, n = precip.shape[1:]
+    domain_mask = ~np.isfinite(precip[-1])
+    precip_min = float(np.nanmin(precip))
+    precip = np.where(np.isfinite(precip), precip, precip_min)
+
+    velocity_j = jnp.asarray(velocity, jnp.float32)
+    precip_j = jnp.asarray(precip)
+
+    # align input fields
+    precip_aligned = _lagrangian_alignment(
+        precip_j, velocity_j,
+        n_iter=extrap_kwargs.get("n_iter", 1),
+        interp_order=extrap_kwargs.get("interp_order", 1),
+    )
+
+    # bandpass filter + global decomposition
+    bp_filter = cascade.get_method(bandpass_filter_method)(
+        (m, n), n_cascade_levels, **filter_kwargs
+    )
+    weights_2d = bp_filter["weights_2d"].astype(jnp.float32)
+    dec = jax.jit(
+        lambda f: decompose_core(f, weights_2d, normalize=False)
+    )
+    levels_list = [dec(precip_aligned[i])[0] for i in range(precip.shape[0])]
+    cascades = jnp.stack(levels_list, axis=1)  # (k, p+1, m, n)
+
+    # global AR parameters as the dry-window fallback
+    g_gamma = jnp.stack(
+        [
+            jnp.stack(
+                correlation.temporal_autocorrelation(cascades[i])
+            )
+            for i in range(n_cascade_levels)
+        ]
+    )
+
+    # window grid and tapered masks (reused for parameter blending)
+    num_w_y = int(np.ceil(m / win_size[0]))
+    num_w_x = int(np.ceil(n / win_size[1]))
+    masks = _ssft_gen_masks((num_w_y, num_w_x), (m, n), overlap, "tukey")
+    masks_j = jnp.asarray(masks, jnp.float32)
+    mask_norm = jnp.maximum(jnp.sum(masks_j, axis=(0, 1)), 1e-6)
+
+    # per-window parameters blended into per-pixel maps
+    phi_maps = jnp.zeros((n_cascade_levels, ar_order + 1, m, n))
+    mu_maps = jnp.zeros((n_cascade_levels, m, n))
+    sigma_maps = jnp.zeros((n_cascade_levels, m, n))
+    wet = np.asarray(precip[-1] >= precip_thr, dtype=np.float64)
+    for i in range(num_w_y):
+        for j in range(num_w_x):
+            w_ij = masks_j[i, j]
+            war = float(
+                np.sum(wet * np.asarray(w_ij > 0)) / max(np.sum(np.asarray(w_ij) > 0), 1)
+            )
+            gamma_w, phi_w, mu_w, sigma_w = _window_params(
+                cascades, w_ij, jnp.float32(war), jnp.float32(war_thr),
+                g_gamma, ar_order,
+            )
+            blend = (w_ij / mask_norm)[None]
+            phi_maps = phi_maps + phi_w[:, :, None, None] * blend[None]
+            mu_maps = mu_maps + mu_w[:, None, None] * blend
+            sigma_maps = sigma_maps + sigma_w[:, None, None] * blend
+
+    # normalize initial cascades per pixel with the blended stats
+    window = (cascades[:, -ar_order:] - mu_maps[:, None]) / jnp.maximum(
+        sigma_maps[:, None], 1e-8
+    )
+
+    # SSFT noise filter on the aligned inputs
+    noise_kwargs.setdefault("win_size", win_size)
+    noise_kwargs.setdefault("overlap", overlap)
+    noise_kwargs.setdefault("war_thr", war_thr)
+    ssft_filter = initialize_nonparam_2d_ssft_filter(
+        np.asarray(precip_aligned), **noise_kwargs
+    )
+    gen_masks = jnp.asarray(
+        _ssft_gen_masks(
+            ssft_filter["field"].shape, (m, n), 0.2, ssft_filter.get("win_fun", "tukey")
+        ),
+        jnp.float32,
+    )
+
+    # masks
+    mask_rim = int(mask_kwargs.get("mask_rim", 10))
+    mask_f = mask_kwargs.get("mask_f", 1.0)
+    n_struct = mask_f * timestep / kmperpixel if kmperpixel else 3.0
+    struct_radius = max(int((n_struct - 1) / 2.0), 1)
+    if mask_method == "incremental":
+        mask_prec_init = nowcast_utils.compute_dilated_mask(
+            jnp.asarray(precip[-1] >= precip_thr), struct_radius, mask_rim
+        ).astype(jnp.float32)
+    elif mask_method == "obs":
+        mask_prec_init = jnp.asarray(precip[-1] >= precip_thr, jnp.float32)
+    else:
+        mask_prec_init = jnp.ones((m, n), jnp.float32)
+
+    member_keys = jax.vmap(
+        lambda i: jax.random.fold_in(
+            jax.random.PRNGKey(seed if seed is not None else 42), i
+        )
+    )(jnp.arange(n_ens_members))
+
+    if isinstance(timesteps, int):
+        int_steps = timesteps
+        subsel = None
+    else:
+        subsel = list(timesteps)
+        int_steps = int(np.ceil(max(subsel)))
+
+    init_time = time.time() - t0
+    t1 = time.time()
+    out = _sseps_scan(
+        window.astype(jnp.float32), mask_prec_init, member_keys, velocity_j,
+        phi_maps.astype(jnp.float32), mu_maps.astype(jnp.float32),
+        sigma_maps.astype(jnp.float32),
+        ssft_filter["field"].astype(jnp.float32),
+        gen_masks, weights_2d, jnp.asarray(precip[-1]), jnp.float32(precip_min),
+        jnp.float32(precip_thr), jnp.asarray(domain_mask),
+        int_steps, mask_method, probmatching_method, mask_rim, struct_radius,
+        n_ens_members,
+    )
+    np.asarray(out)
+    loop_time = time.time() - t1
+
+    if subsel is not None:
+        frames = []
+        for t_sub in subsel:
+            if t_sub == int(t_sub):
+                frames.append(out[:, int(t_sub) - 1])
+            else:
+                t_int = int(np.ceil(t_sub))
+                lo = out[:, t_int - 2] if t_int >= 2 else out[:, 0]
+                hi = out[:, t_int - 1]
+                w = t_sub - (t_int - 1)
+                frames.append((1 - w) * lo + w * hi)
+        out = jnp.stack(frames, axis=1)
+
+    if callback is not None:
+        arr = np.asarray(out)
+        for t in range(arr.shape[1]):
+            callback(arr[:, t])
+    result = out if return_output else None
+    if measure_time:
+        return result, init_time, loop_time
+    return result

@@ -80,6 +80,7 @@ class StepsNowcasterConfig:
     return_output: bool = True
 
 
+@functools.partial(jax.jit, static_argnames=("n_iter", "interp_order"))
 def _lagrangian_alignment(precip, velocity, n_iter=1, interp_order=1):
     """Advect each of the first p input fields to the time of the last one
     (reference: steps.py:671 __perform_extrapolation; dask fan-out becomes
@@ -103,6 +104,7 @@ def _lagrangian_alignment(precip, velocity, n_iter=1, interp_order=1):
     return jnp.stack([advect_i(i) for i in range(p1)])
 
 
+@functools.partial(jax.jit, static_argnames=("ar_order", "conditional"))
 def _estimate_params(
     precip_aligned, weights_2d, mask_thr, ar_order, conditional
 ):
@@ -279,21 +281,52 @@ def _steps_forecast(precip, velocity, timesteps, cfg, domain_mask):
     base_key = jax.random.PRNGKey(cfg.seed if cfg.seed is not None else 42)
     key_noise_init, key_members, key_vel = jax.random.split(base_key, 3)
 
-    # conditional statistics mask
-    if cfg.conditional:
-        mask_thr = jnp.all(precip >= cfg.precip_threshold, axis=0)
-    else:
-        mask_thr = jnp.ones((m, n), dtype=bool)
-
-    # Lagrangian alignment of the p+1 input fields
     extrap_kwargs = dict(cfg.extrapolation_kwargs)
-    precip_aligned = _lagrangian_alignment(
-        precip, velocity,
-        n_iter=extrap_kwargs.get("n_iter", 1),
-        interp_order=extrap_kwargs.get("interp_order", 1),
+    n_iter = extrap_kwargs.get("n_iter", 1)
+    interp_order = extrap_kwargs.get("interp_order", 1)
+
+    vel_pert = cfg.velocity_perturbation_method is not None
+    if vel_pert:
+        vp_kwargs = dict(cfg.velocity_perturbation_kwargs)
+        p_par = tuple(float(v) for v in vp_kwargs.get("p_par", get_default_params_bps_par()))
+        p_perp = tuple(float(v) for v in vp_kwargs.get("p_perp", get_default_params_bps_perp()))
+        vsf = 60.0 / (cfg.timestep * (1.0 / cfg.kmperpixel))
+    else:
+        p_par = p_perp = None
+        vsf = 1.0
+
+    mask_rim = None
+    struct_radius = 1
+    if cfg.mask_method == "incremental":
+        mask_rim = int(cfg.mask_kwargs.get("mask_rim", 10))
+        mask_f = cfg.mask_kwargs.get("mask_f", 1.0)
+        # structuring element scaled by the per-step motion extent
+        # (reference: steps.py mask init, iterate_structure(struct, n))
+        if cfg.timestep is not None and cfg.kmperpixel is not None:
+            n_struct = mask_f * cfg.timestep / cfg.kmperpixel
+        else:
+            n_struct = 3.0
+        struct_radius = max(int((n_struct - 1) / 2.0), 1)
+
+    precip_thr_f = jnp.float32(
+        cfg.precip_threshold if cfg.precip_threshold is not None else 0.0
     )
 
-    # noise filter init (on the aligned input stack)
+    # one fused init program: Lagrangian alignment, cascade decomposition,
+    # AR estimation, masks, velocity-perturbation draws, member keys
+    (
+        precip_aligned, window, means_last, stds_last, phi, gamma,
+        war, mu_0, mask_prec_init, member_keys, eps_par, eps_perp,
+        V_n, V_perp, precip_min, precip_last,
+    ) = _steps_init(
+        precip, velocity, weights_2d, key_members, key_vel, precip_thr_f,
+        E=E, ar_order=p, conditional=cfg.conditional,
+        mask_method=cfg.mask_method, struct_radius=struct_radius,
+        mask_rim=mask_rim if mask_rim is not None else 0,
+        vel_pert=vel_pert, n_iter=n_iter, interp_order=interp_order,
+    )
+
+    # noise filter init (on the aligned input stack; one host transfer)
     use_full_fft = False
     noise_filt = None
     noise_std_coeffs = jnp.ones(k_levels, jnp.float32)
@@ -311,7 +344,7 @@ def _steps_forecast(precip, velocity, timesteps, cfg, domain_mask):
             noise_std_coeffs = noise.utils.compute_noise_stddev_adjs(
                 precip[-1],
                 cfg.precip_threshold,
-                float(jnp.min(precip)),
+                float(precip_min),
                 bp_filter,
                 None,
                 pert_gen,
@@ -326,74 +359,6 @@ def _steps_forecast(precip, velocity, timesteps, cfg, domain_mask):
                 jnp.float32,
             )
 
-    # decompose + AR parameters
-    cascades_full, means, stds, gamma, phi = _estimate_params(
-        precip_aligned, weights_2d, mask_thr, p, cfg.conditional
-    )
-    means_last, stds_last = means[-1], stds[-1]
-    # initial window: the p most recent normalized cascades, per member
-    window = cascades_full[:, -p:]  # (k, p, m, n)
-    cascades0 = jnp.broadcast_to(window, (E,) + window.shape)
-
-    # masks
-    precip_last = precip[-1]
-    war = None
-    mu_0 = None
-    mask_prec0 = jnp.ones((E, m, n), jnp.float32)
-    struct = None
-    mask_rim = None
-    if cfg.mask_method is not None or cfg.probmatching_method == "mean":
-        wet = precip_last >= cfg.precip_threshold
-        war = jnp.sum(wet & mask_thr) / jnp.sum(mask_thr)
-        mu_0 = jnp.sum(jnp.where(wet, precip_last, 0.0)) / jnp.maximum(
-            jnp.sum(wet), 1
-        )
-    if cfg.mask_method == "incremental":
-        mask_rim = cfg.mask_kwargs.get("mask_rim", 10)
-        mask_f = cfg.mask_kwargs.get("mask_f", 1.0)
-        # structuring element scaled by the per-step motion extent
-        # (reference: steps.py mask init, iterate_structure(struct, n))
-        if cfg.timestep is not None and cfg.kmperpixel is not None:
-            n_struct = mask_f * cfg.timestep / cfg.kmperpixel
-        else:
-            n_struct = 3.0
-        struct = jnp.asarray(
-            nowcast_utils.dilation_kernel(max(int((n_struct - 1) / 2.0), 1))
-        )
-        init_mask = nowcast_utils.compute_dilated_mask(
-            precip_last >= cfg.precip_threshold, struct, mask_rim
-        )
-        mask_prec0 = jnp.broadcast_to(init_mask, (E, m, n)).astype(jnp.float32)
-    elif cfg.mask_method == "obs":
-        mask_prec0 = jnp.broadcast_to(
-            (precip_last >= cfg.precip_threshold).astype(jnp.float32), (E, m, n)
-        )
-
-    # velocity perturbation parameters (per member Laplace draws)
-    vel_pert = cfg.velocity_perturbation_method is not None
-    if vel_pert:
-        vp_kwargs = dict(cfg.velocity_perturbation_kwargs)
-        p_par = tuple(vp_kwargs.get("p_par", get_default_params_bps_par()))
-        p_perp = tuple(vp_kwargs.get("p_perp", get_default_params_bps_perp()))
-        vsf = 60.0 / (cfg.timestep * (1.0 / cfg.kmperpixel))
-        vkeys = jax.random.split(key_vel, 2 * E)
-        eps_par = jax.vmap(_laplace)(vkeys[:E])
-        eps_perp = jax.vmap(_laplace)(vkeys[E:])
-        Nv = jnp.linalg.norm(velocity, axis=0)
-        V_n = jnp.where(Nv[None] > 1e-12, velocity / jnp.maximum(Nv[None], 1e-12), 0.0)
-        V_perp = jnp.stack([-V_n[1], V_n[0]])
-    else:
-        p_par = p_perp = None
-        vsf = eps_par = eps_perp = V_n = V_perp = None
-
-    member_keys = jax.vmap(lambda i: jax.random.fold_in(key_members, i))(
-        jnp.arange(E)
-    )
-
-    sprog_mask = cfg.mask_method == "sprog"
-    need_det = cfg.noise_method is None or sprog_mask
-    det_window0 = window if need_det else None
-
     cfg_static = dict(
         noise=cfg.noise_method is not None,
         mask_method=cfg.mask_method,
@@ -402,17 +367,19 @@ def _steps_forecast(precip, velocity, timesteps, cfg, domain_mask):
         vel_pert=vel_pert,
         timestep_min=float(cfg.timestep) if cfg.timestep else 1.0,
         mask_rim=mask_rim,
-        n_iter=extrap_kwargs.get("n_iter", 1),
-        interp_order=extrap_kwargs.get("interp_order", 1),
+        struct_radius=struct_radius,
+        n_iter=n_iter,
+        interp_order=interp_order,
+        need_det=cfg.noise_method is None or cfg.mask_method == "sprog",
+        E=E,
     )
 
     init_time = time.time() - t_init0
     t_loop0 = time.time()
 
     out = _steps_scan(
-        cascades0,
-        det_window0,
-        mask_prec0,
+        window,
+        mask_prec_init,
         member_keys,
         velocity,
         phi,
@@ -424,14 +391,13 @@ def _steps_forecast(precip, velocity, timesteps, cfg, domain_mask):
         means_last,
         stds_last,
         precip_last,
-        jnp.float32(jnp.min(precip)),
-        jnp.float32(cfg.precip_threshold if cfg.precip_threshold is not None else 0.0),
-        war if war is not None else jnp.float32(0.0),
-        mu_0 if mu_0 is not None else jnp.float32(0.0),
-        struct if struct is not None else jnp.zeros((3, 3), jnp.float32),
+        precip_min,
+        precip_thr_f,
+        war,
+        mu_0,
         domain_mask,
         eps_par, eps_perp, V_n, V_perp,
-        jnp.float32(vsf) if vel_pert else jnp.float32(1.0),
+        jnp.float32(vsf),
         p_par, p_perp,
         int_steps,
         **cfg_static,
@@ -462,23 +428,97 @@ def _steps_forecast(precip, velocity, timesteps, cfg, domain_mask):
 @functools.partial(
     jax.jit,
     static_argnames=(
+        "E", "ar_order", "conditional", "mask_method", "struct_radius",
+        "mask_rim", "vel_pert", "n_iter", "interp_order",
+    ),
+)
+def _steps_init(
+    precip, velocity, weights_2d, key_members, key_vel, precip_thr,
+    E, ar_order, conditional, mask_method, struct_radius, mask_rim,
+    vel_pert, n_iter, interp_order,
+):
+    """Fused STEPS initialization: alignment, decomposition, AR estimation,
+    masks, velocity-perturbation draws, per-member keys — one XLA program
+    (the reference spreads this over steps.py:625-1000 with dask threads)."""
+    m, n = precip.shape[1:]
+    if conditional:
+        mask_thr = jnp.all(precip >= precip_thr, axis=0)
+    else:
+        mask_thr = jnp.ones((m, n), dtype=bool)
+
+    precip_aligned = _lagrangian_alignment(
+        precip, velocity, n_iter=n_iter, interp_order=interp_order
+    )
+    cascades_full, means, stds, gamma, phi = _estimate_params(
+        precip_aligned, weights_2d, mask_thr, ar_order, conditional
+    )
+    means_last, stds_last = means[-1], stds[-1]
+    window = cascades_full[:, -ar_order:]  # (k, p, m, n)
+
+    precip_last = precip[-1]
+    precip_min = jnp.min(precip)
+    wet = precip_last >= precip_thr
+    war = jnp.sum(wet & mask_thr) / jnp.maximum(jnp.sum(mask_thr), 1)
+    mu_0 = jnp.sum(jnp.where(wet, precip_last, 0.0)) / jnp.maximum(jnp.sum(wet), 1)
+
+    if mask_method == "incremental":
+        mask_prec_init = nowcast_utils.compute_dilated_mask(
+            wet, struct_radius, mask_rim
+        ).astype(jnp.float32)
+    elif mask_method == "obs":
+        mask_prec_init = wet.astype(jnp.float32)
+    else:
+        mask_prec_init = jnp.ones((m, n), jnp.float32)
+
+    member_keys = jax.vmap(lambda i: jax.random.fold_in(key_members, i))(
+        jnp.arange(E)
+    )
+
+    if vel_pert:
+        vkeys = jax.random.split(key_vel, 2 * E)
+        eps_par = jax.vmap(_laplace)(vkeys[:E])
+        eps_perp = jax.vmap(_laplace)(vkeys[E:])
+        Nv = jnp.linalg.norm(velocity, axis=0)
+        V_n = jnp.where(
+            Nv[None] > 1e-12, velocity / jnp.maximum(Nv[None], 1e-12), 0.0
+        )
+        V_perp = jnp.stack([-V_n[1], V_n[0]])
+    else:
+        eps_par = jnp.zeros(E)
+        eps_perp = jnp.zeros(E)
+        V_n = jnp.zeros_like(velocity)
+        V_perp = jnp.zeros_like(velocity)
+
+    return (
+        precip_aligned, window, means_last, stds_last, phi, gamma,
+        war, mu_0, mask_prec_init, member_keys, eps_par, eps_perp,
+        V_n, V_perp, precip_min, precip_last,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
         "noise_filt_shape", "use_full_fft", "int_steps", "noise", "mask_method",
         "probmatching", "domain", "vel_pert", "timestep_min", "mask_rim",
-        "n_iter", "interp_order", "p_par", "p_perp",
+        "struct_radius", "n_iter", "interp_order", "p_par", "p_perp",
+        "need_det", "E",
     ),
 )
 def _steps_scan(
-    cascades0, det_window0, mask_prec0, member_keys, velocity, phi,
+    window, mask_prec_init, member_keys, velocity, phi,
     noise_filt, noise_filt_shape, use_full_fft, weights_2d, noise_std_coeffs,
     means_last, stds_last, precip_last, precip_min, precip_thr, war, mu_0,
-    struct, domain_mask, eps_par, eps_perp, V_n, V_perp, vsf, p_par, p_perp,
+    domain_mask, eps_par, eps_perp, V_n, V_perp, vsf, p_par, p_perp,
     int_steps, noise, mask_method, probmatching, domain, vel_pert,
-    timestep_min, mask_rim, n_iter, interp_order,
+    timestep_min, mask_rim, struct_radius, n_iter, interp_order, need_det, E,
 ):
-    E = cascades0.shape[0]
     m, n = precip_last.shape
     cfg_flags = {"noise": noise}
 
+    cascades0 = jnp.broadcast_to(window, (E,) + window.shape)
+    mask_prec0 = jnp.broadcast_to(mask_prec_init, (E, m, n))
+    det_window0 = window if need_det else None
     displacement0 = jnp.zeros((E, 2, m, n), jnp.float32)
 
     def step(carry, t):
@@ -530,7 +570,7 @@ def _steps_scan(
             # --- incremental mask update ---
             if mask_method == "incremental":
                 mask_j = nowcast_utils.compute_dilated_mask(
-                    field >= precip_thr, struct, mask_rim
+                    field >= precip_thr, struct_radius, mask_rim
                 )
 
             # --- velocity perturbation + incremental advection ---

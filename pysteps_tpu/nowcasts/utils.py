@@ -11,31 +11,47 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def binary_dilation(mask, kernel):
-    """Binary dilation of a (m, n) mask by a (a, b) structuring element,
-    as a convolution against the flipped kernel (XLA conv, fused)."""
-    m = mask.astype(jnp.float32)[None, None]
-    k = jnp.asarray(kernel, jnp.float32)[None, None, ::-1, ::-1]
-    out = jax.lax.conv_general_dilated(m, k, (1, 1), "SAME")
-    return out[0, 0] > 0
+def _cross_dilate(field):
+    """One step of connectivity-1 (diamond) grayscale dilation as two 1-D
+    max-pools — compiles orders of magnitude faster than a 3x3 conv on
+    some backends."""
+    vert = jax.lax.reduce_window(
+        field, -jnp.inf, jax.lax.max, (3, 1), (1, 1), "SAME"
+    )
+    horiz = jax.lax.reduce_window(
+        field, -jnp.inf, jax.lax.max, (1, 3), (1, 1), "SAME"
+    )
+    return jnp.maximum(vert, horiz)
+
+
+def binary_dilation(mask, kernel_or_radius):
+    """Binary dilation by a diamond structuring element of the given radius
+    (int), or an explicit diamond kernel whose radius is inferred from its
+    size.  Implemented as iterated separable max-pools (the conv-based
+    dilation compiles pathologically slowly on some TPU backends)."""
+    if hasattr(kernel_or_radius, "ndim") and getattr(kernel_or_radius, "ndim", 0) == 2:
+        radius = int(kernel_or_radius.shape[0]) // 2
+    else:
+        radius = int(kernel_or_radius)
+    out = mask.astype(jnp.float32)
+    for _ in range(max(radius, 1)):
+        out = _cross_dilate(out)
+    return out > 0
 
 
 def compute_dilated_mask(input_mask, kr, r):
-    """Buffered rain mask with a grayscale rim built by r iterative 3x3
-    dilations (reference: nowcasts/utils.py:69)."""
-    kr1 = jnp.asarray(
-        [[0, 1, 0], [1, 1, 1], [0, 1, 0]], jnp.float32
-    )  # 2-D connectivity-1 structuring element
+    """Buffered rain mask with a grayscale rim built by r iterative
+    connectivity-1 dilations (reference: nowcasts/utils.py:69)."""
     mask_dilated = binary_dilation(input_mask, kr)
     mask = mask_dilated.astype(jnp.float32)
     for _ in range(int(r)):
-        mask_dilated = binary_dilation(mask_dilated, kr1)
+        mask_dilated = _cross_dilate(mask_dilated.astype(jnp.float32)) > 0
         mask = mask + mask_dilated
     return mask / jnp.maximum(jnp.max(mask), 1.0)
 
 
 def dilation_kernel(mask_rim):
-    """Circular structuring element matching the reference's
+    """Diamond structuring element matching the reference's
     scipy.ndimage.generate_binary_structure + iterate pattern
     (reference: nowcasts/steps.py mask init)."""
     n = max(int(mask_rim), 1)

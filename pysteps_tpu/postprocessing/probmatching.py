@@ -14,29 +14,37 @@ import numpy as np
 
 @jax.jit
 def _match_cdf_core(initial, target):
+    # two sorts total: one of the target (value table), one argsort of the
+    # forecast (ranks); the reference's wet-area-ratio quantile reuses the
+    # sorted target instead of a separate quantile pass
     shape = initial.shape
     init = initial.ravel()
     targ = target.ravel()
+    size = init.size
 
     zvalue = jnp.nanmin(init)
     idxzeros = init == zvalue
     zvalue_trg = jnp.nanmin(targ)
     targ = jnp.where(jnp.isnan(targ), zvalue_trg, targ)
 
+    ranked = jnp.sort(targ)
+
     # match the wet-area ratio: if the target has more wet pixels than the
     # initial field, zero out its lowest values (reference:
     # probmatching.py:106-112)
     n_wet_init = jnp.sum(init > zvalue)
-    n_wet_trg = jnp.sum(targ > zvalue_trg)
-    war = n_wet_init / init.size
-    p = jnp.quantile(targ, 1.0 - war)
-    targ = jnp.where(
-        (n_wet_trg > n_wet_init) & (targ < p), zvalue_trg, targ
+    n_wet_trg = jnp.sum(ranked > zvalue_trg)
+    war = n_wet_init / size
+    p_idx = jnp.clip(
+        jnp.round((1.0 - war) * (size - 1)).astype(jnp.int32), 0, size - 1
+    )
+    p = ranked[p_idx]
+    ranked = jnp.where(
+        (n_wet_trg > n_wet_init) & (ranked < p), zvalue_trg, ranked
     )
 
-    ranked = jnp.sort(targ)
     orderin = jnp.argsort(init)
-    ranks = jnp.zeros_like(orderin).at[orderin].set(jnp.arange(init.size))
+    ranks = jnp.zeros_like(orderin).at[orderin].set(jnp.arange(size))
     out = ranked[ranks]
     out = jnp.where(idxzeros, zvalue_trg, out)
     return out.reshape(shape)

@@ -23,11 +23,17 @@ def adjust_lag2_corrcoef1(gamma_1, gamma_2):
 
 
 def adjust_lag2_corrcoef2(gamma_1, gamma_2):
-    """Advanced stationarity clamp (reference: autoregression.py:55)."""
+    """Advanced stationarity clamp (reference: autoregression.py:55).
+
+    gamma_1 is clipped into (-1, 1) so the (1-gamma_1^2)^1.5 term stays
+    real when float error pushes a perfectly persistent correlation past 1.
+    """
+    gamma_1 = jnp.clip(gamma_1, -0.9999, 0.9999)
     gamma_2 = jnp.maximum(gamma_2, 2 * gamma_1 * gamma_2 - 1)
     gamma_2 = jnp.maximum(
         gamma_2,
-        (3 * gamma_1**2 - 2 + 2 * (1 - gamma_1**2) ** 1.5) / gamma_1**2,
+        (3 * gamma_1**2 - 2 + 2 * (1 - gamma_1**2) ** 1.5)
+        / jnp.maximum(gamma_1**2, 1e-8),
     )
     return gamma_2
 
@@ -43,6 +49,9 @@ def estimate_ar_params_yw(gamma, d=0, check_stationarity=True):
     if d not in (0, 1):
         raise ValueError(f"d = {d}, but 0 or 1 required")
     gamma = jnp.asarray(gamma)
+    # keep the Toeplitz system non-singular when lag correlations reach
+    # exactly +/-1 (perfectly persistent inputs)
+    gamma = jnp.clip(gamma, -0.9985, 0.9985)
     p = gamma.shape[-1]
     # Toeplitz system G phi = gamma with G[i,j] = gamma_|i-j|, gamma_0 = 1
     g = jnp.concatenate([jnp.ones(gamma.shape[:-1] + (1,)), gamma], axis=-1)
