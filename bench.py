@@ -90,21 +90,42 @@ def run_reference(precip_db, velocity, n_members, timesteps):
 
 
 def main():
-    frames = make_sequence(shape=SHAPE)
-    precip = np.asarray(frames[:3])
-    precip_db = np.where(
-        precip >= 0.1, 10.0 * np.log10(np.maximum(precip, 0.1)), -15.0
-    ).astype(np.float32)
-    velocity = np.zeros((2,) + SHAPE, np.float32)
-    velocity[0], velocity[1] = 2.0, 1.0
-
-    elapsed = run_ours(precip_db, velocity)
-    member_frames = N_MEMBERS * N_TIMESTEPS
+    # try the target config first; back off if the device faults
+    configs = [
+        (N_MEMBERS, SHAPE),
+        (48, SHAPE),
+        (96, (256, 256)),
+        (24, (256, 256)),
+    ]
+    elapsed = None
+    for n_members, shape in configs:
+        try:
+            frames = make_sequence(shape=shape)
+            precip = np.asarray(frames[:3])
+            precip_db = np.where(
+                precip >= 0.1, 10.0 * np.log10(np.maximum(precip, 0.1)), -15.0
+            ).astype(np.float32)
+            velocity = np.zeros((2,) + shape, np.float32)
+            velocity[0], velocity[1] = 2.0, 1.0
+            elapsed = run_ours(precip_db, velocity, n_members=n_members)
+            used_members, used_shape = n_members, shape
+            break
+        except Exception as err:  # noqa: BLE001 — device faults: back off
+            print(f"config {n_members}x{shape} failed: {err}", file=sys.stderr)
+    if elapsed is None:
+        print(json.dumps({"metric": "steps_throughput", "value": 0.0,
+                          "unit": "member-frames/s/chip", "vs_baseline": None}))
+        return
+    member_frames = used_members * N_TIMESTEPS
     ours_rate = member_frames / elapsed
 
     # reference baseline: fewer members (CPU is slow), same per-member work
     ref_members = 8
-    ref_elapsed = run_reference(precip_db, velocity, ref_members, N_TIMESTEPS)
+    try:
+        ref_elapsed = run_reference(precip_db, velocity, ref_members, N_TIMESTEPS)
+    except Exception as err:  # noqa: BLE001
+        print(f"reference baseline failed: {err}", file=sys.stderr)
+        ref_elapsed = None
     if ref_elapsed is not None and ref_elapsed > 0:
         ref_rate = ref_members * N_TIMESTEPS / ref_elapsed
         vs_baseline = ours_rate / ref_rate
@@ -114,7 +135,9 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "steps_96member_512px_throughput",
+                "metric": (
+                    f"steps_{used_members}member_{used_shape[0]}px_throughput"
+                ),
                 "value": round(ours_rate, 2),
                 "unit": "member-frames/s/chip",
                 "vs_baseline": round(vs_baseline, 2)

@@ -1,0 +1,584 @@
+"""
+STEPS blending: seamless radar-nowcast x NWP combination
+(reference: pysteps/blending/steps.py, 4.2k LoC; Imhoff et al. 2023 —
+call stack in SURVEY.md §3.4).
+
+TPU-native redesign:
+
+- **Weights are precomputed.**  The per-lead-time NWP skill (regression
+  towards climatology, skill_scores.py) and extrapolation skill (AR decay)
+  do not depend on ensemble state, so the (T, components+1, k) weight
+  tensors — and the per-step blended advection fields — are computed once
+  up front and fed to the scan as per-step inputs, instead of being
+  recomputed inside the per-member dask workers (reference:
+  blending/steps.py:2116-2153 runs them per member per step).
+- The forecast loop is one ``lax.scan`` with a vmapped member axis: AR
+  evolution of the extrapolation and noise cascades (reference: :2259),
+  advection in Lagrangian frame, cascade/means/sigmas blending
+  (:2768, :4093), recomposition (:3038), and post-processing (radar-mask
+  smoothing, NWP NaN-fill, incremental mask, distribution resampling +
+  CDF matching, :3071).
+- NWP inputs are raw (n_models, T+1, m, n) rainfall fields, decomposed
+  up front with one batched FFT program (the reference supports an
+  offline NetCDF cascade store; see blending.utils.decompose_NWP).
+"""
+
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pysteps_tpu import cascade, noise
+from pysteps_tpu.blending import skill_scores
+from pysteps_tpu.blending.utils import compute_smooth_dilated_mask
+from pysteps_tpu.cascade.decomposition import decompose_core
+from pysteps_tpu.extrapolation.semilagrangian import integrate_displacement
+from pysteps_tpu.noise.fftgenerators import _generate_fft_noise
+from pysteps_tpu.nowcasts import utils as nowcast_utils
+from pysteps_tpu.nowcasts.steps import _estimate_params, _lagrangian_alignment
+from pysteps_tpu.ops.warp import warp
+from pysteps_tpu.postprocessing.probmatching import _match_cdf_core
+from pysteps_tpu.timeseries import autoregression
+from pysteps_tpu.utils.check_norain import check_norain
+
+
+def calculate_ratios(correlations):
+    """Explained-variance ratios (reference: blending/steps.py:3819)."""
+    sq = np.square(correlations)
+    return sq / (1 - sq)
+
+
+def calculate_weights_bps(correlations):
+    """BPS2006 blending weights (reference: blending/steps.py:3844).
+
+    correlations: (components, k, ...) -> weights (components+1, k, ...)
+    with a trailing noise component."""
+    correlations = np.where(correlations < 10e-5, 10e-5, correlations)
+    if correlations.shape[0] > 1:
+        ratios = calculate_ratios(correlations)
+        total = np.sum(ratios, axis=0)
+        weights = correlations * np.sqrt(ratios / total)
+        noise_weight = np.sqrt(
+            np.maximum(1.0 - np.sum(np.square(weights), axis=0), 0.0)
+        )
+        return np.concatenate([weights, noise_weight[None]], axis=0)
+    noise_weight = 1.0 - correlations
+    return np.concatenate([correlations, noise_weight], axis=0)
+
+
+def calculate_weights_spn(correlations, covariance):
+    """SPN2013 covariance-inverse weights
+    (reference: blending/steps.py:3905)."""
+    correlations = np.where(correlations < 10e-5, 10e-5, np.asarray(correlations))
+    if correlations.shape[0] > 1 and covariance is not None and np.ndim(covariance) == 2:
+        covariance = np.where(covariance == 0.0, 10e-5, np.asarray(covariance, float))
+        if np.linalg.det(covariance) == 0.0:
+            covariance = covariance - 10e-5
+        for i in range(len(covariance)):
+            covariance[i][i] = 1.0
+        cov_inv = np.linalg.inv(covariance)
+        weights = cov_inv @ correlations
+        weights = np.nan_to_num(weights, nan=10e-5, posinf=10e-5, neginf=10e-5)
+        wdc = np.sum(weights * correlations)
+        noise_weight = np.array([0.0]) if wdc > 1.0 else np.sqrt(1.0 - wdc)
+        weights = np.concatenate(
+            [np.asarray(weights).ravel(), np.atleast_1d(noise_weight).ravel()]
+        )
+        return np.nan_to_num(weights, nan=10e-5, posinf=10e-5, neginf=10e-5)
+    noise_weight = 1.0 - correlations
+    return np.concatenate([correlations, noise_weight], axis=0)
+
+
+def calculate_end_weights(
+    previous_weights, timestep, n_timesteps, start_full_nwp_weight, model_only=False
+):
+    """Linear transition to full-NWP weight near the forecast end
+    (reference: blending/steps.py:3987)."""
+    weights = np.array(previous_weights[:-1], copy=True)
+    frac = (timestep - start_full_nwp_weight) / max(
+        n_timesteps - start_full_nwp_weight, 1e-6
+    )
+    frac = np.clip(frac, 0.0, 1.0)
+    # component 0 is the extrapolation; the rest are NWP models
+    if not model_only:
+        weights[0] = (1 - frac) * weights[0]
+        weights[1:] = weights[1:] + frac * (1.0 - weights[1:]) / max(
+            weights.shape[0] - 1, 1
+        )
+    noise_weight = np.sqrt(np.maximum(1.0 - np.sum(weights**2, axis=0), 0.0))
+    return np.concatenate([weights, noise_weight[None]], axis=0)
+
+
+def blend_means_sigmas(means, sigmas, weights):
+    """Weighted blend of normalization statistics
+    (reference: blending/steps.py:4093; BPS2004 eq. 32-33)."""
+    means = jnp.asarray(means)
+    sigmas = jnp.asarray(sigmas)
+    weights = jnp.asarray(weights)[:-1]  # drop noise component
+    while means.ndim < weights.ndim:
+        means = means[..., None]
+    while sigmas.ndim < weights.ndim:
+        sigmas = sigmas[..., None]
+    total = jnp.maximum(jnp.sum(weights, axis=0), 1e-12)
+    combined_means = jnp.sum(weights / total * means, axis=0)
+    combined_sigmas = jnp.sum(weights / total * sigmas, axis=0)
+    return combined_means, combined_sigmas
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "int_steps", "mask_method", "probmatching", "resample_distribution",
+        "mask_rim", "struct_radius", "E", "noise_filt_shape",
+    ),
+)
+def _blending_scan(
+    window, noise_window, mask_prec_init, member_keys, velocity_blend,
+    nwp_cascades, nwp_means, nwp_sigmas, nwp_fields, member_model,
+    weights_t, weights_mv_t, phi, noise_filt, weights_2d, noise_std_coeffs,
+    radar_means, radar_sigmas, precip_last, precip_min, precip_thr,
+    domain_mask, smooth_mask, int_steps, mask_method, probmatching,
+    resample_distribution, mask_rim, struct_radius, E, noise_filt_shape,
+):
+    """The blended forecast loop.
+
+    window/noise_window: (k, p, m, n) initial normalized cascades.
+    nwp_cascades: (T, n_models, k, m, n) normalized NWP cascades per step.
+    weights_t: (T, n_models, 3, k) per-step blending weights
+    (extrap, nwp, noise) for the member's paired model.
+    velocity_blend: (T, n_models, 2, m, n) blended advection per step.
+    member_model: (E,) int32 NWP model index per ensemble member.
+    """
+    k_levels, p, m, n = window.shape
+
+    cascades0 = jnp.broadcast_to(window, (E,) + window.shape)
+    noise0 = jnp.broadcast_to(noise_window, (E,) + noise_window.shape)
+    mask_prec0 = jnp.broadcast_to(mask_prec_init, (E, m, n))
+    displacement0 = jnp.zeros((E, 2, m, n), jnp.float32)
+
+    def step(carry, t):
+        cascades, noise_casc, mask_prec, keys, displacement = carry
+
+        def member(key, casc_j, noise_j, mask_j, disp_j, model_j):
+            key, k_noise = jax.random.split(key)
+            # --- noise generation + AR evolution (reference: :2259) ---
+            eps = _generate_fft_noise(k_noise, noise_filt, noise_filt_shape, False)
+            eps_levels, _, _ = decompose_core(eps, weights_2d, normalize=True)
+            eps_levels = eps_levels * noise_std_coeffs[:, None, None]
+            casc_j = autoregression.iterate_ar_model(casc_j, phi, eps=None)
+            noise_j = autoregression.iterate_ar_model(noise_j, phi, eps=eps_levels)
+
+            # --- advect both Lagrangian components (reference: :2349) ---
+            vel_j = velocity_blend[t, model_j]
+            disp_j = integrate_displacement(vel_j, disp_j, 1.0)
+            extrap_lvls = jax.vmap(
+                lambda f: warp(f, disp_j, order=1, cval=0.0)
+            )(casc_j[:, -1])
+            noise_lvls = jax.vmap(
+                lambda f: warp(f, disp_j, order=1, cval=0.0)
+            )(noise_j[:, -1])
+
+            # --- blend cascades (reference: :2768) ---
+            w = weights_t[t, model_j]  # (3, k): extrap, nwp, noise
+            nwp_lvls = nwp_cascades[t, model_j]  # (k, m, n)
+            blended = (
+                w[0][:, None, None] * extrap_lvls
+                + w[1][:, None, None] * nwp_lvls
+                + w[2][:, None, None] * noise_lvls
+            ) / jnp.maximum(jnp.sum(w, axis=0)[:, None, None], 1e-12)
+
+            # --- blend means/sigmas + recompose (reference: :3038, :4093) ---
+            means = jnp.stack([radar_means, nwp_means[t, model_j]])
+            sigmas = jnp.stack([radar_sigmas, nwp_sigmas[t, model_j]])
+            w_ms = jnp.stack([w[0], w[1], w[2]])
+            c_means, c_sigmas = blend_means_sigmas(means, sigmas, w_ms)
+            field = jnp.sum(
+                blended * c_sigmas[:, None, None] + c_means[:, None, None], axis=0
+            )
+
+            # --- post-processing (reference: :3071) ---
+            nwp_field = nwp_fields[t, model_j]
+            # outside the radar domain: take NWP, with smooth transition
+            field = jnp.where(domain_mask, nwp_field, field)
+            field = smooth_mask * field + (1.0 - smooth_mask) * nwp_field
+
+            fmin = jnp.minimum(jnp.min(field), precip_min)
+            if mask_method == "incremental":
+                field = fmin + (field - fmin) * mask_j
+                field = jnp.where(field > fmin, field, fmin)
+            elif mask_method == "obs":
+                field = jnp.where(mask_j > 0, field, fmin)
+
+            if probmatching == "cdf":
+                if resample_distribution:
+                    # binomial mix of radar and NWP intensity distributions
+                    # weighted by the current extrapolation skill
+                    # (reference: probmatching.resample_distributions)
+                    p_radar = jnp.sum(w[0]) / jnp.maximum(
+                        jnp.sum(w[0]) + jnp.sum(w[1]), 1e-12
+                    )
+                    rsort = jnp.sort(precip_last.ravel())[::-1]
+                    nsort = jnp.sort(
+                        jnp.where(jnp.isnan(nwp_field), precip_min, nwp_field).ravel()
+                    )[::-1]
+                    pick = jax.random.bernoulli(
+                        jax.random.fold_in(key, t), p_radar, rsort.shape
+                    )
+                    target = jnp.where(pick, rsort, nsort)
+                else:
+                    target = precip_last
+                field = _match_cdf_core(field, target.reshape(field.shape))
+            elif probmatching == "mean":
+                wet = field >= precip_thr
+                mu_obs = jnp.sum(
+                    jnp.where(precip_last >= precip_thr, precip_last, 0.0)
+                ) / jnp.maximum(jnp.sum(precip_last >= precip_thr), 1)
+                mu_fct = jnp.sum(jnp.where(wet, field, 0.0)) / jnp.maximum(
+                    jnp.sum(wet), 1
+                )
+                field = jnp.where(wet, field - mu_fct + mu_obs, field)
+
+            if mask_method == "incremental":
+                mask_j = nowcast_utils.compute_dilated_mask(
+                    field >= precip_thr, struct_radius, mask_rim
+                )
+
+            return key, casc_j, noise_j, mask_j, disp_j, field
+
+        keys, cascades, noise_casc, mask_prec, displacement, outs = jax.vmap(
+            member
+        )(keys, cascades, noise_casc, mask_prec, displacement, member_model)
+        return (cascades, noise_casc, mask_prec, keys, displacement), outs
+
+    carry0 = (cascades0, noise0, mask_prec0, member_keys, displacement0)
+    _, outputs = jax.lax.scan(step, carry0, jnp.arange(int_steps))
+    return jnp.swapaxes(outputs, 0, 1)
+
+
+def forecast(
+    precip,
+    precip_models,
+    velocity,
+    velocity_models,
+    timesteps,
+    timestep,
+    issuetime=None,
+    n_ens_members=24,
+    n_cascade_levels=6,
+    blend_nwp_members=False,
+    precip_thr=None,
+    norain_thr=0.0,
+    kmperpixel=None,
+    extrap_method="semilagrangian",
+    decomp_method="fft",
+    bandpass_filter_method="gaussian",
+    noise_method="nonparametric",
+    noise_stddev_adj=None,
+    ar_order=2,
+    vel_pert_method=None,
+    weights_method="bps",
+    conditional=False,
+    probmatching_method="cdf",
+    mask_method="incremental",
+    resample_distribution=True,
+    smooth_radar_mask_range=0,
+    callback=None,
+    return_output=True,
+    seed=None,
+    num_workers=1,
+    fft_method="numpy",
+    domain="spatial",
+    outdir_path_skill=None,
+    extrap_kwargs=None,
+    filter_kwargs=None,
+    noise_kwargs=None,
+    vel_pert_kwargs=None,
+    clim_kwargs=None,
+    mask_kwargs=None,
+    measure_time=False,
+):
+    """STEPS blending forecast (reference: blending/steps.py:3383).
+
+    precip: (ar_order+1, m, n) radar fields (transformed units).
+    precip_models: (n_models, T+1, m, n) raw NWP fields in the same units
+    (decomposed internally), or (n_models, m, n) static fields repeated.
+    velocity_models: (n_models, 2, m, n).
+    Returns (n_ens_members, T, m, n).
+    """
+    t0 = time.time()
+    precip = np.asarray(precip, np.float32)
+    precip_models = np.asarray(precip_models, np.float32)
+    velocity = np.asarray(velocity, np.float32)
+    velocity_models = np.asarray(velocity_models, np.float32)
+    extrap_kwargs = dict(extrap_kwargs or {})
+    mask_kwargs = dict(mask_kwargs or {})
+    noise_kwargs = dict(noise_kwargs or {})
+    clim_kwargs = dict(clim_kwargs or {})
+    filter_kwargs = filter_kwargs or {}
+
+    if precip_thr is None:
+        raise ValueError("precip_thr required")
+    if isinstance(timesteps, int):
+        int_steps = timesteps
+        subsel = None
+    else:
+        subsel = list(timesteps)
+        int_steps = int(np.ceil(max(subsel)))
+
+    if precip_models.ndim == 3:
+        precip_models = np.repeat(
+            precip_models[:, None], int_steps + 1, axis=1
+        )
+    n_models = precip_models.shape[0]
+    if velocity_models.ndim == 3:
+        velocity_models = velocity_models[None]
+    m, n = precip.shape[-2:]
+
+    # norain gates for radar and NWP (reference: :598-604, :1290, :1346)
+    zero_radar = check_norain(precip, precip_thr, norain_thr, None, printmsg=False)
+    zero_nwp = check_norain(precip_models, precip_thr, norain_thr, None, printmsg=False)
+    if zero_radar and zero_nwp:
+        return nowcast_utils.zero_precipitation_forecast(
+            n_ens_members, timesteps, precip, callback, return_output,
+            measure_time, t0,
+        )
+
+    precip = precip[-(ar_order + 1) :]
+    domain_mask = ~np.isfinite(precip[-1])
+    precip_min = float(np.nanmin(precip))
+    precip = np.where(np.isfinite(precip), precip, precip_min)
+    precip_models = np.where(
+        np.isfinite(precip_models), precip_models, precip_min
+    )
+
+    bp_filter = cascade.get_method(bandpass_filter_method)(
+        (m, n), n_cascade_levels, **filter_kwargs
+    )
+    weights_2d = bp_filter["weights_2d"].astype(jnp.float32)
+
+    velocity_j = jnp.asarray(velocity)
+    precip_j = jnp.asarray(precip)
+
+    # radar cascades + AR parameters (same machinery as the nowcast)
+    mask_thr = (
+        jnp.all(precip_j >= precip_thr, axis=0)
+        if conditional
+        else jnp.ones((m, n), dtype=bool)
+    )
+    precip_aligned = _lagrangian_alignment(precip_j, velocity_j)
+    cascades_full, means, stds, gamma, phi = _estimate_params(
+        precip_aligned, weights_2d, mask_thr, ar_order, conditional
+    )
+    radar_means, radar_sigmas = means[-1], stds[-1]
+    window = cascades_full[:, -ar_order:]
+
+    # decompose NWP fields for all models and steps in one batched program
+    dec = jax.jit(
+        jax.vmap(
+            jax.vmap(lambda f: decompose_core(f, weights_2d, normalize=True))
+        )
+    )
+    nwp_levels, nwp_means_all, nwp_sigmas_all = dec(
+        jnp.asarray(precip_models[:, : int_steps + 1])
+    )  # (n_models, T+1, ...)
+
+    # NWP skill at t=0 vs the latest radar cascade (reference: :2058)
+    rho_0 = np.stack(
+        [
+            skill_scores.spatial_correlation(
+                cascades_full[:, -1], nwp_levels[im, 0], np.asarray(domain_mask)
+            )
+            for im in range(n_models)
+        ]
+    )  # (n_models, k)
+
+    # precompute per-lead-time weights (reference computes these per member
+    # per step; they are state-independent)
+    from pysteps_tpu.config import rcparams
+
+    outdir = outdir_path_skill or rcparams["outputs"]["path_workdir"]
+    phi_np = np.asarray(phi)
+    weights_t = np.zeros((int_steps, n_models, 3, n_cascade_levels), np.float32)
+    rho_extrap_prev = None
+    rho_extrap = None
+    for t in range(int_steps):
+        lt = (t + 1) * float(timestep)
+        rho_extrap, rho_extrap_prev = skill_scores.lt_dependent_cor_extrapolation(
+            phi_np[:, :ar_order + 1], rho_extrap, rho_extrap_prev, ar_order
+        )
+        for im in range(n_models):
+            rho_nwp = skill_scores.lt_dependent_cor_nwp(
+                lt, rho_0[im], outdir, n_model=im,
+                skill_kwargs={"n_models": n_models, **clim_kwargs},
+            )
+            corr = np.stack([np.asarray(rho_extrap), rho_nwp])
+            if weights_method == "bps":
+                w = calculate_weights_bps(corr)  # (3, k)
+            elif weights_method == "spn":
+                w = np.stack(
+                    [
+                        calculate_weights_spn(
+                            corr[:, k_i],
+                            np.corrcoef(
+                                np.stack(
+                                    [
+                                        np.asarray(
+                                            cascades_full[k_i, -1]
+                                        ).ravel(),
+                                        np.asarray(nwp_levels[im, t, k_i]).ravel(),
+                                    ]
+                                )
+                            ),
+                        )
+                        for k_i in range(n_cascade_levels)
+                    ],
+                    axis=1,
+                )
+            else:
+                raise ValueError(f"unknown weights_method {weights_method}")
+            weights_t[t, im] = w
+
+    # blended advection per step: weighted by the second cascade level's
+    # weights (reference: blending/utils.py:185 note)
+    vel_w_extrap = weights_t[:, :, 0, 1]  # (T, n_models)
+    vel_w_nwp = weights_t[:, :, 1, 1]
+    tot = np.maximum(vel_w_extrap + vel_w_nwp, 1e-12)
+    velocity_blend = (
+        vel_w_extrap[..., None, None, None] * velocity[None, None]
+        + vel_w_nwp[..., None, None, None] * velocity_models[None, :, :2]
+    ) / tot[..., None, None, None]
+
+    # noise filter (reference: :1421)
+    if noise_method is not None:
+        init_noise, _ = noise.get_method(noise_method)
+        pert_gen = init_noise(np.asarray(precip_aligned), **noise_kwargs)
+        noise_filt = jnp.asarray(pert_gen["field"], jnp.float32)
+    else:
+        noise_filt = jnp.ones((m, n // 2 + 1), jnp.float32)
+    noise_std_coeffs = jnp.ones(n_cascade_levels, jnp.float32)
+    if noise_stddev_adj == "auto" and noise_method is not None:
+        noise_std_coeffs = noise.utils.compute_noise_stddev_adjs(
+            precip[-1], precip_thr, precip_min, bp_filter, None, pert_gen,
+            None, 20, conditional=True,
+            key=jax.random.PRNGKey((seed or 42) + 1),
+        ).astype(jnp.float32)
+    elif noise_stddev_adj == "fixed":
+        noise_std_coeffs = jnp.asarray(
+            [1.0 / (0.75 + 0.09 * k) for k in range(1, n_cascade_levels + 1)],
+            jnp.float32,
+        )
+
+    # member-model pairing (reference: :1849)
+    if blend_nwp_members:
+        member_model = jnp.zeros(n_ens_members, jnp.int32)
+        # combine all models into a single pseudo-model by averaging their
+        # normalized cascades (weighted blending of >2 components is applied
+        # through the weights of this combined component)
+        nwp_levels = jnp.mean(nwp_levels, axis=0, keepdims=True)
+        nwp_means_all = jnp.mean(nwp_means_all, axis=0, keepdims=True)
+        nwp_sigmas_all = jnp.mean(nwp_sigmas_all, axis=0, keepdims=True)
+        weights_t = weights_t.mean(axis=1, keepdims=True)
+        velocity_blend = velocity_blend.mean(axis=1, keepdims=True)
+        precip_models_used = precip_models.mean(axis=0, keepdims=True)
+    else:
+        member_model = jnp.asarray(
+            [j % n_models for j in range(n_ens_members)], jnp.int32
+        )
+        precip_models_used = precip_models
+
+    # masks
+    mask_rim = int(mask_kwargs.get("mask_rim", 10))
+    struct_radius = 1
+    if timestep is not None and kmperpixel:
+        struct_radius = max(
+            int((mask_kwargs.get("mask_f", 1.0) * timestep / kmperpixel - 1) / 2.0),
+            1,
+        )
+    wet = jnp.asarray(precip[-1] >= precip_thr)
+    if mask_method == "incremental":
+        mask_prec_init = nowcast_utils.compute_dilated_mask(
+            wet, struct_radius, mask_rim
+        ).astype(jnp.float32)
+    elif mask_method == "obs":
+        mask_prec_init = wet.astype(jnp.float32)
+    else:
+        mask_prec_init = jnp.ones((m, n), jnp.float32)
+
+    # smooth radar-domain mask (reference: :3071 + utils:561)
+    if smooth_radar_mask_range and np.any(domain_mask):
+        smooth_mask = compute_smooth_dilated_mask(
+            ~jnp.asarray(domain_mask),
+            max_padding_size_in_px=int(smooth_radar_mask_range),
+        )
+    else:
+        smooth_mask = jnp.ones((m, n), jnp.float32)
+
+    member_keys = jax.vmap(
+        lambda i: jax.random.fold_in(
+            jax.random.PRNGKey(seed if seed is not None else 42), i
+        )
+    )(jnp.arange(n_ens_members))
+
+    init_time = time.time() - t0
+    t1 = time.time()
+    out = _blending_scan(
+        window.astype(jnp.float32),
+        jnp.zeros_like(window),
+        mask_prec_init,
+        member_keys,
+        jnp.asarray(velocity_blend, jnp.float32),
+        jnp.swapaxes(nwp_levels[:, 1 : int_steps + 1], 0, 1).astype(jnp.float32),
+        jnp.swapaxes(nwp_means_all[:, 1 : int_steps + 1], 0, 1).astype(jnp.float32),
+        jnp.swapaxes(nwp_sigmas_all[:, 1 : int_steps + 1], 0, 1).astype(jnp.float32),
+        jnp.swapaxes(
+            jnp.asarray(precip_models_used[:, 1 : int_steps + 1]), 0, 1
+        ).astype(jnp.float32),
+        member_model,
+        jnp.asarray(weights_t),
+        None,
+        phi.astype(jnp.float32),
+        noise_filt,
+        weights_2d,
+        noise_std_coeffs,
+        radar_means.astype(jnp.float32),
+        radar_sigmas.astype(jnp.float32),
+        jnp.asarray(precip[-1]),
+        jnp.float32(precip_min),
+        jnp.float32(precip_thr),
+        jnp.asarray(domain_mask),
+        smooth_mask.astype(jnp.float32),
+        int_steps,
+        mask_method,
+        probmatching_method,
+        bool(resample_distribution),
+        mask_rim,
+        struct_radius,
+        n_ens_members,
+        (m, n),
+    )
+    np.asarray(out)
+    loop_time = time.time() - t1
+
+    if subsel is not None:
+        frames = []
+        for t_sub in subsel:
+            if t_sub == int(t_sub):
+                frames.append(out[:, int(t_sub) - 1])
+            else:
+                t_int = int(np.ceil(t_sub))
+                lo = out[:, t_int - 2] if t_int >= 2 else out[:, 0]
+                hi = out[:, t_int - 1]
+                w = t_sub - (t_int - 1)
+                frames.append((1 - w) * lo + w * hi)
+        out = jnp.stack(frames, axis=1)
+
+    if callback is not None:
+        arr = np.asarray(out)
+        for t in range(arr.shape[1]):
+            callback(arr[:, t])
+    result = out if return_output else None
+    if measure_time:
+        return result, init_time, loop_time
+    return result

@@ -1,0 +1,185 @@
+"""Blending tests: weight formulas (exact), linear blending ramp, and the
+STEPS blending pipeline on synthetic radar + synthetic 'NWP'
+(reference strategy: pysteps/tests/test_blending_steps.py 59-config
+matrix, test_blending_linear_blending.py)."""
+
+import numpy as np
+import pytest
+
+from helpers import make_synthetic_sequence
+from pysteps_tpu.blending import clim, skill_scores
+from pysteps_tpu.blending.steps import (
+    blend_means_sigmas,
+    calculate_ratios,
+    calculate_weights_bps,
+    calculate_weights_spn,
+)
+from pysteps_tpu.verification import probscores
+
+VELOCITY = (2.0, 1.0)
+
+
+def test_ratios_and_bps_weights():
+    corr = np.array([[0.8, 0.5], [0.6, 0.3]])  # (components, k)
+    ratios = calculate_ratios(corr)
+    np.testing.assert_allclose(ratios[0, 0], 0.64 / 0.36, rtol=1e-6)
+    w = calculate_weights_bps(corr)
+    assert w.shape == (3, 2)
+    # noise weight closes the variance budget
+    np.testing.assert_allclose(
+        np.sum(w[:2] ** 2, axis=0) + w[2] ** 2 <= 1.0 + 1e-6, True
+    )
+
+
+def test_bps_weights_single_component():
+    corr = np.array([[0.7, 0.2]])
+    w = calculate_weights_bps(corr)
+    np.testing.assert_allclose(w[0], corr[0])
+    np.testing.assert_allclose(w[1], 1 - corr[0])
+
+
+def test_spn_weights():
+    corr = np.array([0.8, 0.6])
+    cov = np.array([[1.0, 0.5], [0.5, 1.0]])
+    w = calculate_weights_spn(corr, cov)
+    assert w.shape == (3,)
+    assert np.all(np.isfinite(w))
+
+
+def test_blend_means_sigmas():
+    means = np.array([[1.0, 2.0], [3.0, 4.0]])  # (components, k)
+    sigmas = np.array([[1.0, 1.0], [2.0, 2.0]])
+    weights = np.array([[0.5, 0.5], [0.5, 0.5], [0.1, 0.1]])
+    cm, cs = blend_means_sigmas(means, sigmas, weights)
+    np.testing.assert_allclose(np.asarray(cm), [2.0, 3.0])
+    np.testing.assert_allclose(np.asarray(cs), [1.5, 1.5])
+
+
+def test_clim_default_skill():
+    skill = clim.get_default_skill(6, 1)
+    assert skill.shape == (1, 6)
+    assert skill[0, 0] == 0.848
+    skill10 = clim.get_default_skill(10, 2)
+    assert skill10.shape == (2, 10)
+    assert skill10[1, 9] == pytest.approx(1e-4)
+
+
+def test_skill_save_and_clim(tmp_path):
+    import datetime
+
+    skill = np.full((1, 6), 0.5)
+    t = datetime.datetime(2026, 8, 17, 12)
+    clim.save_skill(skill, t, str(tmp_path))
+    # not enough days -> defaults
+    out = clim.calc_clim_skill(str(tmp_path), 6, 1)
+    assert out.shape == (1, 6)
+
+
+def test_lt_dependent_cor_nwp(tmp_path):
+    rho0 = np.array([0.9, 0.8, 0.7, 0.5, 0.3, 0.1])
+    rho_5 = skill_scores.lt_dependent_cor_nwp(5, rho0, str(tmp_path))
+    rho_120 = skill_scores.lt_dependent_cor_nwp(120, rho0, str(tmp_path))
+    clim_vals = clim.get_default_skill(6, 1)[0]
+    # at long lead times the skill regresses toward climatology
+    assert abs(rho_120[0] - clim_vals[0]) < abs(rho_5[0] - clim_vals[0])
+
+
+def test_spatial_correlation_perfect():
+    rng = np.random.RandomState(0)
+    obs = rng.randn(4, 32, 32)
+    rho = skill_scores.spatial_correlation(obs, obs.copy(), np.zeros((32, 32), bool))
+    np.testing.assert_allclose(rho, 1.0, atol=1e-4)
+
+
+@pytest.fixture(scope="module")
+def blending_data():
+    frames = make_synthetic_sequence(
+        n_frames=9, shape=(128, 128), velocity=VELOCITY, seed=1
+    )
+    db = np.where(
+        frames >= 0.1, 10 * np.log10(np.maximum(frames, 0.1)), -15.0
+    ).astype(np.float32)
+    velocity = np.zeros((2, 128, 128), np.float32)
+    velocity[0], velocity[1] = VELOCITY
+    # synthetic "NWP": the true future fields, slightly degraded
+    rng = np.random.RandomState(7)
+    nwp = db[2:9].copy() + 0.5 * rng.randn(7, 128, 128).astype(np.float32)
+    return db, velocity, nwp
+
+
+@pytest.mark.parametrize(
+    "weights_method,mask_method,probmatching,resample",
+    [
+        ("bps", "incremental", "cdf", True),
+        ("bps", "obs", "mean", False),
+        ("spn", "incremental", "cdf", False),
+        ("bps", None, None, False),
+    ],
+)
+def test_steps_blending(blending_data, weights_method, mask_method, probmatching, resample):
+    from pysteps_tpu import blending
+
+    db, velocity, nwp = blending_data
+    fc = blending.get_method("steps")(
+        db[:3], nwp[None], velocity, velocity[None], 3, 5,
+        n_ens_members=4, n_cascade_levels=6,
+        precip_thr=-10.0, kmperpixel=1.0,
+        weights_method=weights_method,
+        mask_method=mask_method,
+        probmatching_method=probmatching,
+        resample_distribution=resample,
+        seed=42,
+    )
+    fc = np.asarray(fc)
+    assert fc.shape == (4, 3, 128, 128)
+    assert np.all(np.isfinite(fc))
+    crps = probscores.CRPS(fc[:, -1], db[5])
+    assert crps < 3.0, f"blended CRPS {crps}"
+
+
+def test_steps_blending_multimodel(blending_data):
+    from pysteps_tpu import blending
+
+    db, velocity, nwp = blending_data
+    nwp2 = np.stack([nwp, nwp + 0.3])
+    fc = np.asarray(
+        blending.get_method("steps")(
+            db[:3], nwp2, velocity, np.stack([velocity, velocity]), 2, 5,
+            n_ens_members=4, precip_thr=-10.0, kmperpixel=1.0, seed=1,
+        )
+    )
+    assert fc.shape == (4, 2, 128, 128)
+
+
+def test_linear_blending(blending_data):
+    from pysteps_tpu import blending
+
+    db, velocity, nwp = blending_data
+    meta = {"transform": "dB", "unit": "mm/h", "threshold": -10.0, "zerovalue": -15.0}
+    fc = blending.get_method("linear_blending")(
+        db[2], meta, velocity, 4, 5, "extrapolation",
+        precip_nwp=10.0 ** (nwp[:4] / 10.0),
+        start_blending=5, end_blending=15,
+    )
+    fc = np.asarray(fc)
+    assert fc.shape == (4, 128, 128)
+    # last step should be (nearly) pure NWP
+    np.testing.assert_allclose(
+        fc[-1], 10.0 ** (nwp[3] / 10.0), atol=1e-3
+    )
+
+
+def test_salient_blending(blending_data):
+    from pysteps_tpu import blending
+
+    db, velocity, nwp = blending_data
+    meta = {"transform": "dB", "unit": "mm/h", "threshold": -10.0, "zerovalue": -15.0}
+    fc = np.asarray(
+        blending.get_method("salient_blending")(
+            db[2], meta, velocity, 3, 5, "extrapolation",
+            precip_nwp=10.0 ** (nwp[:3] / 10.0),
+            start_blending=5, end_blending=20,
+        )
+    )
+    assert fc.shape == (3, 128, 128)
+    assert np.all(np.isfinite(fc))
