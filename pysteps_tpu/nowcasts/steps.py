@@ -43,6 +43,7 @@ from pysteps_tpu.nowcasts import utils as nowcast_utils
 from pysteps_tpu.ops.warp import warp
 from pysteps_tpu.postprocessing.probmatching import _match_cdf_core
 from pysteps_tpu.timeseries import autoregression, correlation
+from pysteps_tpu.utils import tapering as tapering_utils
 from pysteps_tpu.utils.check_norain import check_norain
 
 
@@ -312,34 +313,60 @@ def _steps_forecast(precip, velocity, timesteps, cfg, domain_mask):
         cfg.precip_threshold if cfg.precip_threshold is not None else 0.0
     )
 
+    # nonparametric noise filter is computed inside the init jit (no host
+    # round-trip of the aligned fields); parametric needs host curve_fit
+    if cfg.noise_method is not None and cfg.noise_method not in (
+        "nonparametric", "parametric"
+    ):
+        raise NotImplementedError(
+            f"noise_method={cfg.noise_method} not yet supported in the "
+            "STEPS core (use SSEPS for localized SSFT noise)"
+        )
+    noise_in_graph = cfg.noise_method == "nonparametric"
+    if noise_in_graph:
+        win_fun = cfg.noise_kwargs.get("win_fun", "tukey")
+        taper = jnp.asarray(
+            tapering_utils.compute_window_function(m, n, win_fun)
+            if win_fun is not None
+            else np.ones((m, n)),
+            jnp.float32,
+        )
+    else:
+        taper = jnp.ones((m, n), jnp.float32)
+
     # one fused init program: Lagrangian alignment, cascade decomposition,
-    # AR estimation, masks, velocity-perturbation draws, member keys
+    # AR estimation, masks, velocity-perturbation draws, member keys,
+    # and (for the nonparametric method) the noise filter
     (
         precip_aligned, window, means_last, stds_last, phi, gamma,
         war, mu_0, mask_prec_init, member_keys, eps_par, eps_perp,
-        V_n, V_perp, precip_min, precip_last,
+        V_n, V_perp, precip_min, precip_last, noise_filt_init,
     ) = _steps_init(
         precip, velocity, weights_2d, key_members, key_vel, precip_thr_f,
+        taper,
         E=E, ar_order=p, conditional=cfg.conditional,
         mask_method=cfg.mask_method, struct_radius=struct_radius,
         mask_rim=mask_rim if mask_rim is not None else 0,
         vel_pert=vel_pert, n_iter=n_iter, interp_order=interp_order,
+        noise_in_graph=noise_in_graph,
     )
 
-    # noise filter init (on the aligned input stack; one host transfer)
     use_full_fft = False
     noise_filt = None
     noise_std_coeffs = jnp.ones(k_levels, jnp.float32)
     if cfg.noise_method is not None:
-        if cfg.noise_method not in ("nonparametric", "parametric"):
-            raise NotImplementedError(
-                f"noise_method={cfg.noise_method} not yet supported in the "
-                "STEPS core (use SSEPS for localized SSFT noise)"
-            )
-        init_noise, _ = noise.get_method(cfg.noise_method)
-        pert_gen = init_noise(np.asarray(precip_aligned), **cfg.noise_kwargs)
-        noise_filt = jnp.asarray(pert_gen["field"], jnp.float32)
-        use_full_fft = bool(pert_gen.get("use_full_fft", False))
+        if noise_in_graph:
+            noise_filt = noise_filt_init
+            pert_gen = {
+                "field": noise_filt,
+                "input_shape": (m, n),
+                "use_full_fft": False,
+            }
+        else:
+            init_noise, _ = noise.get_method(cfg.noise_method)
+            pert_gen = init_noise(np.asarray(precip_aligned), **cfg.noise_kwargs)
+            noise_filt = jnp.asarray(pert_gen["field"], jnp.float32)
+            use_full_fft = bool(pert_gen.get("use_full_fft", False))
         if cfg.noise_stddev_adj == "auto":
             noise_std_coeffs = noise.utils.compute_noise_stddev_adjs(
                 precip[-1],
@@ -429,13 +456,13 @@ def _steps_forecast(precip, velocity, timesteps, cfg, domain_mask):
     jax.jit,
     static_argnames=(
         "E", "ar_order", "conditional", "mask_method", "struct_radius",
-        "mask_rim", "vel_pert", "n_iter", "interp_order",
+        "mask_rim", "vel_pert", "n_iter", "interp_order", "noise_in_graph",
     ),
 )
 def _steps_init(
-    precip, velocity, weights_2d, key_members, key_vel, precip_thr,
+    precip, velocity, weights_2d, key_members, key_vel, precip_thr, taper,
     E, ar_order, conditional, mask_method, struct_radius, mask_rim,
-    vel_pert, n_iter, interp_order,
+    vel_pert, n_iter, interp_order, noise_in_graph=False,
 ):
     """Fused STEPS initialization: alignment, decomposition, AR estimation,
     masks, velocity-perturbation draws, per-member keys — one XLA program
@@ -489,10 +516,27 @@ def _steps_init(
         V_n = jnp.zeros_like(velocity)
         V_perp = jnp.zeros_like(velocity)
 
+    if noise_in_graph:
+        # nonparametric noise filter: |mean rfft2(tapered field)| over the
+        # aligned inputs, after closing the rain/no-rain gap and zeroing the
+        # per-field minimum (reference: noise/fftgenerators.py:221-328)
+        def prep(field):
+            zerovalue = jnp.min(field)
+            wet = field > zerovalue
+            shift = jnp.min(jnp.where(wet, field, jnp.inf)) - zerovalue
+            f = jnp.where(wet, field - shift, field)
+            return f - jnp.min(f)
+
+        fields = jax.vmap(prep)(precip_aligned)
+        F = jnp.mean(jax.vmap(lambda f: jnp.fft.rfft2(f * taper))(fields), axis=0)
+        noise_filt = jnp.abs(F)
+    else:
+        noise_filt = jnp.zeros((m, n // 2 + 1), jnp.float32)
+
     return (
         precip_aligned, window, means_last, stds_last, phi, gamma,
         war, mu_0, mask_prec_init, member_keys, eps_par, eps_perp,
-        V_n, V_perp, precip_min, precip_last,
+        V_n, V_perp, precip_min, precip_last, noise_filt,
     )
 
 

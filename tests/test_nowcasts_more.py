@@ -91,3 +91,40 @@ def test_sseps_members_differ(sequence_db, velocity_field, synthetic_metadata):
         )
     )
     assert np.nanmax(np.abs(fc[0] - fc[1])) > 0.1
+
+
+def test_linda_deterministic_csi(sequence, velocity_field):
+    fc = np.asarray(
+        nowcasts.get_method("linda")(
+            sequence[:3], velocity_field, 3,
+            add_perturbations=False, feature_method="blob",
+        )
+    )
+    assert fc.shape == (3, 256, 256)
+    score = detcatscores.det_cat_fct(fc[-1], sequence[5], 0.1, "CSI")
+    assert score > 0.5, f"LINDA CSI {score}"
+
+
+def test_linda_probabilistic(sequence, velocity_field):
+    fc = np.asarray(
+        nowcasts.get_method("linda")(
+            sequence[:3], velocity_field, 3,
+            add_perturbations=True, n_ens_members=5, seed=42,
+            feature_method="blob",
+        )
+    )
+    assert fc.shape == (5, 3, 256, 256)
+    crps = probscores.CRPS(fc[:, -1], sequence[5])
+    assert crps < 1.5, f"LINDA CRPS {crps}"
+    # members differ
+    assert np.nanmax(np.abs(fc[0] - fc[1])) > 0.01
+
+
+def test_linda_domain_feature(sequence, velocity_field):
+    fc = np.asarray(
+        nowcasts.get_method("linda")(
+            sequence[:3], velocity_field, 2,
+            add_perturbations=False, feature_method="domain",
+        )
+    )
+    assert fc.shape == (2, 256, 256)
