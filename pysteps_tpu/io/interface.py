@@ -1,0 +1,67 @@
+"""IO registry + entry-point plugin discovery
+(reference: pysteps/io/interface.py:22-79,132)."""
+
+from pysteps_tpu.io import exporters, importers
+
+_importer_methods = {
+    "fmi_pgm": importers.import_fmi_pgm,
+    "mch_gif": importers.import_mch_gif,
+    "knmi_hdf5": importers.import_knmi_hdf5,
+    "odim_hdf5": importers.import_odim_hdf5,
+    "opera_hdf5": importers.import_opera_hdf5,
+    "mch_hdf5": importers.import_mch_hdf5,
+    "dwd_hdf5": importers.import_dwd_hdf5,
+    "dwd_radolan": importers.import_dwd_radolan,
+    "npz": importers.import_npz,
+    # gated formats (MissingOptionalDependency at call time)
+    "mrms_grib": importers.import_mrms_grib,
+    "bom_rf3": importers.import_bom_rf3,
+    "fmi_geotiff": importers.import_fmi_geotiff,
+    "mch_metranet": importers.import_mch_metranet,
+    "saf_crri": importers.import_saf_crri,
+}
+
+_exporter_methods = {
+    "hdf5": exporters.initialize_forecast_exporter_hdf5,
+    "netcdf": exporters.initialize_forecast_exporter_netcdf,
+    "npz": exporters.initialize_forecast_exporter_npz,
+    "geotiff": exporters.initialize_forecast_exporter_geotiff,
+    "kineros": exporters.initialize_forecast_exporter_kineros,
+}
+
+
+def discover_importers():
+    """Load importer plugins from the 'pysteps_tpu.plugins.importers' entry
+    point group (reference: io/interface.py:45-79)."""
+    try:
+        from importlib import metadata as importlib_metadata
+
+        for ep in importlib_metadata.entry_points(
+            group="pysteps_tpu.plugins.importers"
+        ):
+            _importer_methods[ep.name.replace("importer_", "")] = ep.load()
+    except Exception:  # noqa: BLE001 — plugin discovery is best-effort
+        pass
+
+
+def get_method(name, method_type):
+    """Resolve an importer or exporter by name
+    (reference: io/interface.py:132)."""
+    if method_type == "importer":
+        table = _importer_methods
+    elif method_type == "exporter":
+        table = _exporter_methods
+    else:
+        raise ValueError(
+            f"unknown method type {method_type}; must be 'importer' or 'exporter'"
+        )
+    name = name.lower()
+    try:
+        return table[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown {method_type} {name}; available: {list(table)}"
+        ) from None
+
+
+discover_importers()
