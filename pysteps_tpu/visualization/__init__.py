@@ -1,0 +1,12 @@
+from pysteps_tpu.visualization import (  # noqa: F401
+    animations,
+    basemaps,
+    motionfields,
+    precipfields,
+    spectral,
+    thunderstorms,
+)
+from pysteps_tpu.visualization.animations import animate  # noqa: F401
+from pysteps_tpu.visualization.motionfields import quiver, streamplot  # noqa: F401
+from pysteps_tpu.visualization.precipfields import plot_precip_field  # noqa: F401
+from pysteps_tpu.visualization.spectral import plot_spectrum1d  # noqa: F401
