@@ -31,5 +31,22 @@ Layout
 """
 
 from pysteps_tpu.config import rcparams, load_config_file  # noqa: F401
+from pysteps_tpu import (  # noqa: F401
+    blending,
+    cascade,
+    datasets,
+    downscaling,
+    extrapolation,
+    feature,
+    io,
+    motion,
+    noise,
+    nowcasts,
+    postprocessing,
+    timeseries,
+    tracking,
+    utils,
+    verification,
+)
 
 __version__ = "0.1.0"

@@ -183,3 +183,38 @@ def test_salient_blending(blending_data):
     )
     assert fc.shape == (3, 128, 128)
     assert np.all(np.isfinite(fc))
+
+
+def test_enkf_update_reduces_spread_toward_obs():
+    from pysteps_tpu.blending.ens_kalman_filter_methods import EnsembleKalmanFilter
+
+    class Cfg:
+        n_ens_members = 8
+
+    class Params:
+        combination_kwargs = {}
+
+    rng = np.random.RandomState(0)
+    enkf = EnsembleKalmanFilter(Cfg(), Params())
+    bg = rng.randn(8, 10) + 5.0
+    obs = rng.randn(8, 10) * 0.1  # tight observation around 0
+    analysis = np.asarray(enkf.update(bg, obs)).T
+    # the analysis mean moves from the background towards the observation
+    assert abs(analysis.mean()) < abs(bg.mean())
+
+
+def test_pca_enkf_forecast(blending_data):
+    from pysteps_tpu.blending import pca_ens_kalman_filter
+
+    db, velocity, nwp = blending_data
+    nwp_ens = np.stack([nwp[:3], nwp[:3] + 0.2])
+    fc = np.asarray(
+        pca_ens_kalman_filter.forecast(
+            db[:3], None, nwp_ens, None, velocity, 3,
+            n_ens_members=4, precip_thr=-10.0, seed=42,
+        )
+    )
+    assert fc.shape == (4, 3, 128, 128)
+    assert np.all(np.isfinite(fc))
+    crps = probscores.CRPS(fc[:, -1], db[5])
+    assert crps < 3.0
