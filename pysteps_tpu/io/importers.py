@@ -230,12 +230,17 @@ def import_dwd_radolan(filename, product="RY", **kwargs):
             size = int(gp.strip().split("x")[0])
         except (IndexError, ValueError):
             pass
-    data = data[: size * size].reshape(size, size).astype(float)
-    nodata_mask = (data.astype(int) & 0x2000) > 0
-    values = (data.astype(int) & 0x0FFF).astype(float) * 0.1
-    # RY/RW products store mm/5min (precision 0.1)
-    precip = np.where(nodata_mask, np.nan, values)
-    precip = precip[::-1]  # RADOLAN stores south-to-north
+    # native OpenMP decode path, NumPy fallback
+    from pysteps_tpu import native
+
+    precip = native.radolan_decode(data, size, precision=0.1)
+    if precip is None:
+        arr = data[: size * size].reshape(size, size)
+        nodata_mask = (arr.astype(int) & 0x2000) > 0
+        values = (arr.astype(int) & 0x0FFF).astype(float) * 0.1
+        # RY/RW products store mm/5min (precision 0.1)
+        precip = np.where(nodata_mask, np.nan, values)
+        precip = precip[::-1]  # RADOLAN stores south-to-north
 
     metadata = {
         "projection": "+proj=stere +lat_0=90 +lat_ts=60 +lon_0=10 "

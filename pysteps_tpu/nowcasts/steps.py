@@ -79,6 +79,7 @@ class StepsNowcasterConfig:
     measure_time: bool = False
     callback: Optional[callable] = None
     return_output: bool = True
+    member_chunk: Optional[int] = None
 
 
 @functools.partial(jax.jit, static_argnames=("n_iter", "interp_order"))
@@ -399,6 +400,11 @@ def _steps_forecast(precip, velocity, timesteps, cfg, domain_mask):
         interp_order=interp_order,
         need_det=cfg.noise_method is None or cfg.mask_method == "sprog",
         E=E,
+        member_chunk=(
+            cfg.member_chunk
+            if cfg.member_chunk and E % cfg.member_chunk == 0
+            else None
+        ),
     )
 
     init_time = time.time() - t_init0
@@ -429,6 +435,7 @@ def _steps_forecast(precip, velocity, timesteps, cfg, domain_mask):
         int_steps,
         **cfg_static,
     )
+    out = jnp.swapaxes(out, 0, 1)  # (E, T, m, n), separate tiny program
     out.block_until_ready()
     loop_time = time.time() - t_loop0
 
@@ -546,7 +553,7 @@ def _steps_init(
         "noise_filt_shape", "use_full_fft", "int_steps", "noise", "mask_method",
         "probmatching", "domain", "vel_pert", "timestep_min", "mask_rim",
         "struct_radius", "n_iter", "interp_order", "p_par", "p_perp",
-        "need_det", "E",
+        "need_det", "E", "member_chunk",
     ),
 )
 def _steps_scan(
@@ -556,6 +563,7 @@ def _steps_scan(
     domain_mask, eps_par, eps_perp, V_n, V_perp, vsf, p_par, p_perp,
     int_steps, noise, mask_method, probmatching, domain, vel_pert,
     timestep_min, mask_rim, struct_radius, n_iter, interp_order, need_det, E,
+    member_chunk=None,
 ):
     m, n = precip_last.shape
     cfg_flags = {"noise": noise}
@@ -634,20 +642,39 @@ def _steps_scan(
             return key, casc_j, mask_j, disp_j, out_field
 
         if vel_pert:
-            keys, cascades, mask_prec, displacement, out_fields = jax.vmap(
-                member
-            )(keys, cascades, mask_prec, displacement, eps_par, eps_perp)
+            member_fn = member
+            member_args = (keys, cascades, mask_prec, displacement, eps_par, eps_perp)
+        else:
+            member_fn = lambda k, c, mk, d: member(k, c, mk, d, None, None)  # noqa: E731
+            member_args = (keys, cascades, mask_prec, displacement)
+
+        if member_chunk is not None and member_chunk < E:
+            # bound peak HBM: process members in sequential chunks of
+            # member_chunk (lax.map reuses the chunk's buffers), trading a
+            # little launch overhead for ~E/member_chunk lower peak memory
+            n_chunks = E // member_chunk
+            chunked = tuple(
+                a.reshape((n_chunks, member_chunk) + a.shape[1:])
+                for a in member_args
+            )
+            results = jax.lax.map(
+                lambda args: jax.vmap(member_fn)(*args), chunked
+            )
+            keys, cascades, mask_prec, displacement, out_fields = tuple(
+                r.reshape((E,) + r.shape[2:]) for r in results
+            )
         else:
             keys, cascades, mask_prec, displacement, out_fields = jax.vmap(
-                lambda k, c, mk, d: member(k, c, mk, d, None, None)
-            )(keys, cascades, mask_prec, displacement)
+                member_fn
+            )(*member_args)
 
         return (cascades, det_window, mask_prec, keys, displacement), out_fields
 
     carry0 = (cascades0, det_window0, mask_prec0, member_keys, displacement0)
     _, outputs = jax.lax.scan(step, carry0, jnp.arange(int_steps))
-    # (T, E, m, n) -> (E, T, m, n)
-    return jnp.swapaxes(outputs, 0, 1)
+    # returned time-major (T, E, m, n); the caller transposes outside this
+    # program so the scan output and its transpose are never live together
+    return outputs
 
 
 def forecast(
@@ -682,6 +709,7 @@ def forecast(
     measure_time=False,
     callback=None,
     return_output=True,
+    member_chunk=None,
 ):
     """STEPS nowcast with the reference's flat signature
     (reference: steps.py:1273-1558).  Returns (n_ens_members, T, m, n)."""
@@ -714,6 +742,7 @@ def forecast(
         measure_time=measure_time,
         callback=callback,
         return_output=return_output,
+        member_chunk=member_chunk,
     )
     nowcaster = StepsNowcaster(precip, velocity, timesteps, config)
     return nowcaster.compute_forecast()

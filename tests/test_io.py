@@ -135,3 +135,28 @@ def test_gated_importers_raise():
 
     with pytest.raises(MissingOptionalDependency):
         importers.import_mrms_grib("nonexistent.grib2")
+
+
+def test_native_radolan_decoder_matches_numpy():
+    from pysteps_tpu import native
+
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+    rng = np.random.RandomState(0)
+    raw = rng.randint(0, 4096, (900 * 900,), dtype=np.uint16)
+    raw[::97] |= 0x2000
+    out = native.radolan_decode(raw, 900)
+    arr = raw.reshape(900, 900)
+    ref = np.where((arr & 0x2000) > 0, np.nan, (arr & 0x0FFF) * 0.1)[::-1]
+    np.testing.assert_allclose(out, ref, rtol=1e-5, equal_nan=True)
+
+
+def test_native_calibrate_u16():
+    from pysteps_tpu import native
+
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+    raw = np.array([0, 10, 255, 65535], dtype=np.uint16)
+    out = native.calibrate_u16(raw, 0.5, 1.0, 65535, 0, undetect_value=-1.0)
+    np.testing.assert_allclose(out[:3], [-1.0, 6.0, 128.5])
+    assert np.isnan(out[3])
