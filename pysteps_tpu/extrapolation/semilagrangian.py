@@ -16,7 +16,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pysteps_tpu.ops.warp import bilinear_warp, warp
+from pysteps_tpu.ops.warp import (
+    bilinear_warp,
+    sample_velocity_shifted,
+    warp,
+    warp_shifted,
+)
 
 
 def _sample_velocity(velocity, displacement):
@@ -36,26 +41,41 @@ def _sample_velocity(velocity, displacement):
 
 
 def integrate_displacement(
-    velocity, displacement, td, n_iter=1, vel_timestep=1.0
+    velocity, displacement, td, n_iter=1, vel_timestep=1.0, max_disp=None
 ):
     """Advance the accumulated backward displacement by one interval ``td``
     using the midpoint rule with ``n_iter`` inner iterations
-    (reference: semilagrangian.py:209-219)."""
+    (reference: semilagrangian.py:209-219).
+
+    With ``max_disp`` set (static int bound on |displacement|), velocity
+    sampling uses the shift-decomposition fast path instead of the scalar
+    XLA gather.
+    """
+    if max_disp is not None:
+        sample = lambda v, d: sample_velocity_shifted(v, d, max_disp)  # noqa: E731
+    else:
+        sample = _sample_velocity
     scale = td / vel_timestep
     if n_iter > 0:
-        vel_inc = _sample_velocity(velocity, displacement) * scale / n_iter
+        vel_inc = sample(velocity, displacement) * scale / n_iter
         for _ in range(n_iter):
             vel_inc = (
-                _sample_velocity(velocity, displacement - vel_inc / 2.0)
-                * scale
-                / n_iter
+                sample(velocity, displacement - vel_inc / 2.0) * scale / n_iter
             )
             displacement = displacement - vel_inc
-            vel_inc = _sample_velocity(velocity, displacement) * scale / n_iter
+            vel_inc = sample(velocity, displacement) * scale / n_iter
     else:
-        vel_inc = _sample_velocity(velocity, displacement) * scale
+        vel_inc = sample(velocity, displacement) * scale
         displacement = displacement - vel_inc
     return displacement
+
+
+def model_warp(field, displacement, max_disp=None, interp_order=1, cval=jnp.nan):
+    """Warp used inside the model scan loops: shift-decomposition fast path
+    when a static displacement bound is available, exact gather otherwise."""
+    if max_disp is not None and interp_order == 1:
+        return warp_shifted(field, displacement, max_disp, cval=cval)
+    return warp(field, displacement, order=interp_order, cval=cval)
 
 
 def semilag_step(

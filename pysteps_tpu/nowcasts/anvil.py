@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from pysteps_tpu import cascade
-from pysteps_tpu.extrapolation.semilagrangian import integrate_displacement
+from pysteps_tpu.extrapolation.semilagrangian import integrate_displacement, model_warp
 from pysteps_tpu.nowcasts.steps import _lagrangian_alignment
 from pysteps_tpu.ops.warp import warp
 from pysteps_tpu.timeseries import autoregression
@@ -111,12 +111,12 @@ def _iterate_ari_localized(window, phi):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("int_steps", "use_rvil", "apply_rainrate_mask", "n_iter", "interp_order"),
+    static_argnames=("int_steps", "use_rvil", "apply_rainrate_mask", "n_iter", "interp_order", "max_disp"),
 )
 def _anvil_scan(
     window0, velocity, phi, mask, rainrate_mask, r_vil_a, r_vil_b,
     domain_mask, int_steps, use_rvil, apply_rainrate_mask,
-    n_iter, interp_order,
+    n_iter, interp_order, max_disp=None,
 ):
     m, n = velocity.shape[1:]
     displacement0 = jnp.zeros((2, m, n), jnp.float32)
@@ -134,9 +134,12 @@ def _anvil_scan(
                 rr = jnp.where(rainrate_mask, 0.0, rr)
         rr = jnp.maximum(rr, 0.0)
         displacement = integrate_displacement(
-            velocity, displacement, 1.0, n_iter=n_iter
+            velocity, displacement, 1.0, n_iter=n_iter, max_disp=max_disp
         )
-        out = warp(rr, displacement, order=interp_order, cval=jnp.nan)
+        out = model_warp(
+            rr, displacement, max_disp=max_disp, interp_order=interp_order,
+            cval=jnp.nan,
+        )
         out = jnp.where(domain_mask, jnp.nan, out)
         return (window, displacement), out
 
@@ -247,12 +250,19 @@ def forecast(
         int_steps = int(np.ceil(max(subsel)))
 
     init_time = time.time() - t0
+
+    on_cpu = jax.default_backend() == "cpu"
+    vmax = float(np.max(np.abs(np.asarray(velocity)))) if np.asarray(velocity).size else 0.0
+    max_disp = max(int(np.ceil(int_steps * (vmax + 0.5))) + 2, 3)
+    if on_cpu or max_disp > min(m, n) // 3:
+        max_disp = None
     t1 = time.time()
     out = _anvil_scan(
         window0, velocity_j, phi, mask, rainrate_mask0, r_vil_a, r_vil_b,
         jnp.asarray(domain_mask), int_steps, rainrate is not None,
         bool(apply_rainrate_mask),
         extrap_kwargs.get("n_iter", 1), extrap_kwargs.get("interp_order", 1),
+        max_disp=max_disp,
     )
     out.block_until_ready()
     loop_time = time.time() - t1

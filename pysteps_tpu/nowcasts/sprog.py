@@ -16,7 +16,7 @@ import numpy as np
 
 from pysteps_tpu import cascade
 from pysteps_tpu.cascade.decomposition import recompose_core
-from pysteps_tpu.extrapolation.semilagrangian import integrate_displacement
+from pysteps_tpu.extrapolation.semilagrangian import integrate_displacement, model_warp
 from pysteps_tpu.nowcasts import utils as nowcast_utils
 from pysteps_tpu.nowcasts.steps import _estimate_params, _lagrangian_alignment
 from pysteps_tpu.ops.warp import warp
@@ -27,12 +27,12 @@ from pysteps_tpu.utils.check_norain import check_norain
 
 @functools.partial(
     jax.jit,
-    static_argnames=("int_steps", "probmatching", "n_iter", "interp_order"),
+    static_argnames=("int_steps", "probmatching", "n_iter", "interp_order", "max_disp"),
 )
 def _sprog_scan(
     window0, velocity, phi, means_last, stds_last, precip_last, precip_min,
     precip_thr, war, mu_0, domain_mask, int_steps, probmatching,
-    n_iter, interp_order,
+    n_iter, interp_order, max_disp=None,
 ):
     m, n = precip_last.shape
     displacement0 = jnp.zeros((2, m, n), jnp.float32)
@@ -54,9 +54,12 @@ def _sprog_scan(
             )
             field = jnp.where(wet, field - mu_fct + mu_0, field)
         displacement = integrate_displacement(
-            velocity, displacement, 1.0, n_iter=n_iter
+            velocity, displacement, 1.0, n_iter=n_iter, max_disp=max_disp
         )
-        out = warp(field, displacement, order=interp_order, cval=precip_min)
+        out = model_warp(
+            field, displacement, max_disp=max_disp,
+            interp_order=interp_order, cval=precip_min,
+        )
         out = jnp.where(domain_mask, jnp.nan, out)
         return (window, displacement), out
 
@@ -144,12 +147,19 @@ def forecast(
         int_steps = int(np.ceil(max(subsel)))
 
     init_time = time.time() - t0
+
+    on_cpu = jax.default_backend() == "cpu"
+    vmax = float(np.max(np.abs(np.asarray(velocity)))) if np.asarray(velocity).size else 0.0
+    max_disp = max(int(np.ceil(int_steps * (vmax + 0.5))) + 2, 3)
+    if on_cpu or max_disp > min(m, n) // 3:
+        max_disp = None
     t1 = time.time()
     out = _sprog_scan(
         window0, velocity_j, phi, means[-1], stds[-1], precip_last,
         jnp.float32(precip_min), jnp.float32(precip_thr), war, mu_0,
         jnp.asarray(domain_mask), int_steps, probmatching_method,
         extrap_kwargs.get("n_iter", 1), extrap_kwargs.get("interp_order", 1),
+        max_disp=max_disp,
     )
     out.block_until_ready()
     loop_time = time.time() - t1

@@ -23,7 +23,7 @@ import numpy as np
 
 from pysteps_tpu import cascade, noise
 from pysteps_tpu.cascade.decomposition import decompose_core
-from pysteps_tpu.extrapolation.semilagrangian import integrate_displacement
+from pysteps_tpu.extrapolation.semilagrangian import integrate_displacement, model_warp
 from pysteps_tpu.noise.fftgenerators import (
     _generate_ssft_noise,
     _get_mask,
@@ -78,13 +78,13 @@ def _window_params(cascades, weights, war, war_thr, g_gamma, ar_order):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("int_steps", "mask_method", "probmatching", "mask_rim", "struct_radius", "E"),
+    static_argnames=("int_steps", "mask_method", "probmatching", "mask_rim", "struct_radius", "E", "max_disp"),
 )
 def _sseps_scan(
     window, mask_prec_init, member_keys, velocity, phi_map, mu_map, sigma_map,
     ssft_filt, ssft_masks, weights_2d, precip_last, precip_min, precip_thr,
     domain_mask, int_steps, mask_method, probmatching, mask_rim,
-    struct_radius, E,
+    struct_radius, E, max_disp=None,
 ):
     k_levels, p, m, n = window.shape
     cascades0 = jnp.broadcast_to(window, (E,) + window.shape)
@@ -120,8 +120,10 @@ def _sseps_scan(
                     field >= precip_thr, struct_radius, mask_rim
                 )
 
-            disp_j = integrate_displacement(velocity, disp_j, 1.0)
-            out = warp(field, disp_j, order=1, cval=precip_min)
+            disp_j = integrate_displacement(
+                velocity, disp_j, 1.0, max_disp=max_disp
+            )
+            out = model_warp(field, disp_j, max_disp=max_disp, cval=precip_min)
             out = jnp.where(domain_mask, jnp.nan, out)
             return key, casc_j, mask_j, disp_j, out
 
@@ -297,6 +299,12 @@ def forecast(
         int_steps = int(np.ceil(max(subsel)))
 
     init_time = time.time() - t0
+
+    on_cpu = jax.default_backend() == "cpu"
+    vmax = float(np.max(np.abs(np.asarray(velocity)))) if np.asarray(velocity).size else 0.0
+    max_disp = max(int(np.ceil(int_steps * (vmax + 0.5))) + 2, 3)
+    if on_cpu or max_disp > min(m, n) // 3:
+        max_disp = None
     t1 = time.time()
     out = _sseps_scan(
         window.astype(jnp.float32), mask_prec_init, member_keys, velocity_j,
@@ -306,7 +314,7 @@ def forecast(
         gen_masks, weights_2d, jnp.asarray(precip[-1]), jnp.float32(precip_min),
         jnp.float32(precip_thr), jnp.asarray(domain_mask),
         int_steps, mask_method, probmatching_method, mask_rim, struct_radius,
-        n_ens_members,
+        n_ens_members, max_disp=max_disp,
     )
     np.asarray(out)
     loop_time = time.time() - t1

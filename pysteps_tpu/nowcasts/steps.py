@@ -32,6 +32,7 @@ from pysteps_tpu import cascade, extrapolation, noise, utils
 from pysteps_tpu.cascade.decomposition import decompose_core, recompose_core
 from pysteps_tpu.extrapolation.semilagrangian import (
     integrate_displacement,
+    model_warp,
 )
 from pysteps_tpu.noise.fftgenerators import _generate_fft_noise
 from pysteps_tpu.noise.motion import (
@@ -82,8 +83,10 @@ class StepsNowcasterConfig:
     member_chunk: Optional[int] = None
 
 
-@functools.partial(jax.jit, static_argnames=("n_iter", "interp_order"))
-def _lagrangian_alignment(precip, velocity, n_iter=1, interp_order=1):
+@functools.partial(
+    jax.jit, static_argnames=("n_iter", "interp_order", "max_disp")
+)
+def _lagrangian_alignment(precip, velocity, n_iter=1, interp_order=1, max_disp=None):
     """Advect each of the first p input fields to the time of the last one
     (reference: steps.py:671 __perform_extrapolation; dask fan-out becomes
     a scan over the shared displacement chain)."""
@@ -94,14 +97,19 @@ def _lagrangian_alignment(precip, velocity, n_iter=1, interp_order=1):
         # field i needs (p1-1-i) unit steps of advection
         def body(carry, _):
             disp = carry
-            disp = integrate_displacement(velocity, disp, 1.0, n_iter=n_iter)
+            disp = integrate_displacement(
+                velocity, disp, 1.0, n_iter=n_iter, max_disp=max_disp
+            )
             return disp, None
 
         n_steps = p1 - 1 - i
         disp = jnp.zeros_like(velocity)
         if n_steps > 0:
             disp, _ = jax.lax.scan(body, disp, None, length=n_steps)
-        return warp(precip[i], disp, order=interp_order, cval=minval)
+        return model_warp(
+            precip[i], disp, max_disp=max_disp, interp_order=interp_order,
+            cval=minval,
+        )
 
     return jnp.stack([advect_i(i) for i in range(p1)])
 
@@ -314,6 +322,34 @@ def _steps_forecast(precip, velocity, timesteps, cfg, domain_mask):
         cfg.precip_threshold if cfg.precip_threshold is not None else 0.0
     )
 
+    # static displacement bounds enable the shift-decomposition warp in
+    # place of XLA's scalar gather (the dominant cost of the scan on TPU;
+    # on CPU the gather is fast and the unrolled shifts only slow compile)
+    on_cpu = jax.default_backend() == "cpu"
+    vmax = float(np.max(np.abs(np.asarray(velocity)))) if velocity.size else 0.0
+    if vel_pert:
+        # 4-sigma Laplace margin on the BPS perturbation at the last lead time
+        t_last = int_steps * (cfg.timestep or 1.0)
+        g_par = abs(p_par[0] * t_last ** p_par[1] + p_par[2])
+        g_perp = abs(p_perp[0] * t_last ** p_perp[1] + p_perp[2])
+        pert_margin = 4.0 * max(g_par, g_perp) / max(vsf, 1e-6)
+    else:
+        pert_margin = 0.0
+    max_disp_align = max(int(np.ceil(p * (vmax + 1.0))) + 1, 2)
+    max_disp_scan = max(
+        int(np.ceil(int_steps * (vmax + pert_margin))) + 2, max_disp_align
+    )
+    # the in-graph index clip makes larger displacements clamp gracefully,
+    # so cap the shift window at a cost-effective bound
+    max_disp_scan = min(max_disp_scan, 48)
+    # the shift decomposition costs O(max_disp) fused ops; beyond ~a third
+    # of the domain the exact gather is no slower
+    if max_disp_scan > min(m, n) // 3:
+        max_disp_scan = None
+    if on_cpu:
+        max_disp_align = None
+        max_disp_scan = None
+
     # nonparametric noise filter is computed inside the init jit (no host
     # round-trip of the aligned fields); parametric needs host curve_fit
     if cfg.noise_method is not None and cfg.noise_method not in (
@@ -349,7 +385,7 @@ def _steps_forecast(precip, velocity, timesteps, cfg, domain_mask):
         mask_method=cfg.mask_method, struct_radius=struct_radius,
         mask_rim=mask_rim if mask_rim is not None else 0,
         vel_pert=vel_pert, n_iter=n_iter, interp_order=interp_order,
-        noise_in_graph=noise_in_graph,
+        noise_in_graph=noise_in_graph, max_disp=max_disp_align,
     )
 
     use_full_fft = False
@@ -405,6 +441,7 @@ def _steps_forecast(precip, velocity, timesteps, cfg, domain_mask):
             if cfg.member_chunk and E % cfg.member_chunk == 0
             else None
         ),
+        max_disp=max_disp_scan,
     )
 
     init_time = time.time() - t_init0
@@ -464,12 +501,13 @@ def _steps_forecast(precip, velocity, timesteps, cfg, domain_mask):
     static_argnames=(
         "E", "ar_order", "conditional", "mask_method", "struct_radius",
         "mask_rim", "vel_pert", "n_iter", "interp_order", "noise_in_graph",
+        "max_disp",
     ),
 )
 def _steps_init(
     precip, velocity, weights_2d, key_members, key_vel, precip_thr, taper,
     E, ar_order, conditional, mask_method, struct_radius, mask_rim,
-    vel_pert, n_iter, interp_order, noise_in_graph=False,
+    vel_pert, n_iter, interp_order, noise_in_graph=False, max_disp=None,
 ):
     """Fused STEPS initialization: alignment, decomposition, AR estimation,
     masks, velocity-perturbation draws, per-member keys — one XLA program
@@ -481,7 +519,8 @@ def _steps_init(
         mask_thr = jnp.ones((m, n), dtype=bool)
 
     precip_aligned = _lagrangian_alignment(
-        precip, velocity, n_iter=n_iter, interp_order=interp_order
+        precip, velocity, n_iter=n_iter, interp_order=interp_order,
+        max_disp=max_disp,
     )
     cascades_full, means, stds, gamma, phi = _estimate_params(
         precip_aligned, weights_2d, mask_thr, ar_order, conditional
@@ -553,7 +592,7 @@ def _steps_init(
         "noise_filt_shape", "use_full_fft", "int_steps", "noise", "mask_method",
         "probmatching", "domain", "vel_pert", "timestep_min", "mask_rim",
         "struct_radius", "n_iter", "interp_order", "p_par", "p_perp",
-        "need_det", "E", "member_chunk",
+        "need_det", "E", "member_chunk", "max_disp",
     ),
 )
 def _steps_scan(
@@ -563,7 +602,7 @@ def _steps_scan(
     domain_mask, eps_par, eps_perp, V_n, V_perp, vsf, p_par, p_perp,
     int_steps, noise, mask_method, probmatching, domain, vel_pert,
     timestep_min, mask_rim, struct_radius, n_iter, interp_order, need_det, E,
-    member_chunk=None,
+    member_chunk=None, max_disp=None,
 ):
     m, n = precip_last.shape
     cfg_flags = {"noise": noise}
@@ -636,8 +675,13 @@ def _steps_scan(
                 ) / vsf
             else:
                 vel_j = velocity
-            disp_j = integrate_displacement(vel_j, disp_j, 1.0, n_iter=n_iter)
-            out_field = warp(field, disp_j, order=interp_order, cval=precip_min)
+            disp_j = integrate_displacement(
+                vel_j, disp_j, 1.0, n_iter=n_iter, max_disp=max_disp
+            )
+            out_field = model_warp(
+                field, disp_j, max_disp=max_disp, interp_order=interp_order,
+                cval=precip_min,
+            )
             out_field = jnp.where(domain_mask, jnp.nan, out_field)
             return key, casc_j, mask_j, disp_j, out_field
 

@@ -62,6 +62,106 @@ def nearest_warp(field, coords_y, coords_x, mode="constant", cval=jnp.nan):
     return out
 
 
+def _shift_rows(field, d):
+    """field[i+d, j] with edge clamping, as a static pad+slice."""
+    m = field.shape[0]
+    if d == 0:
+        return field
+    if d > 0:
+        body = field[d:]
+        pad = jnp.repeat(field[-1:], d, axis=0)
+        return jnp.concatenate([body, pad], axis=0)
+    body = field[:m + d]
+    pad = jnp.repeat(field[:1], -d, axis=0)
+    return jnp.concatenate([pad, body], axis=0)
+
+
+def _axis_resample(field, idx0, frac, D, axis):
+    """Linear resample along ``axis``: out(p) = lerp(field[idx0(p)],
+    field[idx0(p)+1]) built from 2D+2 shifted views with masked selects —
+    pure VPU work, no gather (XLA's dynamic gather is scalar on TPU and
+    dominates the advection cost otherwise).
+
+    The shifts run in a fori_loop over a padded copy (O(1) extra memory;
+    a statically unrolled version made XLA materialize every shifted copy).
+    """
+    if axis == 1:
+        return _axis_resample(field.T, idx0.T, frac.T, D, 0).T
+    m, n = field.shape
+    i_grid = jax.lax.broadcasted_iota(jnp.int32, field.shape, 0)
+    idx0c = jnp.clip(idx0, i_grid - D, i_grid + D)
+    rel = idx0c - i_grid  # in [-D, D]
+
+    # edge-replicated padding: padded[r] = field[clip(r - D, 0, m-1)]
+    padded = jnp.concatenate(
+        [
+            jnp.repeat(field[:1], D, axis=0),
+            field,
+            jnp.repeat(field[-1:], D + 2, axis=0),
+        ],
+        axis=0,
+    )
+
+    def body(k, carry):
+        acc0, acc1 = carry
+        d = k - D  # shift in [-D, D+1]
+        shifted = jax.lax.dynamic_slice(padded, (k, 0), (m, n))
+        acc0 = jnp.where(rel == d, shifted, acc0)
+        acc1 = jnp.where(rel + 1 == d, shifted, acc1)
+        return acc0, acc1
+
+    acc0, acc1 = jax.lax.fori_loop(
+        0, 2 * D + 2, body, (jnp.zeros_like(field), jnp.zeros_like(field))
+    )
+    return acc0 * (1.0 - frac) + acc1 * frac
+
+
+def warp_shifted(field, displacement, max_disp, mode="constant", cval=jnp.nan):
+    """Fast bilinear backward warp via shift decomposition.
+
+    Exact for displacement fields whose y-component varies slowly along x
+    over the x-displacement length (true for the smooth advection flows
+    produced by the motion solvers); the general 2-D gather is not
+    separable, but the separable two-pass (vertical resample at original
+    columns, then horizontal resample) differs only by
+    O(|dx| * d(dy)/dx) — sub-pixel for nowcasting flows.
+
+    ``max_disp`` (static int) bounds |displacement|; samples beyond the
+    bound clamp to it.  ~2*(2*max_disp+2) fused elementwise ops replace
+    the scalar-gather warp (ops/warp.py::warp), a >100x speedup on TPU.
+    """
+    m, n = field.shape
+    dtype = displacement.dtype
+    dx = displacement[0]
+    dy = displacement[1]
+    cy = jax.lax.broadcasted_iota(jnp.int32, (m, n), 0).astype(dtype) + dy
+    cx = jax.lax.broadcasted_iota(jnp.int32, (m, n), 1).astype(dtype) + dx
+
+    y0 = jnp.floor(cy)
+    x0 = jnp.floor(cx)
+    wy = cy - y0
+    wx = cx - x0
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+
+    # vertical pass at original columns, then horizontal pass
+    C = _axis_resample(field, y0i, wy, int(max_disp), axis=0)
+    out = _axis_resample(C, x0i, wx, int(max_disp), axis=1)
+
+    if mode == "constant":
+        inside = (cy >= 0) & (cy <= m - 1) & (cx >= 0) & (cx <= n - 1)
+        out = jnp.where(inside, out, cval)
+    return out
+
+
+def sample_velocity_shifted(velocity, displacement, max_disp):
+    """Edge-clamped bilinear sampling of a (2, m, n) velocity field at
+    displaced positions using the shift-decomposition warp."""
+    vx = warp_shifted(velocity[0], displacement, max_disp, mode="nearest")
+    vy = warp_shifted(velocity[1], displacement, max_disp, mode="nearest")
+    return jnp.stack([vx, vy])
+
+
 def warp(field, displacement, order=1, mode="constant", cval=jnp.nan):
     """Backward-warp a field by a (2, m, n) displacement (x, y components:
     displacement[0] columns, displacement[1] rows, matching the reference's
