@@ -81,6 +81,7 @@ class StepsNowcasterConfig:
     callback: Optional[callable] = None
     return_output: bool = True
     member_chunk: Optional[int] = None
+    mesh: Optional[object] = None  # jax.sharding.Mesh with an "ens" axis
 
 
 @functools.partial(
@@ -444,6 +445,17 @@ def _steps_forecast(precip, velocity, timesteps, cfg, domain_mask):
         max_disp=max_disp_scan,
     )
 
+    # multi-chip: shard the member axis over the mesh's "ens" axis; the
+    # scan is pure data parallelism over members, so XLA partitions the
+    # whole program without inserting collectives
+    if cfg.mesh is not None:
+        from pysteps_tpu.parallel import ens_sharding
+
+        sh = ens_sharding(cfg.mesh)
+        member_keys = jax.device_put(member_keys, sh)
+        eps_par = jax.device_put(eps_par, sh)
+        eps_perp = jax.device_put(eps_perp, sh)
+
     init_time = time.time() - t_init0
     t_loop0 = time.time()
 
@@ -754,6 +766,7 @@ def forecast(
     callback=None,
     return_output=True,
     member_chunk=None,
+    mesh=None,
 ):
     """STEPS nowcast with the reference's flat signature
     (reference: steps.py:1273-1558).  Returns (n_ens_members, T, m, n)."""
@@ -787,6 +800,7 @@ def forecast(
         callback=callback,
         return_output=return_output,
         member_chunk=member_chunk,
+        mesh=mesh,
     )
     nowcaster = StepsNowcaster(precip, velocity, timesteps, config)
     return nowcaster.compute_forecast()

@@ -1,0 +1,45 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh
+(the reference has no distributed machinery to mirror — SURVEY.md §2.17)."""
+
+import jax
+import numpy as np
+import pytest
+
+from helpers import make_synthetic_sequence
+from pysteps_tpu import nowcasts
+from pysteps_tpu.parallel import ens_sharding, make_mesh, shard_ensemble
+
+
+def test_make_mesh_axes():
+    mesh = make_mesh(ens=4, y=2, x=1)
+    assert mesh.axis_names == ("ens", "y", "x")
+    assert mesh.devices.shape == (4, 2, 1)
+
+
+def test_shard_ensemble_places_on_devices():
+    mesh = make_mesh(ens=8)
+    arr = np.arange(8 * 4 * 4, dtype=np.float32).reshape(8, 4, 4)
+    sharded = shard_ensemble(arr, mesh)
+    assert len(sharded.sharding.device_set) == 8
+
+
+def test_sharded_steps_matches_unsharded():
+    frames = make_synthetic_sequence(n_frames=3, shape=(64, 64), velocity=(2.0, 1.0), seed=0)
+    db = np.where(
+        frames >= 0.1, 10 * np.log10(np.maximum(frames, 0.1)), -15.0
+    ).astype(np.float32)
+    velocity = np.zeros((2, 64, 64), np.float32)
+    velocity[0], velocity[1] = 2.0, 1.0
+    kwargs = dict(
+        n_ens_members=8, n_cascade_levels=6, precip_thr=-10.0,
+        kmperpixel=1.0, timestep=5, seed=11,
+    )
+    fc_plain = np.asarray(
+        nowcasts.get_method("steps")(db, velocity, 2, **kwargs)
+    )
+    mesh = make_mesh(ens=8)
+    fc_sharded = np.asarray(
+        nowcasts.get_method("steps")(db, velocity, 2, mesh=mesh, **kwargs)
+    )
+    assert fc_sharded.shape == (8, 2, 64, 64)
+    np.testing.assert_allclose(fc_plain, fc_sharded, atol=1e-4)
