@@ -29,7 +29,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from pysteps_tpu import cascade, extrapolation, noise, utils
-from pysteps_tpu.cascade.decomposition import decompose_core, recompose_core
+from pysteps_tpu.cascade.decomposition import (
+    decompose_core,
+    decompose_spectral_core,
+    recompose_core,
+    recompose_spectral_core,
+)
 from pysteps_tpu.extrapolation.semilagrangian import (
     integrate_displacement,
     model_warp,
@@ -158,19 +163,40 @@ def _member_update(
 ):
     """One member's cascade update: noise -> AR -> recompose.
 
-    cascades_j: (k, p, m, n).  Returns (new cascades, recomposed field).
+    cascades_j: (k, p, m, n) spatial cascades, or complex (k, p, m, n//2+1)
+    spectral cascades (reference: steps.py:122-126 domain="spectral").  The
+    spectral path keeps the AR state in rfft2 half-planes: noise
+    decomposition is a broadcast multiply (no per-level inverse FFTs) and
+    only the recomposed output comes back through one irfft2 —
+    2 FFTs per member-step instead of k+1.
     """
     has_noise = cfg_flags["noise"]
+    spectral = cfg_flags.get("spectral", False)
+    shape = cfg_flags.get("shape", noise_filt_shape)
     if has_noise:
-        eps = _generate_fft_noise(
-            key, noise_filt, noise_filt_shape, use_full_fft
-        )
-        eps_levels, _, _ = decompose_core(eps, weights_2d, normalize=True)
+        if spectral:
+            eps_fft = _generate_fft_noise(
+                key, noise_filt, noise_filt_shape, use_full_fft,
+                domain="spectral",
+            )
+            eps_levels, _, _ = decompose_spectral_core(
+                eps_fft, weights_2d, shape, normalize=True
+            )
+        else:
+            eps = _generate_fft_noise(
+                key, noise_filt, noise_filt_shape, use_full_fft
+            )
+            eps_levels, _, _ = decompose_core(eps, weights_2d, normalize=True)
         eps_levels = eps_levels * noise_std_coeffs[:, None, None]
     else:
         eps_levels = None
     cascades_j = autoregression.iterate_ar_model(cascades_j, phi, eps=eps_levels)
-    field = recompose_core(cascades_j[:, -1], means_last, stds_last)
+    if spectral:
+        field = recompose_spectral_core(
+            cascades_j[:, -1], means_last, stds_last, shape
+        )
+    else:
+        field = recompose_core(cascades_j[:, -1], means_last, stds_last)
     return cascades_j, field
 
 
@@ -617,8 +643,13 @@ def _steps_scan(
     member_chunk=None, max_disp=None,
 ):
     m, n = precip_last.shape
-    cfg_flags = {"noise": noise}
+    spectral = domain == "spectral"
+    cfg_flags = {"noise": noise, "spectral": spectral, "shape": (m, n)}
 
+    if spectral:
+        # lift the normalized spatial window into rfft2 half-planes once;
+        # the AR state then stays spectral for the whole scan
+        window = jnp.fft.rfft2(window)
     cascades0 = jnp.broadcast_to(window, (E,) + window.shape)
     mask_prec0 = jnp.broadcast_to(mask_prec_init, (E, m, n))
     det_window0 = window if need_det else None
@@ -631,7 +662,14 @@ def _steps_scan(
         # deterministic AR evolution (for sprog mask / no-noise path)
         if det_window is not None:
             det_window = autoregression.iterate_ar_model(det_window, phi)
-            det_field = recompose_core(det_window[:, -1], means_last, stds_last)
+            if spectral:
+                det_field = recompose_spectral_core(
+                    det_window[:, -1], means_last, stds_last, (m, n)
+                )
+            else:
+                det_field = recompose_core(
+                    det_window[:, -1], means_last, stds_last
+                )
             sprog_m = nowcast_utils.compute_percentile_mask(det_field, war)
         else:
             det_field = None

@@ -54,7 +54,7 @@ def rapsd(field, return_freq=False, d=1.0, normalize=False, fft=True):
 def mean(X, shape):
     """Spatial mean from the rfft2/fft2 of a field via the DC bin
     (reference: pysteps/utils/spectral.py:79)."""
-    return jnp.real(X[..., 0, 0]) / (shape[0] * shape[1])
+    return jnp.real(X[..., 0, 0]) / float(shape[0] * shape[1])
 
 
 def std(X, shape, use_full_fft=False):
@@ -67,7 +67,7 @@ def std(X, shape, use_full_fft=False):
             res = res + jnp.sum(jnp.abs(X[..., :, 1:]) ** 2, axis=(-2, -1))
         else:
             res = res + jnp.sum(jnp.abs(X[..., :, 1:-1]) ** 2, axis=(-2, -1))
-    return jnp.sqrt(res / (shape[0] * shape[1]) ** 2)
+    return jnp.sqrt(res / float(shape[0] * shape[1]) ** 2)
 
 
 def corrcoef(X, Y, shape, use_full_fft=False):

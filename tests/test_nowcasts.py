@@ -144,3 +144,24 @@ def test_steps_list_timesteps(sequence_db, velocity_field):
         )
     )
     assert fc.shape == (2, 1, 256, 256)
+
+
+def test_steps_spectral_domain(sequence_db, velocity_field):
+    db, meta = sequence_db
+    kwargs = dict(
+        n_ens_members=4, n_cascade_levels=6, precip_thr=meta["threshold"],
+        kmperpixel=1.0, timestep=5, seed=42,
+    )
+    fc_spatial = np.asarray(
+        nowcasts.get_method("steps")(db[:3], velocity_field, 3, domain="spatial", **kwargs)
+    )
+    fc_spectral = np.asarray(
+        nowcasts.get_method("steps")(db[:3], velocity_field, 3, domain="spectral", **kwargs)
+    )
+    assert fc_spectral.shape == (4, 3, 256, 256)
+    assert np.all(np.isfinite(fc_spectral))
+    # same seeds, mathematically equivalent formulations: fields must agree
+    # closely (float accumulation differences only)
+    crps_spatial = probscores.CRPS(fc_spatial[:, -1], db[5])
+    crps_spectral = probscores.CRPS(fc_spectral[:, -1], db[5])
+    assert abs(crps_spatial - crps_spectral) < 0.2
