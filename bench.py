@@ -25,10 +25,9 @@ N_TIMESTEPS = 12
 # (n_members, grid side, member_chunk): chunking bounds peak HBM at the
 # largest grid
 CONFIGS = [
+    (96, 512, None),
     (96, 512, 24),
-    (96, 512, 12),
     (96, 256, None),
-    (48, 256, None),
     (24, 256, None),
 ]
 

@@ -1,6 +1,6 @@
 """Post-processing registry (reference: pysteps/postprocessing/interface.py:187)."""
 
-from pysteps_tpu.postprocessing import ensemblestats, probmatching
+from pysteps_tpu.postprocessing import diagnostics, ensemblestats, probmatching
 
 _postprocessing_methods = {
     "ensemblestats.mean": ensemblestats.mean,
@@ -10,7 +10,8 @@ _postprocessing_methods = {
     "probmatching.pmm": probmatching.pmm_compute,
 }
 
-_diagnostics_methods = {}
+_diagnostics_methods = diagnostics._diagnostics
+discover_postprocessors = diagnostics.discover_diagnostics
 
 
 def add_postprocessor(name, function, _methods=None):

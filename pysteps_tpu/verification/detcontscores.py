@@ -45,6 +45,7 @@ def det_cont_fct(pred, obs, scores="", axis=None, conditioning=None, thr=0.0):
         "beta1": cov / jnp.maximum(obs_var, 1e-12),
         "beta2": cov / jnp.maximum(pred_var, 1e-12),
         "corr_p": cov / jnp.maximum(jnp.sqrt(obs_var * pred_var), 1e-12),
+        "corr_s": _spearman(pred, obs, valid),
         "RV": 1.0 - mse / jnp.maximum(obs_var, 1e-12),
         "scatter": _scatter(pred, obs, valid),
     }
@@ -59,6 +60,26 @@ def det_cont_fct(pred, obs, scores="", axis=None, conditioning=None, thr=0.0):
     if len(picked) == 1:
         return list(picked.values())[0]
     return picked
+
+
+def _spearman(pred, obs, valid):
+    # rank correlation via double argsort over the valid samples (invalid
+    # entries pushed to the end with equal ranks, cancelling in the mean)
+    p = jnp.where(valid, pred, jnp.inf).ravel()
+    o = jnp.where(valid, obs, jnp.inf).ravel()
+    def ranks(x):
+        order = jnp.argsort(x)
+        r = jnp.zeros_like(order).at[order].set(jnp.arange(x.size))
+        return r.astype(jnp.float32)
+    rp, ro = ranks(p), ranks(o)
+    w = valid.ravel().astype(jnp.float32)
+    cnt = jnp.maximum(jnp.sum(w), 1.0)
+    mp = jnp.sum(rp * w) / cnt
+    mo = jnp.sum(ro * w) / cnt
+    cov = jnp.sum((rp - mp) * (ro - mo) * w)
+    vp = jnp.sum((rp - mp) ** 2 * w)
+    vo = jnp.sum((ro - mo) ** 2 * w)
+    return cov / jnp.maximum(jnp.sqrt(vp * vo), 1e-12)
 
 
 def _scatter(pred, obs, valid):
