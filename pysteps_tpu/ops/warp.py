@@ -179,9 +179,31 @@ def warp_shifted(field, displacement, max_disp, mode="constant", cval=jnp.nan):
     return out
 
 
-def sample_velocity_shifted(velocity, displacement, max_disp):
+def sample_velocity_shifted(velocity, displacement, max_disp, coarse=4):
     """Edge-clamped bilinear sampling of a (2, m, n) velocity field at
-    displaced positions using the shift-decomposition warp."""
+    displaced positions using the shift-decomposition warp.
+
+    The velocity field is smooth (IDW/sector-interpolated by the motion
+    solvers), so with ``coarse`` > 1 the sampling runs on a block-averaged
+    grid and the result is bilinearly upsampled — an O(coarse^3) cost
+    reduction with O(coarse^2 * d2v) error, negligible for nowcasting
+    flows."""
+    import jax as _jax
+
+    m, n = velocity.shape[1:]
+    if coarse > 1 and m % coarse == 0 and n % coarse == 0:
+        mc, nc = m // coarse, n // coarse
+        # velocity VALUES stay in full-resolution pixel units; only the
+        # sampling coordinates convert to the coarse grid
+        vel_c = jnp.mean(velocity.reshape(2, mc, coarse, nc, coarse), axis=(2, 4))
+        disp_c = (
+            jnp.mean(displacement.reshape(2, mc, coarse, nc, coarse), axis=(2, 4))
+            / coarse
+        )
+        Dc = max(int(-(-max_disp // coarse)), 1)
+        sx = warp_shifted(vel_c[0], disp_c, Dc, mode="nearest")
+        sy = warp_shifted(vel_c[1], disp_c, Dc, mode="nearest")
+        return _jax.image.resize(jnp.stack([sx, sy]), (2, m, n), method="bilinear")
     vx = warp_shifted(velocity[0], displacement, max_disp, mode="nearest")
     vy = warp_shifted(velocity[1], displacement, max_disp, mode="nearest")
     return jnp.stack([vx, vy])
