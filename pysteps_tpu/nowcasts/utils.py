@@ -117,9 +117,9 @@ def binned_timesteps(timesteps):
         raise ValueError("negative timesteps are not allowed")
     num_bins = int(np.ceil(max(timesteps)))
     bins = [[] for _ in range(num_bins + 1)]
-    for t in timesteps:
+    for i, t in enumerate(timesteps):
         b = int(np.ceil(t))
-        bins[b].append(t)
+        bins[b].append(i)
     return bins
 
 
@@ -152,3 +152,134 @@ def print_corrcoefs(gamma):
             f"| Level {i + 1}: "
             + " ".join(f"gamma_{k + 1}={v: .6f}" for k, v in enumerate(gamma[i]))
         )
+
+
+def nowcast_main_loop(
+    precip,
+    velocity,
+    state,
+    timesteps,
+    extrap_method,
+    func,
+    extrap_kwargs=None,
+    velocity_pert_gen=None,
+    params=None,
+    ensemble=False,
+    num_ensemble_members=1,
+    callback=None,
+    return_output=True,
+    num_workers=1,
+    measure_time=False,
+):
+    """Host-level main loop for custom advection-based models
+    (reference: nowcasts/utils.py:265-533).
+
+    The built-in models fuse this loop into their jitted scans; this
+    generic version supports external ``func(state, params)`` iterators
+    with irregular/fractional timesteps, temporal interpolation, cached
+    per-member displacement chains and optional velocity perturbations.
+    """
+    import time as _time
+
+    from pysteps_tpu import extrapolation as _extrap
+
+    extrap_kwargs = dict(extrap_kwargs or {})
+    extrapolator = _extrap.get_method(extrap_method)
+
+    if isinstance(timesteps, int):
+        bins = [[t] for t in range(timesteps + 1)]
+        timestep_type = "int"
+        original_timesteps = None
+    else:
+        original_timesteps = list(timesteps)
+        bins = binned_timesteps(original_timesteps)
+        timestep_type = "list"
+
+    state_cur = state
+    precip_forecast_prev = None
+    displacement = None
+    t_prev = 0.0
+    t_total = 0.0
+    out = None
+    start_total = _time.time()
+
+    for t, subtimestep_idx in enumerate(bins):
+        if timestep_type == "list":
+            subtimesteps = [original_timesteps[i] for i in subtimestep_idx]
+        else:
+            subtimesteps = [t] if t > 0 else []
+
+        if t > 0 or (timestep_type == "list" and subtimesteps):
+            precip_forecast_new, state_new = func(state_cur, params)
+        else:
+            precip_forecast_new, state_new = None, state_cur
+
+        if precip_forecast_new is not None and not ensemble:
+            precip_forecast_new = np.asarray(precip_forecast_new)[np.newaxis]
+        elif precip_forecast_new is not None:
+            precip_forecast_new = np.asarray(precip_forecast_new)
+
+        for t_sub in subtimesteps:
+            if t_sub <= 0:
+                continue
+            frac = t_sub - int(t_sub)
+            if frac > 0.0 and precip_forecast_prev is not None:
+                field_ip = (
+                    (1.0 - frac) * precip_forecast_prev
+                    + frac * precip_forecast_new
+                )
+            else:
+                field_ip = precip_forecast_new
+            t_diff = t_sub - t_prev
+            t_total += t_diff
+            if displacement is None:
+                displacement = [None] * field_ip.shape[0]
+            if out is None and return_output:
+                out = [[] for _ in range(field_ip.shape[0])]
+            cur = []
+            for i in range(field_ip.shape[0]):
+                ek = dict(extrap_kwargs)
+                ek["displacement_prev"] = displacement[i]
+                ek["allow_nonfinite_values"] = bool(
+                    np.any(~np.isfinite(field_ip[i]))
+                )
+                vel = velocity
+                if velocity_pert_gen is not None:
+                    vel = velocity + velocity_pert_gen[i](t_total)
+                ep, displacement[i] = extrapolator(
+                    field_ip[i], vel, [t_diff], return_displacement=True, **ek
+                )
+                cur.append(np.asarray(ep[0]))
+                if return_output:
+                    out[i].append(np.asarray(ep[0]))
+            if callback is not None:
+                callback(np.stack(cur))
+            t_prev = t_sub
+
+        if not subtimesteps and t > 0:
+            # advance the displacement chains by one step
+            t_diff = t + 1 - t_prev
+            t_total += t_diff
+            if displacement is None:
+                displacement = [None] * (
+                    precip_forecast_new.shape[0] if precip_forecast_new is not None else 1
+                )
+            for i in range(len(displacement)):
+                ek = dict(extrap_kwargs)
+                ek["displacement_prev"] = displacement[i]
+                _, displacement[i] = extrapolator(
+                    None, velocity, [t_diff], return_displacement=True, **ek
+                )
+            t_prev = t + 1
+
+        if precip_forecast_new is not None:
+            precip_forecast_prev = precip_forecast_new
+        state_cur = state_new
+
+    if return_output and out is not None:
+        out = np.stack([np.stack(o) for o in out])
+        if not ensemble:
+            out = out[0]
+    if measure_time:
+        return out, _time.time() - start_total
+    return out

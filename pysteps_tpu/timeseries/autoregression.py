@@ -127,6 +127,125 @@ def estimate_ar_params_ols(
     return jnp.concatenate([phi_main, jnp.array([phi_pert])])
 
 
+def estimate_ar_params_ols_localized(
+    x, p, window_radius, d=0, include_constant_term=False, h=0, lam=0.0,
+    window="gaussian",
+):
+    """Per-pixel OLS AR(p) fit with Gaussian moving-window weighting
+    (reference: autoregression.py:235).  x: (n, m, n_cols).
+    Returns (p+1, m, n_cols) parameter maps (last = innovation std)."""
+    import jax
+
+    x = jnp.asarray(x)
+    if d == 1:
+        x = jnp.diff(x, axis=0)
+    n = x.shape[0]
+    if n < p + 1:
+        raise ValueError(f"{n} samples insufficient for AR({p})")
+
+    from pysteps_tpu.timeseries.correlation import (
+        _gaussian_kernel1d,
+        _sep_conv2d,
+        _uniform_kernel1d,
+    )
+
+    k1d = (
+        _gaussian_kernel1d(window_radius)
+        if window == "gaussian"
+        else _uniform_kernel1d(window_radius)
+    )
+    smooth = lambda f: _sep_conv2d(f, k1d)  # noqa: E731
+
+    # localized normal equations: A[i,j] = <x_{t-i-1} x_{t-j-1}>_w,
+    # b[i] = <x_t x_{t-i-1}>_w, accumulated over time
+    A = jnp.zeros((p, p) + x.shape[1:])
+    b = jnp.zeros((p,) + x.shape[1:])
+    for t in range(p, n):
+        for i in range(p):
+            b = b.at[i].add(smooth(x[t] * x[t - i - 1]))
+            for j in range(i, p):
+                val = smooth(x[t - i - 1] * x[t - j - 1])
+                A = A.at[i, j].add(val)
+                if j != i:
+                    A = A.at[j, i].add(val)
+    A = A + lam * jnp.eye(p)[..., None, None]
+    # per-pixel p x p solve
+    A_px = jnp.moveaxis(A.reshape(p, p, -1), -1, 0)
+    b_px = jnp.moveaxis(b.reshape(p, -1), -1, 0)
+    phi_px = jnp.linalg.solve(A_px, b_px[..., None])[..., 0]
+    phi = jnp.moveaxis(phi_px, 0, -1).reshape((p,) + x.shape[1:])
+    # innovation std from localized residual power
+    resid_pow = jnp.zeros(x.shape[1:])
+    for t in range(p, n):
+        pred = sum(phi[i] * x[t - i - 1] for i in range(p))
+        resid_pow = resid_pow + smooth((x[t] - pred) ** 2)
+    phi_pert = jnp.sqrt(resid_pow / max(n - p, 1))
+    if d == 1:
+        phi = _differenced_to_undifferenced(jnp.moveaxis(phi, 0, -1))
+        phi = jnp.moveaxis(phi, -1, 0)
+    return jnp.concatenate([phi, phi_pert[None]], axis=0)
+
+
+def estimate_var_params_ols(
+    x, p, d=0, check_stationarity=True, include_constant_term=False, h=0, lam=0.0
+):
+    """OLS VAR(p) fit from a (n, q, ...) q-variate series
+    (reference: autoregression.py:558).  Returns a list of (q, q) matrices
+    Phi_1..Phi_p plus the innovation covariance factor."""
+    x = jnp.asarray(x)
+    if d == 1:
+        x = jnp.diff(x, axis=0)
+    n, q = x.shape[:2]
+    flat = x.reshape(n, q, -1)
+    X_rows, Y_rows = [], []
+    for t in range(p, n):
+        X_rows.append(
+            jnp.concatenate([flat[t - i - 1] for i in range(p)], axis=0).T
+        )  # (npix, q*p)
+        Y_rows.append(flat[t].T)  # (npix, q)
+    X = jnp.concatenate(X_rows, axis=0)
+    Y = jnp.concatenate(Y_rows, axis=0)
+    XtX = X.T @ X + lam * jnp.eye(q * p)
+    B = jnp.linalg.solve(XtX, X.T @ Y)  # (q*p, q)
+    phi = [B[i * q : (i + 1) * q].T for i in range(p)]
+    resid = Y - X @ B
+    sigma = resid.T @ resid / max(X.shape[0] - 1, 1)
+    w, V = jnp.linalg.eigh((sigma + sigma.T) / 2)
+    phi.append(V @ jnp.diag(jnp.sqrt(jnp.maximum(w, 0.0))) @ V.T)
+    if check_stationarity and not test_var_stationarity(
+        [np.asarray(m) for m in phi[:p]]
+    ):
+        raise RuntimeError("nonstationary VAR(p) process")
+    return phi
+
+
+def estimate_var_params_yw_localized(gamma, d=0):
+    """Per-pixel Yule-Walker VAR fit from localized correlation-matrix maps
+    (reference: autoregression.py:939).  gamma: list of (q, q, m, n) maps."""
+    gamma = [jnp.asarray(g) for g in gamma]
+    q = gamma[0].shape[0]
+    p = len(gamma) - 1
+    spatial = gamma[0].shape[2:]
+    # per-pixel block system
+    G = jnp.zeros((p * q, p * q) + spatial)
+    for i in range(p):
+        for j in range(p):
+            blk = gamma[abs(i - j)]
+            if i > j:
+                blk = jnp.swapaxes(blk, 0, 1)
+            G = G.at[i * q : (i + 1) * q, j * q : (j + 1) * q].set(blk)
+    b = jnp.concatenate(
+        [jnp.swapaxes(gamma[i], 0, 1) for i in range(1, p + 1)], axis=0
+    )
+    G_px = jnp.moveaxis(G.reshape(p * q, p * q, -1), -1, 0)
+    b_px = jnp.moveaxis(b.reshape(p * q, q, -1), -1, 0)
+    x_px = jnp.linalg.solve(G_px, b_px)
+    x = jnp.moveaxis(x_px, 0, -1).reshape((p * q, q) + spatial)
+    phi = [x[i * q : (i + 1) * q] for i in range(p)]
+    phi.append(jnp.zeros((q, q) + spatial))
+    return phi
+
+
 def iterate_ar_model(x, phi, eps=None):
     """One AR(p) step over a sliding window stack
     (reference: autoregression.py:1020).

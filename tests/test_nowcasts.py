@@ -165,3 +165,23 @@ def test_steps_spectral_domain(sequence_db, velocity_field):
     crps_spatial = probscores.CRPS(fc_spatial[:, -1], db[5])
     crps_spectral = probscores.CRPS(fc_spectral[:, -1], db[5])
     assert abs(crps_spatial - crps_spectral) < 0.2
+
+
+def test_nowcast_main_loop_generic(sequence_db, velocity_field):
+    """The generic host main loop (reference parity API) drives a custom
+    Eulerian-decay model with fractional timesteps."""
+    from pysteps_tpu.nowcasts.utils import nowcast_main_loop
+
+    db, meta = sequence_db
+    state = {"field": db[2].copy()}
+
+    def func(state, params):
+        state = {"field": state["field"] * 0.95}
+        return state["field"], state
+
+    out = nowcast_main_loop(
+        db[2], velocity_field, state, [0.5, 1.0, 2.5], "semilagrangian", func,
+        extrap_kwargs={"outval": float(np.nanmin(db))},
+    )
+    assert out.shape == (3, 256, 256)
+    assert np.all(np.isfinite(out[:, 64:-64, 64:-64]))
