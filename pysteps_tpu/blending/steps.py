@@ -131,7 +131,7 @@ def blend_means_sigmas(means, sigmas, weights):
     jax.jit,
     static_argnames=(
         "int_steps", "mask_method", "probmatching", "resample_distribution",
-        "mask_rim", "struct_radius", "E", "noise_filt_shape",
+        "mask_rim", "struct_radius", "E", "noise_filt_shape", "external",
     ),
 )
 def _blending_scan(
@@ -141,6 +141,7 @@ def _blending_scan(
     radar_means, radar_sigmas, precip_last, precip_min, precip_thr,
     domain_mask, smooth_mask, int_steps, mask_method, probmatching,
     resample_distribution, mask_rim, struct_radius, E, noise_filt_shape,
+    external=False, ext_cascades=None, ext_means=None, ext_sigmas=None,
 ):
     """The blended forecast loop.
 
@@ -161,7 +162,7 @@ def _blending_scan(
     def step(carry, t):
         cascades, noise_casc, mask_prec, keys, displacement = carry
 
-        def member(key, casc_j, noise_j, mask_j, disp_j, model_j):
+        def member(key, casc_j, noise_j, mask_j, disp_j, model_j, ext_j):
             key, k_noise = jax.random.split(key)
             # --- noise generation + AR evolution (reference: :2259) ---
             eps = _generate_fft_noise(k_noise, noise_filt, noise_filt_shape, False)
@@ -173,9 +174,15 @@ def _blending_scan(
             # --- advect both Lagrangian components (reference: :2349) ---
             vel_j = velocity_blend[t, model_j]
             disp_j = integrate_displacement(vel_j, disp_j, 1.0)
-            extrap_lvls = jax.vmap(
-                lambda f: warp(f, disp_j, order=1, cval=0.0)
-            )(casc_j[:, -1])
+            if external:
+                # externally supplied nowcast ensemble: already advected
+                # (reference: nowcasting_method="external_nowcast",
+                # blending/steps.py:113-121,676-700)
+                extrap_lvls = ext_j
+            else:
+                extrap_lvls = jax.vmap(
+                    lambda f: warp(f, disp_j, order=1, cval=0.0)
+                )(casc_j[:, -1])
             noise_lvls = jax.vmap(
                 lambda f: warp(f, disp_j, order=1, cval=0.0)
             )(noise_j[:, -1])
@@ -190,8 +197,14 @@ def _blending_scan(
             ) / jnp.maximum(jnp.sum(w, axis=0)[:, None, None], 1e-12)
 
             # --- blend means/sigmas + recompose (reference: :3038, :4093) ---
-            means = jnp.stack([radar_means, nwp_means[t, model_j]])
-            sigmas = jnp.stack([radar_sigmas, nwp_sigmas[t, model_j]])
+            if external:
+                r_means = ext_means[t]
+                r_sigmas = ext_sigmas[t]
+            else:
+                r_means = radar_means
+                r_sigmas = radar_sigmas
+            means = jnp.stack([r_means, nwp_means[t, model_j]])
+            sigmas = jnp.stack([r_sigmas, nwp_sigmas[t, model_j]])
             w_ms = jnp.stack([w[0], w[1], w[2]])
             c_means, c_sigmas = blend_means_sigmas(means, sigmas, w_ms)
             field = jnp.sum(
@@ -247,9 +260,13 @@ def _blending_scan(
 
             return key, casc_j, noise_j, mask_j, disp_j, field
 
+        if external:
+            ext_t = ext_cascades[t]  # (E, k, m, n)
+        else:
+            ext_t = jnp.zeros((E, 1, 1, 1))
         keys, cascades, noise_casc, mask_prec, displacement, outs = jax.vmap(
             member
-        )(keys, cascades, noise_casc, mask_prec, displacement, member_model)
+        )(keys, cascades, noise_casc, mask_prec, displacement, member_model, ext_t)
         return (cascades, noise_casc, mask_prec, keys, displacement), outs
 
     carry0 = (cascades0, noise0, mask_prec0, member_keys, displacement0)
@@ -298,6 +315,7 @@ def forecast(
     clim_kwargs=None,
     mask_kwargs=None,
     measure_time=False,
+    precip_nowcast=None,
 ):
     """STEPS blending forecast (reference: blending/steps.py:3383).
 
@@ -305,6 +323,10 @@ def forecast(
     precip_models: (n_models, T+1, m, n) raw NWP fields in the same units
     (decomposed internally), or (n_models, m, n) static fields repeated.
     velocity_models: (n_models, 2, m, n).
+    precip_nowcast: optional externally computed nowcast ensemble
+    (n_ens_members, T, m, n) used as the extrapolation component instead
+    of the internal AR cascade (reference:
+    nowcasting_method="external_nowcast", blending/steps.py:113-121).
     Returns (n_ens_members, T, m, n).
     """
     t0 = time.time()
@@ -521,6 +543,35 @@ def forecast(
         )
     )(jnp.arange(n_ens_members))
 
+    # external nowcast: decompose the supplied ensemble per member/step
+    external = precip_nowcast is not None
+    if external:
+        precip_nowcast = np.asarray(precip_nowcast, np.float32)
+        if precip_nowcast.shape[0] != n_ens_members:
+            raise ValueError(
+                "precip_nowcast must have n_ens_members members"
+            )
+        pn = np.where(np.isfinite(precip_nowcast), precip_nowcast, precip_min)
+        dec_ext = jax.jit(
+            jax.vmap(
+                jax.vmap(
+                    lambda f: decompose_core(f, weights_2d, normalize=True)
+                )
+            )
+        )
+        ext_levels, ext_means_em, ext_sigmas_em = dec_ext(
+            jnp.asarray(pn[:, :int_steps])
+        )  # (E, T, k, ...)
+        ext_cascades = jnp.swapaxes(ext_levels, 0, 1).astype(jnp.float32)
+        ext_means = jnp.mean(
+            jnp.swapaxes(ext_means_em, 0, 1), axis=1
+        ).astype(jnp.float32)  # (T, k)
+        ext_sigmas = jnp.mean(
+            jnp.swapaxes(ext_sigmas_em, 0, 1), axis=1
+        ).astype(jnp.float32)
+    else:
+        ext_cascades = ext_means = ext_sigmas = None
+
     init_time = time.time() - t0
     t1 = time.time()
     out = _blending_scan(
@@ -557,6 +608,10 @@ def forecast(
         struct_radius,
         n_ens_members,
         (m, n),
+        external=external,
+        ext_cascades=ext_cascades,
+        ext_means=ext_means,
+        ext_sigmas=ext_sigmas,
     )
     np.asarray(out)
     loop_time = time.time() - t1

@@ -218,3 +218,26 @@ def test_pca_enkf_forecast(blending_data):
     assert np.all(np.isfinite(fc))
     crps = probscores.CRPS(fc[:, -1], db[5])
     assert crps < 3.0
+
+
+def test_steps_blending_external_nowcast(blending_data):
+    from pysteps_tpu import blending, nowcasts
+
+    db, velocity, nwp = blending_data
+    external = np.asarray(
+        nowcasts.get_method("steps")(
+            db[:3], velocity, 3, n_ens_members=4, precip_thr=-10.0,
+            kmperpixel=1.0, timestep=5, seed=3,
+        )
+    )
+    fc = np.asarray(
+        blending.get_method("steps")(
+            db[:3], nwp[None], velocity, velocity[None], 3, 5,
+            n_ens_members=4, precip_thr=-10.0, kmperpixel=1.0, seed=42,
+            precip_nowcast=external,
+        )
+    )
+    assert fc.shape == (4, 3, 128, 128)
+    assert np.all(np.isfinite(fc))
+    crps = probscores.CRPS(fc[:, -1], db[5])
+    assert crps < 3.0
