@@ -59,6 +59,7 @@ def _steps_kwargs(n_members):
         vel_pert_method="bps",
         mask_method="incremental",
         probmatching_method="cdf",
+        domain="spectral",
         seed=42,
     )
 

@@ -5,6 +5,11 @@ pysteps/examples/plot_ensemble_verification.py): run a STEPS ensemble,
 verify with rank histogram, reliability diagram and ROC.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import matplotlib
 
 matplotlib.use("Agg")

@@ -4,6 +4,11 @@ Optical-flow comparison example (reference:
 pysteps/examples/plot_optical_flow.py).
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import matplotlib
 
 matplotlib.use("Agg")

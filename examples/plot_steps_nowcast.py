@@ -6,6 +6,11 @@ it works offline; swap `datasets.load_dataset` for your own radar archive
 via pysteps_tpu.io.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import matplotlib
 
 matplotlib.use("Agg")

@@ -136,10 +136,8 @@ def extrapolate(
     return_displacement = kwargs.get("return_displacement", False)
     interp_order = kwargs.get("interp_order", 1)
 
-    if interp_order not in (0, 1):
-        raise NotImplementedError(
-            "interp_order must be 0 or 1 (cubic spline warp not implemented)"
-        )
+    if interp_order not in (0, 1, 3):
+        raise NotImplementedError("interp_order must be 0, 1 or 3")
 
     velocity = jnp.asarray(velocity, jnp.float32)
     if precip is None and not return_displacement:

@@ -209,10 +209,60 @@ def sample_velocity_shifted(velocity, displacement, max_disp, coarse=4):
     return jnp.stack([vx, vy])
 
 
+def _catmull_rom_weights(t):
+    """Catmull-Rom cubic kernel weights for the 4 taps around fraction t."""
+    t2 = t * t
+    t3 = t2 * t
+    w0 = -0.5 * t3 + t2 - 0.5 * t
+    w1 = 1.5 * t3 - 2.5 * t2 + 1.0
+    w2 = -1.5 * t3 + 2.0 * t2 + 0.5 * t
+    w3 = 0.5 * t3 - 0.5 * t2
+    return w0, w1, w2, w3
+
+
+def cubic_warp(field, coords_y, coords_x, mode="constant", cval=jnp.nan):
+    """Catmull-Rom bicubic sampling (interp_order=3).
+
+    The reference uses scipy's prefiltered cubic B-spline
+    (semilagrangian.py:225 order=3); Catmull-Rom is the interpolating C1
+    cubic that needs no prefilter — equally able to reproduce small-scale
+    variability, with slightly different ringing behaviour.
+    """
+    m, n = field.shape
+    y0 = jnp.floor(coords_y)
+    x0 = jnp.floor(coords_x)
+    ty = coords_y - y0
+    tx = coords_x - x0
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+
+    wy = _catmull_rom_weights(ty)
+    wx = _catmull_rom_weights(tx)
+
+    def gather(yi, xi):
+        yc = jnp.clip(yi, 0, m - 1)
+        xc = jnp.clip(xi, 0, n - 1)
+        return field[yc, xc]
+
+    out = jnp.zeros_like(coords_y)
+    for a in range(4):
+        row = jnp.zeros_like(coords_y)
+        for b in range(4):
+            row = row + wx[b] * gather(y0i + a - 1, x0i + b - 1)
+        out = out + wy[a] * row
+
+    if mode == "constant":
+        inside = (
+            (coords_y >= 0) & (coords_y <= m - 1) & (coords_x >= 0) & (coords_x <= n - 1)
+        )
+        out = jnp.where(inside, out, cval)
+    return out
+
+
 def warp(field, displacement, order=1, mode="constant", cval=jnp.nan):
     """Backward-warp a field by a (2, m, n) displacement (x, y components:
     displacement[0] columns, displacement[1] rows, matching the reference's
-    velocity layout)."""
+    velocity layout).  order: 0 nearest, 1 bilinear, 3 bicubic."""
     m, n = field.shape
     yy, xx = jnp.meshgrid(
         jnp.arange(m, dtype=displacement.dtype),
@@ -223,4 +273,6 @@ def warp(field, displacement, order=1, mode="constant", cval=jnp.nan):
     cx = xx + displacement[0]
     if order == 0:
         return nearest_warp(field, cy, cx, mode=mode, cval=cval)
+    if order == 3:
+        return cubic_warp(field, cy, cx, mode=mode, cval=cval)
     return bilinear_warp(field, cy, cx, mode=mode, cval=cval)

@@ -71,3 +71,24 @@ def test_eulerian_persistence():
     out = get_method("eulerian")(field, None, 3)
     assert out.shape == (3, 16, 16)
     np.testing.assert_allclose(np.asarray(out[2]), field)
+
+
+def test_cubic_interpolation_order3():
+    shape = (64, 64)
+    field = _gaussian_blob(shape, 32, 32, 6.0)
+    velocity = np.stack([np.full(shape, 1.3), np.full(shape, -0.7)])
+    out1 = np.asarray(
+        semilagrangian.extrapolate(field, velocity, 2, outval=0.0, interp_order=1)
+    )
+    out3 = np.asarray(
+        semilagrangian.extrapolate(field, velocity, 2, outval=0.0, interp_order=3)
+    )
+    assert out3.shape == (2, 64, 64)
+    # cubic tracks the true translated Gaussian more closely than linear
+    yy, xx = np.meshgrid(np.arange(64), np.arange(64), indexing="ij")
+    truth = np.exp(
+        -((yy - 32 + 1.4) ** 2 + (xx - 32 - 2.6) ** 2) / (2 * 6.0**2)
+    )
+    err1 = np.abs(out1[-1] - truth)[8:-8, 8:-8].max()
+    err3 = np.abs(out3[-1] - truth)[8:-8, 8:-8].max()
+    assert err3 < err1
