@@ -43,6 +43,10 @@ def _make_inputs(side):
     precip_db = np.where(
         precip >= 0.1, 10.0 * np.log10(np.maximum(precip, 0.1)), -15.0
     ).astype(np.float32)
+    # break the exact persistence of the synthetic translation (the
+    # reference's unclamped Yule-Walker solve is singular at gamma == 1)
+    rng = np.random.RandomState(7)
+    precip_db += 0.1 * rng.randn(*precip_db.shape).astype(np.float32)
     velocity = np.zeros((2, side, side), np.float32)
     velocity[0], velocity[1] = 2.0, 1.0
     return precip_db, velocity

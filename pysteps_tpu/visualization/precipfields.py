@@ -76,8 +76,10 @@ def plot_precip_field(
         interpolation="nearest",
     )
     if colorbar:
+        has_levels = clevs is not None and len(np.atleast_1d(clevs)) > 0
         cb = plt.colorbar(
-            im, ax=ax, cax=cax, ticks=clevs, extend="max" if clevs else "neither"
+            im, ax=ax, cax=cax, ticks=clevs,
+            extend="max" if (has_levels and ptype == "intensity") else "neither",
         )
         cb.set_label(units if ptype == "intensity" else "P(R > thr)")
     if title:

@@ -43,3 +43,24 @@ def test_sharded_steps_matches_unsharded():
     )
     assert fc_sharded.shape == (8, 2, 64, 64)
     np.testing.assert_allclose(fc_plain, fc_sharded, atol=1e-4)
+
+
+def test_sharded_warp_matches_single_device():
+    from pysteps_tpu.ops.warp import warp_shifted
+    from pysteps_tpu.parallel.halo import sharded_warp
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(0)
+    m = n = 64
+    field = jnp.asarray(rng.rand(m, n), jnp.float32)
+    yy, xx = np.meshgrid(np.arange(m), np.arange(n), indexing="ij")
+    disp = jnp.asarray(
+        np.stack([2.0 + 0.5 * np.sin(yy / 10.0), -1.5 + 0.5 * np.cos(xx / 9.0)]),
+        jnp.float32,
+    )
+    halo = 8
+    ref = warp_shifted(field, disp, halo, cval=0.0)
+    mesh = make_mesh(ens=1, y=8, x=1)
+    with jax.sharding.use_mesh(mesh) if hasattr(jax.sharding, "use_mesh") else mesh:
+        out = sharded_warp(field, disp, mesh, halo, cval=0.0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
