@@ -17,6 +17,10 @@ def enable(cache_dir=None):
     cache_dir = os.path.abspath(cache_dir)
     os.makedirs(cache_dir, exist_ok=True)
     try:
+        if jax.default_backend() == "cpu":
+            # CPU AOT entries bake in host ISA features; loading them on a
+            # different machine can SIGILL — cache only accelerator builds
+            return None
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
