@@ -33,7 +33,10 @@ from pysteps_tpu.noise.fftgenerators import (
 from pysteps_tpu.nowcasts import utils as nowcast_utils
 from pysteps_tpu.nowcasts.steps import _lagrangian_alignment
 from pysteps_tpu.ops.warp import warp
-from pysteps_tpu.postprocessing.probmatching import _match_cdf_core
+from pysteps_tpu.postprocessing.probmatching import (
+    _match_cdf_presorted,
+    _prepare_cdf_target,
+)
 from pysteps_tpu.timeseries import autoregression, correlation
 from pysteps_tpu.utils.check_norain import check_norain
 
@@ -88,6 +91,7 @@ def _sseps_scan(
 ):
     k_levels, p, m, n = window.shape
     cascades0 = jnp.broadcast_to(window, (E,) + window.shape)
+    pm_ranked, pm_zvalue = _prepare_cdf_target(precip_last)
     mask_prec0 = jnp.broadcast_to(mask_prec_init, (E, m, n))
     displacement0 = jnp.zeros((E, 2, m, n), jnp.float32)
 
@@ -113,7 +117,7 @@ def _sseps_scan(
                 field = jnp.where(mask_j > 0, field, fmin)
 
             if probmatching == "cdf":
-                field = _match_cdf_core(field, precip_last)
+                field = _match_cdf_presorted(field, pm_ranked, pm_zvalue)
 
             if mask_method == "incremental":
                 mask_j = nowcast_utils.compute_dilated_mask(

@@ -47,7 +47,11 @@ from pysteps_tpu.noise.motion import (
 )
 from pysteps_tpu.nowcasts import utils as nowcast_utils
 from pysteps_tpu.ops.warp import warp
-from pysteps_tpu.postprocessing.probmatching import _match_cdf_core
+from pysteps_tpu.postprocessing.probmatching import (
+    _match_cdf_core,
+    _match_cdf_presorted,
+    _prepare_cdf_target,
+)
 from pysteps_tpu.timeseries import autoregression, correlation
 from pysteps_tpu.utils import tapering as tapering_utils
 from pysteps_tpu.utils.check_norain import check_norain
@@ -651,6 +655,8 @@ def _steps_scan(
         # the AR state then stays spectral for the whole scan
         window = jnp.fft.rfft2(window)
     cascades0 = jnp.broadcast_to(window, (E,) + window.shape)
+    # the CDF-matching target is the fixed latest observation: sort once
+    pm_ranked, pm_zvalue = _prepare_cdf_target(precip_last)
     mask_prec0 = jnp.broadcast_to(mask_prec_init, (E, m, n))
     det_window0 = window if need_det else None
     displacement0 = jnp.zeros((E, 2, m, n), jnp.float32)
@@ -700,7 +706,7 @@ def _steps_scan(
 
             # --- probability matching ---
             if probmatching == "cdf":
-                field = _match_cdf_core(field, precip_last)
+                field = _match_cdf_presorted(field, pm_ranked, pm_zvalue)
             elif probmatching == "mean":
                 wet = field >= precip_thr
                 mu_fct = jnp.sum(jnp.where(wet, field, 0.0)) / jnp.maximum(

@@ -13,25 +13,23 @@ import numpy as np
 
 
 @jax.jit
-def _match_cdf_core(initial, target):
-    # two sorts total: one of the target (value table), one argsort of the
-    # forecast (ranks); the reference's wet-area-ratio quantile reuses the
-    # sorted target instead of a separate quantile pass
+def _match_cdf_presorted(initial, ranked, zvalue_trg):
+    """CDF matching against a pre-sorted target (the sorted observation is
+    constant across members and lead times, so the scans sort it once).
+
+    TPU-native rank plumbing: two ``sort_key_val`` passes instead of
+    argsort + gather/scatter (XLA gathers are scalar on TPU):
+    sort 1 pairs the forecast values with pixel ids; sort 2 routes the
+    ranked target values back to pixel order.
+    """
     shape = initial.shape
     init = initial.ravel()
-    targ = target.ravel()
     size = init.size
 
     zvalue = jnp.nanmin(init)
     idxzeros = init == zvalue
-    zvalue_trg = jnp.nanmin(targ)
-    targ = jnp.where(jnp.isnan(targ), zvalue_trg, targ)
 
-    ranked = jnp.sort(targ)
-
-    # match the wet-area ratio: if the target has more wet pixels than the
-    # initial field, zero out its lowest values (reference:
-    # probmatching.py:106-112)
+    # wet-area-ratio adjustment (reference: probmatching.py:106-112)
     n_wet_init = jnp.sum(init > zvalue)
     n_wet_trg = jnp.sum(ranked > zvalue_trg)
     war = n_wet_init / size
@@ -43,11 +41,25 @@ def _match_cdf_core(initial, target):
         (n_wet_trg > n_wet_init) & (ranked < p), zvalue_trg, ranked
     )
 
-    orderin = jnp.argsort(init)
-    ranks = jnp.zeros_like(orderin).at[orderin].set(jnp.arange(size))
-    out = ranked[ranks]
+    iota = jnp.arange(size, dtype=jnp.int32)
+    _, orderin = jax.lax.sort_key_val(init, iota)
+    _, out = jax.lax.sort_key_val(orderin, ranked)
     out = jnp.where(idxzeros, zvalue_trg, out)
     return out.reshape(shape)
+
+
+def _prepare_cdf_target(target):
+    """Sort + NaN-fill the matching target once; returns (ranked, zvalue)."""
+    targ = target.ravel()
+    zvalue_trg = jnp.nanmin(targ)
+    targ = jnp.where(jnp.isnan(targ), zvalue_trg, targ)
+    return jnp.sort(targ), zvalue_trg
+
+
+@jax.jit
+def _match_cdf_core(initial, target):
+    ranked, zvalue_trg = _prepare_cdf_target(target)
+    return _match_cdf_presorted(initial, ranked, zvalue_trg)
 
 
 def nonparam_match_empirical_cdf(initial_array, target_array, ignore_indices=None):
