@@ -12,9 +12,11 @@ Two layers:
   reference's contract (cascade_levels / means / stds / domain /
   normalized keys).
 
-The reference's ``compact_output`` spectral storage is a CPU memory
-optimization; on TPU the dense spectral path is already a single fused
-multiply, so compact storage is intentionally not implemented.
+The reference's ``compact_output`` spectral storage (keep only wavenumbers
+with filter weight > 1e-12 per level, reference: decomposition.py:240-243)
+is supported at the dict-API level: the compute path stays dense (ragged
+per-level arrays cannot live inside jit, and the dense spectral path is a
+single fused multiply on TPU), and the result is compacted on output.
 """
 
 import jax.numpy as jnp
@@ -106,13 +108,16 @@ def decomposition_fft(field, bp_filter, **kwargs):
     output_domain = kwargs.get("output_domain", "spatial")
     compute_stats = kwargs.get("compute_stats", True) or normalize
     subtract_mean = kwargs.get("subtract_mean", False)
+    compact_output = kwargs.get("compact_output", False) and (
+        output_domain == "spectral"
+    )
 
     field = jnp.asarray(field)
     weights_2d = bp_filter["weights_2d"]
     result = {
         "domain": output_domain,
         "normalized": normalize,
-        "compact_output": False,
+        "compact_output": compact_output,
     }
 
     if output_domain == "spectral":
@@ -140,7 +145,21 @@ def decomposition_fft(field, bp_filter, **kwargs):
             field, weights_2d, mask=mask, normalize=normalize
         )
 
-    result["cascade_levels"] = levels
+    if compact_output:
+        # store only the wavenumbers each filter actually touches
+        # (reference: decomposition.py:240-243); ragged per-level 1-D
+        # arrays, so this lives outside jit
+        import numpy as np
+
+        weight_masks = np.asarray(weights_2d) > 1e-12
+        levels_np = np.asarray(levels)
+        result["weight_masks"] = weight_masks
+        result["cascade_levels"] = [
+            jnp.asarray(levels_np[i][weight_masks[i]])
+            for i in range(levels_np.shape[0])
+        ]
+    else:
+        result["cascade_levels"] = levels
     if compute_stats:
         result["means"] = means
         result["stds"] = stds
@@ -150,6 +169,15 @@ def decomposition_fft(field, bp_filter, **kwargs):
 def recompose_fft(decomp, **kwargs):
     """Dict-API recomposition (reference: decomposition.py:264)."""
     levels = decomp["cascade_levels"]
+    if decomp.get("compact_output"):
+        # scatter each compact level back to its dense half-plane
+        import numpy as np
+
+        weight_masks = np.asarray(decomp["weight_masks"])
+        dense = np.zeros(weight_masks.shape, dtype=np.complex64)
+        for i in range(weight_masks.shape[0]):
+            dense[i][weight_masks[i]] = np.asarray(levels[i])
+        levels = jnp.asarray(dense)
     if decomp["domain"] == "spectral":
         shape = kwargs.get("shape")
         if shape is None:

@@ -80,3 +80,20 @@ def test_decompose_masked_stats(bp_filter):
     mk = np.asarray(mask)
     np.testing.assert_allclose(float(means[2]), lv[mk].mean(), atol=1e-5)
     np.testing.assert_allclose(float(stds[2]), lv[mk].std(), atol=1e-4)
+
+
+def test_compact_output_roundtrip():
+    rng = np.random.RandomState(0)
+    field = rng.randn(64, 64).astype(np.float32)
+    bp = bandpass_filters.filter_gaussian((64, 64), 6)
+    d_comp = decomposition.decomposition_fft(
+        field, bp, output_domain="spectral", normalize=True, compact_output=True
+    )
+    assert d_comp["compact_output"] is True
+    assert isinstance(d_comp["cascade_levels"], list)
+    n_comp = sum(np.asarray(lvl).size for lvl in d_comp["cascade_levels"])
+    assert n_comp < 6 * 64 * 33  # strictly fewer coefficients than dense
+    recomposed = np.fft.irfft2(
+        np.asarray(decomposition.recompose_fft(d_comp)), s=(64, 64)
+    )
+    np.testing.assert_allclose(recomposed, field, atol=1e-3)
