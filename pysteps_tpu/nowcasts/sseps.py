@@ -24,6 +24,11 @@ import numpy as np
 from pysteps_tpu import cascade, noise
 from pysteps_tpu.cascade.decomposition import decompose_core
 from pysteps_tpu.extrapolation.semilagrangian import integrate_displacement, model_warp
+from pysteps_tpu.noise.motion import (
+    _laplace,
+    get_default_params_bps_par,
+    get_default_params_bps_perp,
+)
 from pysteps_tpu.noise.fftgenerators import (
     _generate_ssft_noise,
     _get_mask,
@@ -81,13 +86,18 @@ def _window_params(cascades, weights, war, war_thr, g_gamma, ar_order):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("int_steps", "mask_method", "probmatching", "mask_rim", "struct_radius", "E", "max_disp"),
+    static_argnames=(
+        "int_steps", "mask_method", "probmatching", "mask_rim",
+        "struct_radius", "E", "max_disp", "vel_pert", "p_par", "p_perp",
+        "vsf", "timestep_min",
+    ),
 )
 def _sseps_scan(
     window, mask_prec_init, member_keys, velocity, phi_map, mu_map, sigma_map,
     ssft_filt, ssft_masks, weights_2d, precip_last, precip_min, precip_thr,
-    domain_mask, int_steps, mask_method, probmatching, mask_rim,
-    struct_radius, E, max_disp=None,
+    domain_mask, eps_par, eps_perp, V_n, V_perp, int_steps, mask_method,
+    probmatching, mask_rim, struct_radius, E, max_disp=None, vel_pert=False,
+    p_par=None, p_perp=None, vsf=1.0, timestep_min=1.0,
 ):
     k_levels, p, m, n = window.shape
     cascades0 = jnp.broadcast_to(window, (E,) + window.shape)
@@ -95,10 +105,11 @@ def _sseps_scan(
     mask_prec0 = jnp.broadcast_to(mask_prec_init, (E, m, n))
     displacement0 = jnp.zeros((E, 2, m, n), jnp.float32)
 
-    def step(carry, _):
+    def step(carry, t):
         cascades, mask_prec, keys, displacement = carry
+        t_total = (t + 1.0) * timestep_min
 
-        def member(key, casc_j, mask_j, disp_j):
+        def member(key, casc_j, mask_j, disp_j, eps_par_j, eps_perp_j):
             key, k_noise = jax.random.split(key)
             eps = _generate_ssft_noise(k_noise, ssft_filt, ssft_masks, (m, n))
             eps_levels, _, _ = decompose_core(eps, weights_2d, normalize=True)
@@ -124,20 +135,37 @@ def _sseps_scan(
                     field >= precip_thr, struct_radius, mask_rim
                 )
 
+            # BPS velocity perturbation (reference: sseps.py vp_par/vp_perp)
+            if vel_pert:
+                a1, b1, c1 = p_par
+                a2, b2, c2 = p_perp
+                g_par = a1 * t_total**b1 + c1
+                g_perp = a2 * t_total**b2 + c2
+                vel_j = velocity + (
+                    eps_par_j * g_par * V_n + eps_perp_j * g_perp * V_perp
+                ) / vsf
+            else:
+                vel_j = velocity
             disp_j = integrate_displacement(
-                velocity, disp_j, 1.0, max_disp=max_disp
+                vel_j, disp_j, 1.0, max_disp=max_disp
             )
             out = model_warp(field, disp_j, max_disp=max_disp, cval=precip_min)
             out = jnp.where(domain_mask, jnp.nan, out)
             return key, casc_j, mask_j, disp_j, out
 
-        keys, cascades, mask_prec, displacement, outs = jax.vmap(member)(
-            keys, cascades, mask_prec, displacement
+        if vel_pert:
+            member_fn = member
+            member_args = (keys, cascades, mask_prec, displacement, eps_par, eps_perp)
+        else:
+            member_fn = lambda k, c, mk, d: member(k, c, mk, d, None, None)  # noqa: E731
+            member_args = (keys, cascades, mask_prec, displacement)
+        keys, cascades, mask_prec, displacement, outs = jax.vmap(member_fn)(
+            *member_args
         )
         return (cascades, mask_prec, keys, displacement), outs
 
     carry0 = (cascades0, mask_prec0, member_keys, displacement0)
-    _, outputs = jax.lax.scan(step, carry0, None, length=int_steps)
+    _, outputs = jax.lax.scan(step, carry0, jnp.arange(int_steps))
     return jnp.swapaxes(outputs, 0, 1)
 
 
@@ -289,11 +317,40 @@ def forecast(
     else:
         mask_prec_init = jnp.ones((m, n), jnp.float32)
 
+    base_key = jax.random.PRNGKey(seed if seed is not None else 42)
+    key_members, key_vel = jax.random.split(base_key)
     member_keys = jax.vmap(
-        lambda i: jax.random.fold_in(
-            jax.random.PRNGKey(seed if seed is not None else 42), i
-        )
+        lambda i: jax.random.fold_in(key_members, i)
     )(jnp.arange(n_ens_members))
+
+    # BPS velocity perturbation (reference: sseps.py:392-417): one Laplace
+    # draw per member for the parallel/perpendicular magnitudes, scaled by
+    # the growing g_par/g_perp at each lead time inside the scan
+    vel_pert = vel_pert_method is not None
+    if vel_pert:
+        vp_kwargs = dict(vel_pert_kwargs or {})
+        p_par = tuple(
+            float(v) for v in vp_kwargs.get("p_par", get_default_params_bps_par())
+        )
+        p_perp = tuple(
+            float(v) for v in vp_kwargs.get("p_perp", get_default_params_bps_perp())
+        )
+        vsf = 60.0 / (timestep * (1.0 / kmperpixel))
+        vkeys = jax.random.split(key_vel, 2 * n_ens_members)
+        eps_par = jax.vmap(_laplace)(vkeys[:n_ens_members])
+        eps_perp = jax.vmap(_laplace)(vkeys[n_ens_members:])
+        Nv = jnp.linalg.norm(velocity_j, axis=0)
+        V_n = jnp.where(
+            Nv[None] > 1e-12, velocity_j / jnp.maximum(Nv[None], 1e-12), 0.0
+        )
+        V_perp = jnp.stack([-V_n[1], V_n[0]])
+    else:
+        p_par = p_perp = None
+        vsf = 1.0
+        eps_par = jnp.zeros(n_ens_members)
+        eps_perp = jnp.zeros(n_ens_members)
+        V_n = jnp.zeros_like(velocity_j)
+        V_perp = jnp.zeros_like(velocity_j)
 
     if isinstance(timesteps, int):
         int_steps = timesteps
@@ -306,6 +363,11 @@ def forecast(
 
     on_cpu = jax.default_backend() == "cpu"
     vmax = float(np.max(np.abs(np.asarray(velocity)))) if np.asarray(velocity).size else 0.0
+    if vel_pert:
+        t_last = int_steps * timestep
+        g_par_last = abs(p_par[0] * t_last ** p_par[1] + p_par[2])
+        g_perp_last = abs(p_perp[0] * t_last ** p_perp[1] + p_perp[2])
+        vmax = vmax + 4.0 * max(g_par_last, g_perp_last) / max(vsf, 1e-6)
     max_disp = max(int(np.ceil(int_steps * (vmax + 0.5))) + 2, 3)
     if on_cpu or max_disp > min(m, n) // 3:
         max_disp = None
@@ -317,8 +379,10 @@ def forecast(
         ssft_filter["field"].astype(jnp.float32),
         gen_masks, weights_2d, jnp.asarray(precip[-1]), jnp.float32(precip_min),
         jnp.float32(precip_thr), jnp.asarray(domain_mask),
+        eps_par, eps_perp, V_n, V_perp,
         int_steps, mask_method, probmatching_method, mask_rim, struct_radius,
-        n_ens_members, max_disp=max_disp,
+        n_ens_members, max_disp=max_disp, vel_pert=vel_pert,
+        p_par=p_par, p_perp=p_perp, vsf=vsf, timestep_min=float(timestep),
     )
     np.asarray(out)
     loop_time = time.time() - t1

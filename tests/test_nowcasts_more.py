@@ -128,3 +128,28 @@ def test_linda_domain_feature(sequence, velocity_field):
         )
     )
     assert fc.shape == (2, 256, 256)
+
+
+def test_sseps_velocity_perturbation(sequence_db, velocity_field, synthetic_metadata):
+    meta = dict(synthetic_metadata)
+    meta["threshold"] = -10.0
+    meta["zerovalue"] = -15.0
+    common = dict(n_ens_members=3, n_cascade_levels=6, win_size=128, seed=11)
+    fc_nopert = np.asarray(
+        nowcasts.get_method("sseps")(
+            sequence_db[:3], meta, velocity_field, 2,
+            vel_pert_method=None, **common,
+        )
+    )
+    fc_pert = np.asarray(
+        nowcasts.get_method("sseps")(
+            sequence_db[:3], meta, velocity_field, 2,
+            vel_pert_method="bps",
+            vel_pert_kwargs={"p_par": [5.0, 0.6, -1.0], "p_perp": [4.0, 0.6, -1.0]},
+            **common,
+        )
+    )
+    assert fc_pert.shape == fc_nopert.shape == (3, 2, 256, 256)
+    # perturbing the advection field must change the members' trajectories
+    assert np.nanmax(np.abs(fc_pert - fc_nopert)) > 0.05
+    assert np.isfinite(fc_pert).any()
