@@ -80,7 +80,11 @@ def _track_level(I, J, Ix, Iy, points, guesses, half_win, n_iter):
 
         v, _ = jax.lax.scan(newton, g, None, length=n_iter)
         v = jnp.where(ok, v, g)
-        return v, ok
+        # final patch residual (OpenCV's `err`): mean |I - J(v)| over the
+        # window — the status signal track_features filters on
+        Jp = bilinear_warp(J, cy + v[1], cx + v[0], mode="nearest")
+        resid = jnp.mean(jnp.abs(Ip - Jp))
+        return v, ok, resid
 
     return jax.vmap(one)(points, guesses)
 
@@ -94,15 +98,16 @@ def _pyramidal_lk(prvs, next_img, points, nr_levels, half_win, n_iter):
     N = points.shape[0]
     d = jnp.zeros((N, 2), jnp.float32)
     ok_all = jnp.ones(N, dtype=bool)
+    resid = jnp.zeros(N, jnp.float32)
     for lvl in range(nr_levels, -1, -1):
         I, J = pyr_I[lvl], pyr_J[lvl]
         Ix, Iy = _gradients(I)
         pts_l = points / (2.0**lvl)
-        d, ok = _track_level(I, J, Ix, Iy, pts_l, d, half_win, n_iter)
+        d, ok, resid = _track_level(I, J, Ix, Iy, pts_l, d, half_win, n_iter)
         ok_all = ok_all & ok
         if lvl > 0:
             d = d * 2.0
-    return d, ok_all
+    return d, ok_all, resid
 
 
 def track_features(
@@ -141,7 +146,7 @@ def track_features(
     half_win = max(int(winsize[0]) // 2, 2)
     n_iter = 20 if criteria is None else int(criteria[1]) if len(criteria) > 1 else 20
 
-    d, ok = _pyramidal_lk(
+    d, ok, resid = _pyramidal_lk(
         prvs, nxt, points, int(nr_levels), half_win, n_iter
     )
     m, n = prvs.shape
@@ -151,6 +156,14 @@ def track_features(
         & (end[:, 1] >= 0) & (end[:, 1] <= m - 1)
     )
     ok = np.asarray(ok & inside)
+    # residual-based rejection (OpenCV status analogue): a diverged Newton
+    # iteration leaves a large |I - J(v)| patch residual; threshold
+    # adaptively against the population median so well-tracked noisy
+    # imagery is untouched
+    resid = np.asarray(resid)
+    if ok.sum() > 4:
+        med = float(np.median(resid[ok]))
+        ok = ok & (resid <= max(5.0 * med, 2.0))
     xy = np.asarray(points)[ok]
     uv = np.asarray(d)[ok]
     if verbose:

@@ -32,7 +32,7 @@ def _rel_rmse(uv, u_true, v_true, margin=20):
 @pytest.mark.parametrize(
     "method,n_frames,tol",
     [
-        ("lucaskanade", 3, 0.25),
+        ("lucaskanade", 3, 0.1),  # reference bound: 0.1
         ("vet", 2, 0.15),  # reference bound: 0.1
         ("proesmans", 2, 0.45),
         ("darts", 9, 0.6),  # reference bound: 20
