@@ -112,7 +112,11 @@ def _flow_iteration(img1, img2, flow0, n_iter, poly_n, poly_sigma, winsize):
         h1 = _sep_corr(A[0, 0] * db[0] + A[1, 0] * db[1], gw, gw)
         h2 = _sep_corr(A[0, 1] * db[0] + A[1, 1] * db[1], gw, gw)
         det = G11 * G22 - G12 * G12
-        det = jnp.where(jnp.abs(det) > 1e-9, det, 1e-9)
+        # G is PSD; floor the determinant RELATIVE to the trace so flat
+        # (low-texture) windows damp toward zero flow without crushing the
+        # solve everywhere (an absolute floor dwarfs det when A ~ 1e-4)
+        tr = G11 + G22
+        det = jnp.maximum(det, 1e-6 * tr * tr + 1e-30)
         u = (G22 * h1 - G12 * h2) / det
         v = (G11 * h2 - G12 * h1) / det
         return jnp.stack([u, v]), None

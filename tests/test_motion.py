@@ -33,11 +33,11 @@ def _rel_rmse(uv, u_true, v_true, margin=20):
     "method,n_frames,tol",
     [
         ("lucaskanade", 3, 0.1),  # reference bound: 0.1
-        ("vet", 2, 0.15),  # reference bound: 0.1
-        ("proesmans", 2, 0.45),
+        ("vet", 2, 0.1),  # reference bound: 0.1
+        ("proesmans", 2, 0.1),
         ("darts", 9, 0.6),  # reference bound: 20
-        ("farneback", 2, 5.0),  # reference bound: 28
-        ("constant", 2, 0.2),
+        ("farneback", 2, 0.1),  # reference bound: 28
+        ("constant", 2, 0.05),
     ],
 )
 def test_optical_flow_synthetic(synthetic_db, method, n_frames, tol):
