@@ -8,6 +8,7 @@ from pysteps_tpu.utils import (  # noqa: F401
     images,
     interpolate,
     pca,
+    profiling,
     spectral,
     tapering,
     transformation,

@@ -1,0 +1,148 @@
+"""Per-component timing of the STEPS member-step at bench scale.
+
+Runs each hot op in a (scan x vmap) harness matching the real loop shape
+(12 lead times x E members) on the available accelerator, to show where
+the member-step budget goes.  Usage: python scripts/profile_member_step.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pysteps_tpu.compilation_cache import enable
+
+enable()
+
+E, SIDE, T, K = 24, 512, 12, 8
+
+
+def bench_scan(name, body, init_state):
+    """Time a scan of `body` over T steps with E-member vmapped states."""
+
+    @jax.jit
+    def run(state):
+        def step(s, _):
+            s = jax.vmap(body)(s)
+            return s, ()
+
+        s, _ = jax.lax.scan(step, state, None, length=T)
+        return jax.tree.map(
+            lambda x: jnp.nanmean(x.real if jnp.iscomplexobj(x) else x), s
+        )
+
+    out = run(init_state)
+    jax.tree.map(float, out)  # force completion
+    t0 = time.time()
+    out = run(init_state)
+    jax.tree.map(float, out)
+    dt = time.time() - t0
+    per_mf = dt / (T * E) * 1e3
+    print(f"{name:34s} {dt*1e3:8.1f} ms total   {per_mf:7.3f} ms/member-frame")
+    return per_mf
+
+
+def main():
+    rng = np.random.RandomState(0)
+    key = jax.random.PRNGKey(0)
+    field_np = rng.randn(E, SIDE, SIDE).astype(np.float32)
+    field = jnp.asarray(field_np)
+    # eager complex FFT is unimplemented on this TPU path; compute on host
+    field_fft = jnp.asarray(np.fft.rfft2(field_np).astype(np.complex64))
+    casc_fft = jnp.asarray(
+        rng.randn(E, K, 2, SIDE, SIDE // 2 + 1), jnp.complex64
+    )
+    weights = jnp.asarray(np.abs(rng.randn(K, SIDE, SIDE // 2 + 1)), jnp.float32)
+    phi = jnp.asarray(rng.rand(K, 3), jnp.float32)
+    noise_filt = jnp.asarray(np.abs(rng.randn(SIDE, SIDE // 2 + 1)), jnp.float32)
+    keys = jax.random.split(key, E)
+    disp = jnp.zeros((E, 2, SIDE, SIDE), jnp.float32)
+    vel = jnp.stack(
+        [jnp.full((SIDE, SIDE), 2.0), jnp.full((SIDE, SIDE), 1.0)]
+    )
+
+    from pysteps_tpu.extrapolation.semilagrangian import (
+        integrate_displacement,
+        model_warp,
+    )
+    from pysteps_tpu.nowcasts import utils as nu
+    from pysteps_tpu.postprocessing.probmatching import (
+        _match_cdf_presorted,
+        _prepare_cdf_target,
+    )
+
+    ranked, zval = _prepare_cdf_target(field[0])
+
+    # 1. noise generation (white noise -> rfft2 -> filter -> spectral out)
+    def noise_body(k):
+        k, sub = jax.random.split(k)
+        w = jax.random.normal(sub, (SIDE, SIDE))
+        eps_fft = jnp.fft.rfft2(w) * noise_filt
+        return jax.random.fold_in(k, jnp.int32(jnp.nanmean(eps_fft.real) == 0))
+
+    bench_scan("noise: rfft2(white)*filter", noise_body, keys)
+
+    # 2. spectral decompose of noise + AR iterate (all-spectral state)
+    def ar_body(c):
+        eps_lvl = field_fft[0][None] * weights
+        x_new = (
+            c[:, 1] * phi[:, 0, None, None]
+            + c[:, 0] * phi[:, 1, None, None]
+            + eps_lvl * phi[:, 2, None, None]
+        )
+        return jnp.stack([c[:, 1], x_new], axis=1)
+
+    bench_scan("AR(2) spectral iterate (K=8)", ar_body, casc_fft)
+
+    # 3. spectral recompose (sum K levels + irfft2)
+    def recomp_body(c):
+        out_fft = jnp.sum(c[:, -1], axis=0)
+        f = jnp.fft.irfft2(out_fft, s=(SIDE, SIDE))
+        return c + jnp.nanmean(f) * 0
+
+    bench_scan("recompose: sum K + irfft2", recomp_body, casc_fft)
+
+    # 4. CDF matching (2 sorts)
+    def cdf_body(f):
+        return _match_cdf_presorted(f, ranked, zval)
+
+    bench_scan("cdf match (2 sorts)", cdf_body, field)
+
+    # 5. incremental mask dilation
+    def mask_body(f):
+        m = nu.compute_dilated_mask(f > 0, 2, 10)
+        return f + m * 0.0
+
+    bench_scan("incremental mask dilate", mask_body, field)
+
+    # 6. displacement integrate + shift-decomposition warp
+    max_disp = 40
+
+    def warp_body(state):
+        f, d = state
+        d = jax.vmap(lambda dd: integrate_displacement(vel, dd, 1.0, max_disp=max_disp))(d)
+        f = jax.vmap(lambda ff, dd: model_warp(ff, dd, max_disp=max_disp, cval=0.0))(f, d)
+        return (f, d)
+
+    @jax.jit
+    def run_warp(state):
+        def step(s, _):
+            return warp_body(s), ()
+
+        s, _ = jax.lax.scan(step, state, None, length=T)
+        return jnp.nanmean(s[0])
+
+    float(run_warp((field, disp)))
+    t0 = time.time()
+    float(run_warp((field, disp)))
+    dt = time.time() - t0
+    print(f"{'integrate + warp (max_disp=40)':34s} {dt*1e3:8.1f} ms total   {dt/(T*E)*1e3:7.3f} ms/member-frame")
+
+
+if __name__ == "__main__":
+    main()

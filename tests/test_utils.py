@@ -139,3 +139,24 @@ def test_spectral_mean_std_match_spatial():
     np.testing.assert_allclose(
         float(spectral.std(F, (64, 64))), f.std(), rtol=1e-4
     )
+
+
+def test_profiling_helpers(tmp_path):
+    import jax.numpy as jnp
+
+    from pysteps_tpu.utils import profiling
+
+    t = profiling.Timer()
+    with t("phase_a"):
+        pass
+    with t("phase_a"):
+        pass
+    assert "phase_a" in t.totals and t.totals["phase_a"] >= 0
+    assert "phase_a" in t.report()
+
+    with profiling.annotate("test-region"):
+        x = jnp.ones(4) + 1
+    assert float(x.sum()) == 8.0
+
+    stats = profiling.device_memory_stats()
+    assert isinstance(stats, dict)
