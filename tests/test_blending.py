@@ -241,3 +241,86 @@ def test_steps_blending_external_nowcast(blending_data):
     assert np.all(np.isfinite(fc))
     crps = probscores.CRPS(fc[:, -1], db[5])
     assert crps < 3.0
+
+
+@pytest.mark.parametrize(
+    "kwargs",
+    [
+        # smooth radar mask transition (reference: test_blending_steps.py
+        # smooth_radar_mask_range configs)
+        dict(smooth_radar_mask_range=40),
+        # velocity perturbation
+        dict(vel_pert_method="bps", timestep=5),
+        # blend every NWP member into every ensemble member
+        dict(blend_nwp_members=True),
+        # single-member ensemble
+        dict(n_ens_members=1),
+        # SPN weights with distribution resampling
+        dict(weights_method="spn", resample_distribution=True),
+        # irregular timestep list
+        dict(timesteps=[1, 2, 3]),
+    ],
+)
+def test_steps_blending_matrix(blending_data, kwargs):
+    """Representative slice of the reference's 59-config blending matrix
+    (reference: pysteps/tests/test_blending_steps.py:31-80)."""
+    from pysteps_tpu import blending
+
+    db, velocity, nwp = blending_data
+    kwargs = dict(kwargs)
+    timesteps = kwargs.pop("timesteps", 3)
+    n_ens = kwargs.pop("n_ens_members", 4)
+    nwp_in = nwp[None]
+    vel_in = velocity[None]
+    if kwargs.get("blend_nwp_members"):
+        rng = np.random.RandomState(3)
+        nwp_in = np.stack([nwp, nwp + 0.3 * rng.randn(*nwp.shape).astype(np.float32)])
+        vel_in = np.stack([velocity, velocity])
+    fc = blending.get_method("steps")(
+        db[:3], nwp_in, velocity, vel_in, timesteps, kwargs.pop("timestep", 5),
+        n_ens_members=n_ens, n_cascade_levels=6,
+        precip_thr=-10.0, kmperpixel=1.0, seed=42, **kwargs,
+    )
+    fc = np.asarray(fc)
+    n_t = len(timesteps) if isinstance(timesteps, list) else timesteps
+    assert fc.shape == (n_ens, n_t, 128, 128)
+    assert np.all(np.isfinite(fc))
+    crps = probscores.CRPS(fc[:, -1], db[5])
+    assert crps < 3.0, f"blended CRPS {crps}"
+
+
+def test_steps_blending_zero_radar(blending_data):
+    """All-dry radar with live NWP: forecast should lean on NWP and stay
+    finite (reference matrix's zero_radar cases)."""
+    from pysteps_tpu import blending
+
+    db, velocity, nwp = blending_data
+    dry = np.full_like(db[:3], -15.0)
+    fc = np.asarray(
+        blending.get_method("steps")(
+            dry, nwp[None], velocity, velocity[None], 2, 5,
+            n_ens_members=2, n_cascade_levels=6,
+            precip_thr=-10.0, kmperpixel=1.0, seed=42,
+        )
+    )
+    assert fc.shape == (2, 2, 128, 128)
+    assert np.all(np.isfinite(fc))
+
+
+def test_steps_blending_zero_nwp(blending_data):
+    """All-dry NWP with live radar: extrapolation keeps the forecast wet at
+    early lead times (reference matrix's zero_nwp cases)."""
+    from pysteps_tpu import blending
+
+    db, velocity, nwp = blending_data
+    dry_nwp = np.full_like(nwp, -15.0)
+    fc = np.asarray(
+        blending.get_method("steps")(
+            db[:3], dry_nwp[None], velocity, velocity[None], 2, 5,
+            n_ens_members=2, n_cascade_levels=6,
+            precip_thr=-10.0, kmperpixel=1.0, seed=42,
+        )
+    )
+    assert fc.shape == (2, 2, 128, 128)
+    assert np.all(np.isfinite(fc))
+    assert (fc[:, 0] > -10.0).mean() > 0.01
