@@ -24,6 +24,10 @@ _AGG = {
 def aggregate_fields(data, window_size, axis=0, method="mean", trim=False):
     """Block-aggregate along one or several axes
     (reference: dimension.py:219)."""
+    if np.ndim(axis) > 0 and np.ndim(window_size) == 0:
+        # scalar window over several axes (reference: dimension.py:219
+        # broadcasts the window size)
+        window_size = [window_size] * len(np.atleast_1d(axis))
     if np.ndim(window_size) > 0:
         if len(window_size) != len(np.atleast_1d(axis)):
             raise ValueError("window_size and axis must have the same length")

@@ -50,21 +50,24 @@ def bench_scan(name, body, init_state):
 def main():
     rng = np.random.RandomState(0)
     key = jax.random.PRNGKey(0)
+    # keep closure constants as HOST numpy arrays: embedding an eager
+    # device array as a jit constant triggers a D2H readback that the
+    # axon TPU path reports as Unimplemented
     field_np = rng.randn(E, SIDE, SIDE).astype(np.float32)
     field = jnp.asarray(field_np)
-    # eager complex FFT is unimplemented on this TPU path; compute on host
-    field_fft = jnp.asarray(np.fft.rfft2(field_np).astype(np.complex64))
+    field_fft = np.fft.rfft2(field_np).astype(np.complex64)
     casc_fft = jnp.asarray(
-        rng.randn(E, K, 2, SIDE, SIDE // 2 + 1), jnp.complex64
+        (rng.randn(E, K, 2, SIDE, SIDE // 2 + 1)
+         + 1j * rng.randn(E, K, 2, SIDE, SIDE // 2 + 1)).astype(np.complex64)
     )
-    weights = jnp.asarray(np.abs(rng.randn(K, SIDE, SIDE // 2 + 1)), jnp.float32)
-    phi = jnp.asarray(rng.rand(K, 3), jnp.float32)
-    noise_filt = jnp.asarray(np.abs(rng.randn(SIDE, SIDE // 2 + 1)), jnp.float32)
+    weights = np.abs(rng.randn(K, SIDE, SIDE // 2 + 1)).astype(np.float32)
+    phi = rng.rand(K, 3).astype(np.float32)
+    noise_filt = np.abs(rng.randn(SIDE, SIDE // 2 + 1)).astype(np.float32)
     keys = jax.random.split(key, E)
     disp = jnp.zeros((E, 2, SIDE, SIDE), jnp.float32)
-    vel = jnp.stack(
-        [jnp.full((SIDE, SIDE), 2.0), jnp.full((SIDE, SIDE), 1.0)]
-    )
+    vel = np.stack(
+        [np.full((SIDE, SIDE), 2.0), np.full((SIDE, SIDE), 1.0)]
+    ).astype(np.float32)
 
     from pysteps_tpu.extrapolation.semilagrangian import (
         integrate_displacement,
@@ -76,7 +79,8 @@ def main():
         _prepare_cdf_target,
     )
 
-    ranked, zval = _prepare_cdf_target(field[0])
+    ranked = np.sort(field_np[0].ravel())
+    zval = np.float32(ranked.min())
 
     # 1. noise generation (white noise -> rfft2 -> filter -> spectral out)
     def noise_body(k):

@@ -160,3 +160,12 @@ def test_profiling_helpers(tmp_path):
 
     stats = profiling.device_memory_stats()
     assert isinstance(stats, dict)
+
+
+def test_aggregate_fields_scalar_window_multi_axis():
+    from pysteps_tpu.utils.dimension import aggregate_fields
+
+    data = np.arange(16.0).reshape(4, 4)
+    out = np.asarray(aggregate_fields(data, 2, axis=(0, 1)))
+    assert out.shape == (2, 2)
+    np.testing.assert_allclose(out[0, 0], np.mean([0, 1, 4, 5]))
