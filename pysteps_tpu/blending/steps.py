@@ -316,6 +316,7 @@ def forecast(
     mask_kwargs=None,
     measure_time=False,
     precip_nowcast=None,
+    mesh=None,
 ):
     """STEPS blending forecast (reference: blending/steps.py:3383).
 
@@ -571,6 +572,15 @@ def forecast(
         ).astype(jnp.float32)
     else:
         ext_cascades = ext_means = ext_sigmas = None
+
+    # multi-chip: members are pure data parallelism — shard the member
+    # axis over the mesh's "ens" axis and XLA partitions the whole scan
+    if mesh is not None:
+        from pysteps_tpu.parallel import ens_sharding
+
+        sh = ens_sharding(mesh)
+        member_keys = jax.device_put(member_keys, sh)
+        member_model = jax.device_put(jnp.asarray(member_model), sh)
 
     init_time = time.time() - t0
     t1 = time.time()
