@@ -128,6 +128,62 @@ def _make_cost(template, target, mask, smooth_gain, sectors, interp_arrays):
     return jax.jit(jax.value_and_grad(cost))
 
 
+def _make_cost_sharded(
+    template, target, mask, smooth_gain, sectors, interp_arrays, mesh
+):
+    """Distributed variant of ``_make_cost``: the masked-SSD residual is
+    evaluated on rows sharded over the mesh's "y" axis and reduced with a
+    ``psum``; the (small) sector displacement stays replicated, as does the
+    smoothness penalty (SURVEY §5.8: coarse solves replicate, fine-level
+    cost evaluation shards with collectives).
+
+    The template is replicated so each shard's backward warp can gather
+    rows beyond its own slice without a halo exchange.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    m, n = template.shape
+    n_shards = mesh.shape["y"]
+    if m % n_shards:
+        return _make_cost(
+            template, target, mask, smooth_gain, sectors, interp_arrays
+        )
+    m_loc = m // n_shards
+    yy_full, xx_full = jnp.meshgrid(
+        jnp.arange(m, dtype=jnp.float32), jnp.arange(n, dtype=jnp.float32),
+        indexing="ij",
+    )
+    maskf = mask.astype(jnp.float32)
+
+    def shard_ssd(disp, target_loc, mask_loc, yy_loc, xx_loc):
+        # disp (replicated): full-grid (2, m, n); slice this shard's rows
+        row0 = jax.lax.axis_index("y") * m_loc
+        d_loc = jax.lax.dynamic_slice(
+            disp, (0, row0, 0), (2, m_loc, n)
+        )
+        cy = yy_loc - d_loc[0]
+        cx = xx_loc - d_loc[1]
+        warped = bilinear_warp(template, cy, cx, mode="nearest")
+        resid = jnp.where(mask_loc > 0, 0.0, (warped - target_loc) ** 2)
+        return jax.lax.psum(jnp.sum(resid), "y")
+
+    ssd_fn = jax.shard_map(
+        shard_ssd,
+        mesh=mesh,
+        in_specs=(P(), P("y", None), P("y", None), P("y", None), P("y", None)),
+        out_specs=P(),
+    )
+
+    def cost(sector_disp_flat):
+        d = sector_disp_flat.reshape((2,) + tuple(sectors))
+        disp = _sector_to_pixels(d, tuple(sectors), interp_arrays)
+        ssd = ssd_fn(disp, target, maskf, yy_full, xx_full)
+        sector_area = (m // sectors[0]) * (n // sectors[1])
+        return ssd + smooth_gain * _smoothness_penalty(d) * sector_area
+
+    return jax.jit(jax.value_and_grad(cost))
+
+
 def _global_shift(template, target):
     """Global translation estimate via FFT cross-correlation — used to seed
     the coarsest scaling guess so the local optimizer is not trapped by
@@ -182,6 +238,7 @@ def vet(
     indexing="yx",
     padding=0,
     options=None,
+    mesh=None,
     **kwargs,
 ):
     """VET dense displacement field (reference: motion/vet.py:303).
@@ -247,10 +304,15 @@ def vet(
             jnp.arange(m, dtype=jnp.float32),
             jnp.arange(n, dtype=jnp.float32),
         )
+        cost_factory = (
+            functools.partial(_make_cost_sharded, mesh=mesh)
+            if mesh is not None
+            else _make_cost
+        )
         pairs_cost = []
         for a, b in zip(range(_imgs.shape[0] - 1), range(1, _imgs.shape[0])):
             pairs_cost.append(
-                _make_cost(
+                cost_factory(
                     jnp.asarray(_imgs[a], jnp.float32),
                     jnp.asarray(_imgs[b], jnp.float32),
                     jnp.asarray(_mask),

@@ -100,3 +100,25 @@ def test_sharded_blending_matches_unsharded():
     )
     assert fc_sharded.shape == (8, 2, 64, 64)
     np.testing.assert_allclose(fc_plain, fc_sharded, atol=5e-3)
+
+
+def test_sharded_vet_matches_unsharded():
+    frames = make_synthetic_sequence(
+        n_frames=2, shape=(64, 64), velocity=(2.0, 1.0), seed=4
+    )
+    db = np.where(
+        frames >= 0.1, 10 * np.log10(np.maximum(frames, 0.1)), -15.0
+    ).astype(np.float32)
+
+    from pysteps_tpu.motion.vet import vet
+
+    kwargs = dict(
+        sectors=((8, 4), (8, 4)), options={"maxiter": 40}, verbose=False
+    )
+    uv_plain = np.asarray(vet(db, **kwargs))
+    mesh = make_mesh(ens=1, y=8)
+    uv_sharded = np.asarray(vet(db, mesh=mesh, **kwargs))
+    assert uv_sharded.shape == (2, 64, 64)
+    # the psum reassociates the SSD sum, so the 120-step Adam trajectory
+    # drifts slightly; agreement to ~0.1 px is sharded-vs-replicated parity
+    np.testing.assert_allclose(uv_plain, uv_sharded, atol=0.1)
