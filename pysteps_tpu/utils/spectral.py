@@ -25,13 +25,26 @@ def _radial_bins(m, n):
     return jnp.asarray(r_grid), n_bins, jnp.asarray(np.maximum(counts, 1))
 
 
-def rapsd(field, return_freq=False, d=1.0, normalize=False, fft=True):
+def rapsd(
+    field,
+    fft_method="compute",
+    return_freq=False,
+    d=1.0,
+    normalize=False,
+    fft=None,
+    **fft_kwargs,
+):
     """Radially averaged power spectral density of a 2-D field
     (reference: pysteps/utils/spectral.py:100).
 
-    If ``fft`` is True the PSD is computed from the field; otherwise ``field``
-    is assumed to already be the centred (fftshifted) PSD.
+    ``fft_method`` follows the reference's convention: pass an FFT
+    namespace (or leave the default) to compute the PSD from the spatial
+    field; pass ``None`` to treat ``field`` as the already-centred
+    (fftshifted) PSD.  The boolean ``fft`` alias is kept for
+    backward compatibility.
     """
+    if fft is None:
+        fft = fft_method is not None
     m, n = field.shape
     r_grid, n_bins, counts = _radial_bins(m, n)
     if fft:
