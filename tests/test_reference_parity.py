@@ -183,3 +183,86 @@ def test_detcat_scores_match(field_db):
     mine = det_cat_fct(fx, obs, -5.0, ["CSI", "POD", "FAR", "BIAS"])
     for k in ref:
         np.testing.assert_allclose(float(mine[k]), ref[k], atol=1e-6)
+
+
+def test_crps_matches(field_db):
+    from pysteps_tpu.verification.probscores import CRPS
+
+    rng = np.random.RandomState(4)
+    ens = field_db[-1][None] + rng.randn(6, 128, 128)
+    obs = field_db[-1]
+    ref = pysteps.verification.probscores.CRPS(ens, obs)
+    mine = float(CRPS(ens, obs))
+    np.testing.assert_allclose(mine, ref, rtol=1e-4)
+
+
+def test_excprob_matches(field_db):
+    from pysteps_tpu.postprocessing.ensemblestats import excprob
+
+    rng = np.random.RandomState(5)
+    ens = field_db[-1][None] + rng.randn(6, 128, 128)
+    ref = pysteps.postprocessing.ensemblestats.excprob(ens, -5.0)
+    mine = np.asarray(excprob(ens, -5.0))
+    np.testing.assert_allclose(mine, ref, atol=1e-6)
+
+
+def test_zr_conversion_matches():
+    from pysteps_tpu.utils.conversion import to_rainrate
+
+    refl = np.linspace(5.0, 55.0, 64).reshape(8, 8)
+    meta = {
+        "unit": "dBZ", "transform": "dB", "zerovalue": 0.0,
+        "threshold": 5.0, "zr_a": 200.0, "zr_b": 1.6,
+        "accutime": 5,
+    }
+    ref, _ = pysteps.utils.conversion.to_rainrate(refl.copy(), dict(meta))
+    mine, _ = to_rainrate(refl.copy(), dict(meta))
+    np.testing.assert_allclose(np.asarray(mine), ref, rtol=1e-5)
+
+
+def test_tapering_matches():
+    from pysteps_tpu.utils.tapering import compute_window_function
+
+    for func in ("hann", "tukey"):
+        ref = pysteps.utils.tapering.compute_window_function(64, 48, func)
+        mine = np.asarray(compute_window_function(64, 48, func))
+        np.testing.assert_allclose(mine, ref, atol=1e-5)
+
+
+def test_idw_interpolation_matches():
+    from pysteps_tpu.utils.interpolate import idwinterp2d
+
+    rng = np.random.RandomState(6)
+    xy = rng.rand(30, 2) * 63
+    values = rng.randn(30, 2)
+    xgrid = np.arange(64, dtype=float)
+    ygrid = np.arange(64, dtype=float)
+    ref = pysteps.utils.interpolate.idwinterp2d(xy, values, xgrid, ygrid)
+    mine = np.asarray(idwinterp2d(xy, values, xgrid, ygrid))
+    np.testing.assert_allclose(mine, ref, atol=1e-3)
+
+
+def test_boxcox_transform_matches():
+    from pysteps_tpu.utils.transformation import boxcox_transform
+
+    frames = make_synthetic_sequence(
+        n_frames=2, shape=(64, 64), velocity=(1.0, 0.0), seed=8
+    )
+    meta = {"unit": "mm/h", "transform": None, "zerovalue": 0.0, "threshold": 0.1}
+    ref, ref_meta = pysteps.utils.transformation.boxcox_transform(
+        frames.copy(), dict(meta), Lambda=0.5, threshold=0.1
+    )
+    mine, mine_meta = boxcox_transform(
+        frames.copy(), dict(meta), Lambda=0.5, threshold=0.1
+    )
+    np.testing.assert_allclose(np.asarray(mine), ref, atol=1e-4)
+
+
+def test_centred_coord_array_matches():
+    from pysteps_tpu.utils.arrays import compute_centred_coord_array
+
+    for m, n in ((8, 8), (9, 7), (16, 9)):
+        ry, rx = pysteps.utils.arrays.compute_centred_coord_array(m, n)
+        my, mx = compute_centred_coord_array(m, n)
+        np.testing.assert_array_equal(np.asarray(my), ry)
+        np.testing.assert_array_equal(np.asarray(mx), rx)
