@@ -9,7 +9,6 @@ Search order: ``$PYSTEPS_TPU_RC`` > ``./pysteps_tpu_rc`` (or ``pystepsrc``)
 
 import json
 import os
-import re
 import warnings
 
 

@@ -3,7 +3,6 @@ Shared decorators (reference: pysteps/decorators.py:44,112,153,253,288).
 """
 
 import functools
-import inspect
 import warnings
 
 import numpy as np

@@ -13,7 +13,6 @@ the reference's graceful-degradation pattern (io/importers.py:102-153).
 """
 
 import gzip
-import os
 
 import numpy as np
 

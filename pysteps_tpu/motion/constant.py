@@ -10,7 +10,6 @@ all on device.
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from pysteps_tpu.ops.warp import warp
 

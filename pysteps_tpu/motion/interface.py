@@ -1,6 +1,5 @@
 """Motion-method registry (reference: pysteps/motion/interface.py:36-46)."""
 
-import jax.numpy as jnp
 import numpy as np
 
 from pysteps_tpu.motion.constant import constant

@@ -10,7 +10,6 @@ declustering -> IDW/RBF interpolation to a dense (2, m, n) field.
 
 import time
 
-import jax.numpy as jnp
 import numpy as np
 
 from pysteps_tpu.feature import shitomasi

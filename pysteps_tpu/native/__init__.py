@@ -6,7 +6,6 @@ fall back to the NumPy path when the toolchain or binary is unavailable.
 """
 
 import ctypes
-import os
 
 import numpy as np
 

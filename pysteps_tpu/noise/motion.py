@@ -9,7 +9,6 @@ velocity perturbations vmap into one kernel.
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def get_default_params_bps_par():

@@ -22,7 +22,6 @@ import numpy as np
 from pysteps_tpu import cascade
 from pysteps_tpu.extrapolation.semilagrangian import integrate_displacement, model_warp
 from pysteps_tpu.nowcasts.steps import _lagrangian_alignment
-from pysteps_tpu.ops.warp import warp
 from pysteps_tpu.timeseries import autoregression
 
 

@@ -19,7 +19,6 @@ from pysteps_tpu.cascade.decomposition import recompose_core
 from pysteps_tpu.extrapolation.semilagrangian import integrate_displacement, model_warp
 from pysteps_tpu.nowcasts import utils as nowcast_utils
 from pysteps_tpu.nowcasts.steps import _estimate_params, _lagrangian_alignment
-from pysteps_tpu.ops.warp import warp
 from pysteps_tpu.postprocessing.probmatching import (
     _match_cdf_presorted,
     _prepare_cdf_target,

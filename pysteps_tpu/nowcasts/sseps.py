@@ -13,7 +13,6 @@ localized ARI in ANVIL — plus SSFT noise, masking, CDF matching and
 incremental advection, all inside one lax.scan.
 """
 
-import dataclasses
 import functools
 import time
 
@@ -21,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pysteps_tpu import cascade, noise
+from pysteps_tpu import cascade
 from pysteps_tpu.cascade.decomposition import decompose_core
 from pysteps_tpu.extrapolation.semilagrangian import integrate_displacement, model_warp
 from pysteps_tpu.noise.motion import (
@@ -31,13 +30,11 @@ from pysteps_tpu.noise.motion import (
 )
 from pysteps_tpu.noise.fftgenerators import (
     _generate_ssft_noise,
-    _get_mask,
     _ssft_gen_masks,
     initialize_nonparam_2d_ssft_filter,
 )
 from pysteps_tpu.nowcasts import utils as nowcast_utils
 from pysteps_tpu.nowcasts.steps import _lagrangian_alignment
-from pysteps_tpu.ops.warp import warp
 from pysteps_tpu.postprocessing.probmatching import (
     _match_cdf_presorted,
     _prepare_cdf_target,

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pysteps_tpu import cascade, extrapolation, noise, utils
+from pysteps_tpu import cascade, noise
 from pysteps_tpu.cascade.decomposition import (
     decompose_core,
     decompose_spectral_core,
@@ -46,9 +46,7 @@ from pysteps_tpu.noise.motion import (
     get_default_params_bps_perp,
 )
 from pysteps_tpu.nowcasts import utils as nowcast_utils
-from pysteps_tpu.ops.warp import warp
 from pysteps_tpu.postprocessing.probmatching import (
-    _match_cdf_core,
     _match_cdf_presorted,
     _prepare_cdf_target,
 )

@@ -9,7 +9,6 @@ rows with its neighbours via ``ppermute`` per step and warps its extended
 block locally — the communication pattern laid out in SURVEY.md §5.8.
 """
 
-import functools
 
 import jax
 import jax.numpy as jnp

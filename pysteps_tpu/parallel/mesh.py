@@ -10,7 +10,6 @@ concurrency is a dask thread pool over members, pysteps/nowcasts/utils.py:
 464-512) — this module is the TPU-native replacement.
 """
 
-from contextlib import nullcontext
 
 import jax
 import numpy as np

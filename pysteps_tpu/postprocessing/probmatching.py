@@ -9,7 +9,6 @@ argsort-of-argsort, gather.  vmaps over ensemble members.
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 @jax.jit

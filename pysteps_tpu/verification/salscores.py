@@ -10,7 +10,6 @@ computed directly from the label grid).
 from math import hypot, sqrt
 
 import numpy as np
-import pandas as pd
 from scipy.ndimage import center_of_mass
 
 from pysteps_tpu.feature import tstorm as tstorm_detect

@@ -55,10 +55,13 @@ def main():
     # axon TPU path reports as Unimplemented
     field_np = rng.randn(E, SIDE, SIDE).astype(np.float32)
     field = jnp.asarray(field_np)
-    field_fft = np.fft.rfft2(field_np).astype(np.complex64)
-    casc_fft = jnp.asarray(
-        (rng.randn(E, K, 2, SIDE, SIDE // 2 + 1)
-         + 1j * rng.randn(E, K, 2, SIDE, SIDE // 2 + 1)).astype(np.complex64)
+    fft0 = np.fft.rfft2(field_np[0])
+    field_fft_ri = np.stack([fft0.real, fft0.imag], -1).astype(np.float32)
+    # complex arrays cannot cross the host<->device boundary eagerly on
+    # axon: keep the AR state as a trailing real/imag axis and form the
+    # complex view inside jit
+    casc_ri = jnp.asarray(
+        rng.randn(E, K, 2, SIDE, SIDE // 2 + 1, 2).astype(np.float32)
     )
     weights = np.abs(rng.randn(K, SIDE, SIDE // 2 + 1)).astype(np.float32)
     phi = rng.rand(K, 3).astype(np.float32)
@@ -105,24 +108,29 @@ def main():
     print(f"{'noise: rfft2(white)*filter':34s} {dt*1e3:8.1f} ms total   {dt/(T*E)*1e3:7.3f} ms/member-frame")
 
     # 2. spectral decompose of noise + AR iterate (all-spectral state)
-    def ar_body(c):
-        eps_lvl = field_fft[0][None] * weights
+    def ar_body(c_ri):
+        c = jax.lax.complex(c_ri[..., 0], c_ri[..., 1])
+        eps_lvl = jax.lax.complex(
+            field_fft_ri[..., 0], field_fft_ri[..., 1]
+        )[None] * weights
         x_new = (
             c[:, 1] * phi[:, 0, None, None]
             + c[:, 0] * phi[:, 1, None, None]
             + eps_lvl * phi[:, 2, None, None]
         )
-        return jnp.stack([c[:, 1], x_new], axis=1)
+        out = jnp.stack([c[:, 1], x_new], axis=1)
+        return jnp.stack([out.real, out.imag], axis=-1)
 
-    bench_scan("AR(2) spectral iterate (K=8)", ar_body, casc_fft)
+    bench_scan("AR(2) spectral iterate (K=8)", ar_body, casc_ri)
 
     # 3. spectral recompose (sum K levels + irfft2)
-    def recomp_body(c):
-        out_fft = jnp.sum(c[:, -1], axis=0)
+    def recomp_body(c_ri):
+        c = jax.lax.complex(c_ri[..., 0], c_ri[..., 1])
+        out_fft = jnp.sum(c, axis=0)
         f = jnp.fft.irfft2(out_fft, s=(SIDE, SIDE))
-        return c + jnp.nanmean(f) * 0
+        return c_ri + jnp.nanmean(f) * 0
 
-    bench_scan("recompose: sum K + irfft2", recomp_body, casc_fft)
+    bench_scan("recompose: sum K + irfft2", recomp_body, casc_ri[:, :, -1])
 
     # 4. CDF matching (2 sorts)
     def cdf_body(f):
