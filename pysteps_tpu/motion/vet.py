@@ -19,7 +19,7 @@ import numpy as np
 import optax
 from scipy.ndimage import zoom
 
-from pysteps_tpu.ops.warp import bilinear_warp
+from pysteps_tpu.ops.warp import bilinear_warp, warp_shifted
 
 
 def get_padding(dimension_size, sectors):
@@ -99,13 +99,19 @@ def _smoothness_penalty(d):
     return total
 
 
-def _make_cost(template, target, mask, smooth_gain, sectors, interp_arrays):
+def _make_cost(
+    template, target, mask, smooth_gain, sectors, interp_arrays, max_disp=None
+):
     """Jitted cost + grad closure for one sector scale.
 
     Pixel-space cost: masked SSD between the warped template and the
     target (reference: _vet.pyx residuals) plus smooth_gain * smoothness.
     Axis convention inside the solver follows the reference's "ij":
     displacement[0] moves axis 0 (rows), displacement[1] axis 1 (cols).
+
+    ``max_disp`` (static int) switches the warp to the gather-free
+    shift-decomposition path — on TPU the coordinate gather is scalar and
+    would dominate every Adam step.
     """
     m, n = template.shape
     yy, xx = jnp.meshgrid(
@@ -118,9 +124,17 @@ def _make_cost(template, target, mask, smooth_gain, sectors, interp_arrays):
         disp = _sector_to_pixels(d, tuple(sectors), interp_arrays)
         # morph convention: displacement refers to the destination, the
         # warped image samples at x - d (reference: _vet.pyx::_warp)
-        cy = yy - disp[0]
-        cx = xx - disp[1]
-        warped = bilinear_warp(template, cy, cx, mode="nearest")
+        if max_disp is not None:
+            warped = warp_shifted(
+                template,
+                jnp.stack([-disp[1], -disp[0]]),
+                int(max_disp),
+                mode="nearest",
+            )
+        else:
+            cy = yy - disp[0]
+            cx = xx - disp[1]
+            warped = bilinear_warp(template, cy, cx, mode="nearest")
         resid = jnp.where(mask, 0.0, (warped - target) ** 2)
         sector_area = (m // sectors[0]) * (n // sectors[1])
         return jnp.sum(resid) + smooth_gain * _smoothness_penalty(d) * sector_area
@@ -239,6 +253,7 @@ def vet(
     padding=0,
     options=None,
     mesh=None,
+    max_disp="auto",
     **kwargs,
 ):
     """VET dense displacement field (reference: motion/vet.py:303).
@@ -277,6 +292,16 @@ def vet(
         guess[1] += dj
     else:
         guess = np.asarray(first_guess, dtype=np.float64)
+    if max_disp == "auto":
+        # gather-free warp on accelerators; the XLA coordinate gather is
+        # fine on CPU and the unrolled shifts only slow its compile
+        if jax.default_backend() == "cpu":
+            max_disp = None
+        else:
+            gs = np.max(np.abs(guess))
+            max_disp = int(
+                min(np.ceil(gs) + 16, max(imgs.shape[1:]) // 3)
+            )
     scaling_guesses = []
     prev = pairs[0]
 
@@ -307,7 +332,7 @@ def vet(
         cost_factory = (
             functools.partial(_make_cost_sharded, mesh=mesh)
             if mesh is not None
-            else _make_cost
+            else functools.partial(_make_cost, max_disp=max_disp)
         )
         pairs_cost = []
         for a, b in zip(range(_imgs.shape[0] - 1), range(1, _imgs.shape[0])):

@@ -68,3 +68,16 @@ def test_unknown_method_raises():
         motion.get_method("nonexistent")
     with pytest.raises(NotImplementedError):
         motion.get_method("brox")
+
+
+def test_vet_bounded_warp_path(synthetic_db):
+    """The gather-free shift-decomposition cost path (used on TPU) must
+    converge to the same flow as the coordinate-gather path."""
+    from pysteps_tpu.motion.vet import vet
+
+    frames = synthetic_db[:2]
+    uv = np.asarray(
+        vet(frames, options={"maxiter": 100}, verbose=False, max_disp=16)
+    )
+    rel = _rel_rmse(uv, U_TRUE, V_TRUE)
+    assert rel < 0.1, f"bounded VET rel RMSE {rel:.3f}"
