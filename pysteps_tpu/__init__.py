@@ -30,7 +30,11 @@ Layout
 - ``pysteps_tpu.parallel``   mesh construction and sharding helpers
 """
 
-from pysteps_tpu.config import rcparams, load_config_file  # noqa: F401
+from pysteps_tpu.config import (  # noqa: F401
+    config_fname,
+    load_config_file,
+    rcparams,
+)
 from pysteps_tpu import (  # noqa: F401
     blending,
     cascade,

@@ -186,3 +186,18 @@ def compute_smooth_dilated_mask(
             dil = _cross_dilate(dil)
         final = final + (dil > 0.5)
     return final / jnp.maximum(jnp.max(final), 1.0)
+
+
+def check_norain(precip_arr, precip_thr=None, norain_thr=0.0):
+    """Deprecated alias for utils.check_norain.check_norain
+    (reference: blending/utils.py:536)."""
+    import warnings
+
+    from pysteps_tpu.utils.check_norain import check_norain as _check_norain
+
+    warnings.warn(
+        "pysteps_tpu.blending.utils.check_norain is deprecated; use "
+        "pysteps_tpu.utils.check_norain.check_norain instead",
+        DeprecationWarning,
+    )
+    return _check_norain(precip_arr, precip_thr, norain_thr, None)

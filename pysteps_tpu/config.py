@@ -70,6 +70,16 @@ def _candidate_paths():
         yield os.path.join(home, ".pysteps_tpu", "pysteps_tpu_rc")
 
 
+def config_fname():
+    """Location of the rc file that load_config_file() would use, or the
+    packaged default if no user file exists (reference: pysteps/__init__.py:76).
+    """
+    for cand in _candidate_paths():
+        if cand and os.path.isfile(cand):
+            return cand
+    return os.path.join(os.path.dirname(__file__), "pysteps_tpu_rc")
+
+
 def load_config_file(config_file=None, verbose=False):
     """Load an rc parameter file and return it as a DotDict.
 

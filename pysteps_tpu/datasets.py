@@ -27,6 +27,76 @@ _EVENT_TABLE = {
 }
 
 
+def info():
+    """Print the table of available example cases (reference: datasets.py:69)."""
+    print("\nAvailable datasets:\n")
+    print(f"{'Case':<8} {'Source':<8} {'Shape':<12} {'Frames':<6}\n")
+    for case, (source, shape, n_frames) in _EVENT_TABLE.items():
+        print(f"{case:<8} {source:<8} {str(shape):<12} {n_frames:<6}")
+
+
+class ShowProgress:
+    """urllib reporthook printing a text progress bar
+    (reference: datasets.py:90-161)."""
+
+    def __init__(self, bar_length=20):
+        self._bar_length = bar_length
+        self._prev_width = 0
+
+    def __call__(self, count, block_size, total_size):
+        import sys
+
+        done = count * block_size
+        if total_size > 0:
+            frac = min(done / total_size, 1.0)
+            filled = int(self._bar_length * frac)
+            bar = "=" * filled + " " * (self._bar_length - filled)
+            msg = f"\r[{bar}] {frac * 100:5.1f}%  ({done / 1e6:.1f} MB)"
+        else:
+            msg = f"\r{done / 1e6:.1f} MB"
+        sys.stdout.write(msg.ljust(self._prev_width))
+        self._prev_width = len(msg)
+        sys.stdout.flush()
+
+    def end(self, message="Done."):
+        import sys
+
+        sys.stdout.write("\n" + message + "\n")
+        sys.stdout.flush()
+
+
+def download_mrms_data(dir_path, initial_date, final_date, timestep=2,
+                       nodelay=False):
+    """Download MRMS PrecipRate GRIB2 files for a time window
+    (reference: datasets.py:164-283).  Requires network egress."""
+    import time as _time
+    import urllib.request
+    from datetime import timedelta
+
+    timestep -= timestep % 2  # archive granularity is 2 min
+    if timestep <= 0:
+        raise ValueError("timestep must be >= 2 minutes")
+    base = ("https://mtarchive.geol.iastate.edu/{date:%Y/%m/%d}/mrms/ncep/"
+            "PrecipRate/PrecipRate_00.00_{date:%Y%m%d-%H%M}00.grib2.gz")
+    date, count = initial_date, 0
+    while date <= final_date:
+        url = base.format(date=date)
+        dest = os.path.join(
+            dir_path, "mrms", f"{date:%Y/%m/%d}", os.path.basename(url)
+        )
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        try:
+            urllib.request.urlretrieve(url, dest)  # noqa: S310
+        except Exception as err:  # noqa: BLE001
+            raise MissingOptionalDependency(
+                f"could not download MRMS data ({err}); offline environment?"
+            ) from err
+        count += 1
+        if not nodelay and count % 30 == 0:
+            _time.sleep(5)  # be gentle on the archive server
+        date = date + timedelta(minutes=timestep)
+
+
 def download_pysteps_data(dir_path, force=True):
     """Download the pysteps example data (reference: datasets.py:286).
 

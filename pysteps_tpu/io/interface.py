@@ -64,4 +64,19 @@ def get_method(name, method_type):
         ) from None
 
 
+def importers_info():
+    """Print the importers available in the module and in the registry
+    (reference: io/interface.py:82-129).  Returns both name lists."""
+    from pprint import pprint
+
+    module_importers = [n for n in dir(importers) if n.startswith("import_")]
+    print("\nImporters available in the pysteps_tpu.io.importers module")
+    pprint(module_importers)
+
+    registered = [f.__name__ for f in _importer_methods.values()]
+    print("\nImporters available in the pysteps_tpu.io.get_method interface")
+    pprint([(name, f.__name__) for name, f in _importer_methods.items()])
+    return module_importers, registered
+
+
 discover_importers()

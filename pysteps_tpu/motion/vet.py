@@ -22,6 +22,105 @@ from scipy.ndimage import zoom
 from pysteps_tpu.ops.warp import bilinear_warp, warp_shifted
 
 
+def round_int(scalar):
+    """Nearest integer as int (reference: vet.py:46)."""
+    return int(np.round(scalar))
+
+
+def ceil_int(scalar):
+    """Ceiling as int (reference: vet.py:53)."""
+    return int(np.ceil(scalar))
+
+
+def morph(image, displacement, gradient=False):
+    """Backward-warp an image with a displacement field
+    (reference: vet.py:93 wrapping _vet.pyx::_warp; Beezley & Mandel 2008).
+
+    displacement refers to the destination: out[x] = image[x - d[x]], with
+    d[0] along axis 0 and d[1] along axis 1.  Returns (morphed, mask) —
+    mask is int8, 2 where the source coordinate fell outside the domain
+    (clamped to the nearest edge), 1 where a masked input value was
+    sampled — plus, when gradient=True, the (2, m, n) derivative of the
+    morphed image w.r.t. each displacement component.
+    """
+    if isinstance(image, np.ma.MaskedArray):
+        in_mask = np.ma.getmaskarray(image).astype(np.float64)
+        img = np.asarray(np.ma.filled(image, 0.0), np.float64)
+    else:
+        img = np.asarray(image, np.float64)
+        in_mask = (~np.isfinite(img)).astype(np.float64)
+        img = np.where(np.isfinite(img), img, 0.0)
+    disp = np.asarray(displacement, np.float64)
+    m, n = img.shape
+    yy, xx = np.meshgrid(np.arange(m), np.arange(n), indexing="ij")
+    cy = yy - disp[0]
+    cx = xx - disp[1]
+    outside = (cy < 0) | (cy > m - 1) | (cx < 0) | (cx > n - 1)
+
+    cyj = jnp.asarray(cy, jnp.float32)
+    cxj = jnp.asarray(cx, jnp.float32)
+    warped = np.asarray(bilinear_warp(jnp.asarray(img, jnp.float32), cyj, cxj,
+                                      mode="nearest"), np.float64)
+    sampled_mask = np.asarray(
+        bilinear_warp(jnp.asarray(in_mask, jnp.float32), cyj, cxj, mode="nearest")
+    )
+    mask = np.where(outside, 2, np.where(sampled_mask > 0, 1, 0)).astype(np.int8)
+    if not gradient:
+        return warped, mask
+    # d out / d d_k = -dI/dx_k evaluated at the source coordinate
+    gy, gx = np.gradient(img)
+    grad = np.stack([
+        -np.asarray(bilinear_warp(jnp.asarray(g, jnp.float32), cyj, cxj,
+                                  mode="nearest"), np.float64)
+        for g in (gy, gx)
+    ])
+    return warped, mask, grad
+
+
+def vet_cost_function(
+    sector_displacement_1d,
+    input_images,
+    blocks_shape,
+    mask,
+    smooth_gain,
+    debug=False,
+    gradient=False,
+):
+    """Scalar VET cost (masked SSD + smoothness), or its gradient when
+    gradient=True (reference: vet.py:165-302).  Drop-in for scipy.optimize;
+    internally one jitted value-and-grad evaluation."""
+    input_images = np.asarray(input_images, np.float64)
+    template, target = input_images[0], input_images[-1]
+    m, n = template.shape
+    si, sj = int(blocks_shape[0]), int(blocks_shape[1])
+    interp_arrays = (
+        jnp.asarray(_sector_centers(m, si), jnp.float32),
+        jnp.asarray(_sector_centers(n, sj), jnp.float32),
+        jnp.arange(m, dtype=jnp.float32),
+        jnp.arange(n, dtype=jnp.float32),
+    )
+    fn = _make_cost(
+        jnp.asarray(template, jnp.float32),
+        jnp.asarray(target, jnp.float32),
+        jnp.asarray(np.asarray(mask, bool)),
+        float(smooth_gain),
+        (si, sj),
+        interp_arrays,
+    )
+    value, grad = fn(jnp.asarray(sector_displacement_1d, jnp.float32))
+    if debug:
+        print("cost", float(value))
+    if gradient:
+        return np.asarray(grad, np.float64).ravel()
+    return float(value)
+
+
+def vet_cost_function_gradient(*args, **kwargs):
+    """Gradient of :func:`vet_cost_function` (reference: vet.py:156)."""
+    kwargs["gradient"] = True
+    return vet_cost_function(*args, **kwargs)
+
+
 def get_padding(dimension_size, sectors):
     """Padding so the dimension divides evenly into sectors
     (reference: vet.py:60)."""

@@ -123,6 +123,21 @@ def binned_timesteps(timesteps):
     return bins
 
 
+def create_timestep_range(timesteps):
+    """Normalize a timesteps spec into an iterable of integer steps plus the
+    originally requested (possibly fractional) lead times
+    (reference: nowcasts/utils.py:247-262).
+
+    Returns (timesteps, original_timesteps, timestep_type) where
+    timestep_type is "int" for a plain count and "list" for irregular lists
+    (binned into integer intervals via binned_timesteps).
+    """
+    if isinstance(timesteps, int):
+        return range(timesteps + 1), None, "int"
+    original_timesteps = [0] + list(timesteps)
+    return binned_timesteps(original_timesteps), original_timesteps, "list"
+
+
 def print_ar_params(phi):
     """AR parameter table (reference: nowcasts/utils.py:536)."""
     phi = np.asarray(phi)

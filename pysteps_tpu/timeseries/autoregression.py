@@ -219,6 +219,97 @@ def estimate_var_params_ols(
     return phi
 
 
+def estimate_var_params_ols_localized(
+    x, p, window_radius, d=0, include_constant_term=False, h=0, lam=0.0,
+    window="gaussian",
+):
+    """Per-pixel OLS VAR(p) fit with moving-window weighting
+    (reference: autoregression.py:676-858).
+
+    x: (n, q, m, n_cols) q-variate series of length n = p+d+h+1.
+    Returns [c?, Phi_1..Phi_p, Phi_p+1] with each Phi of shape
+    (q, q, m, n_cols) (the constant c, if requested, is (q, m, n_cols));
+    Phi_p+1 is zeros, matching the reference.
+    """
+    x = jnp.asarray(x)
+    n, q = x.shape[:2]
+    if n != p + d + h + 1:
+        raise ValueError(f"n={n} but n = p+d+h+1 = {p + d + h + 1} required")
+    if d == 1:
+        x = jnp.diff(x, axis=0)
+        n -= 1
+    spatial = x.shape[2:]
+
+    from pysteps_tpu.timeseries.correlation import (
+        _gaussian_kernel1d,
+        _sep_conv2d,
+        _uniform_kernel1d,
+    )
+
+    k1d = (
+        _gaussian_kernel1d(window_radius)
+        if window == "gaussian"
+        else _uniform_kernel1d(window_radius)
+    )
+    smooth = lambda f: _sep_conv2d(f, k1d)  # noqa: E731
+
+    nc = p * q + (1 if include_constant_term else 0)
+    # localized normal equations per pixel: B = XZ Z2^{-1}
+    # XZ[a, (k,b)]  = sum_l < x[p+l, a] * x[p-1-k+l, b] >_w
+    # Z2[(i,a),(k,b)] = sum_l < x[p-1-i+l, a] * x[p-1-k+l, b] >_w
+    XZ = jnp.zeros((q, nc) + spatial)
+    Z2 = jnp.zeros((nc, nc) + spatial)
+    off = 1 if include_constant_term else 0
+    for l in range(h + 1):
+        if include_constant_term:
+            Z2 = Z2.at[0, 0].add(smooth(jnp.ones(spatial)))
+            for i in range(p):
+                for a in range(q):
+                    s = smooth(x[p - 1 - i + l, a])
+                    Z2 = Z2.at[0, off + i * q + a].add(s)
+                    Z2 = Z2.at[off + i * q + a, 0].add(s)
+            for a in range(q):
+                XZ = XZ.at[a, 0].add(smooth(x[p + l, a]))
+        for a in range(q):
+            for k in range(p):
+                for b in range(q):
+                    XZ = XZ.at[a, off + k * q + b].add(
+                        smooth(x[p + l, a] * x[p - 1 - k + l, b])
+                    )
+        for i in range(p):
+            for a in range(q):
+                for k in range(p):
+                    for b in range(q):
+                        if (k, b) < (i, a):
+                            continue  # filled by the symmetric copy below
+                        s = smooth(x[p - 1 - i + l, a] * x[p - 1 - k + l, b])
+                        Z2 = Z2.at[off + i * q + a, off + k * q + b].add(s)
+                        if (i, a) != (k, b):
+                            Z2 = Z2.at[off + k * q + b, off + i * q + a].add(s)
+
+    # batched per-pixel solve: B Z2 = XZ  <=>  Z2^T B^T = XZ^T
+    Z2_px = jnp.moveaxis(Z2.reshape(nc, nc, -1), -1, 0)
+    Z2_px = Z2_px + lam * jnp.eye(nc)
+    XZ_px = jnp.moveaxis(XZ.reshape(q, nc, -1), -1, 0)
+    Bt = jnp.linalg.solve(jnp.swapaxes(Z2_px, -1, -2), jnp.swapaxes(XZ_px, -1, -2))
+    B = jnp.moveaxis(jnp.swapaxes(Bt, -1, -2), 0, -1).reshape((q, nc) + spatial)
+
+    out = []
+    if include_constant_term:
+        out.append(B[:, 0])
+    phi = [B[:, off + k * q : off + (k + 1) * q] for k in range(p)]
+    if d == 1:
+        # undifference: x_t = x_{t-1} + sum phi_i dx_{t-i}  (as in the AR case)
+        phi_u = [phi[0] + jnp.eye(q)[..., None, None]]
+        for i in range(1, p):
+            phi_u.append(phi[i] - phi[i - 1])
+        phi_u.append(-phi[p - 1])
+        phi = phi_u
+    out.extend(phi)
+    out.append(jnp.zeros((q, q) + spatial))
+    return out
+
+
 def estimate_var_params_yw_localized(gamma, d=0):
     """Per-pixel Yule-Walker VAR fit from localized correlation-matrix maps
     (reference: autoregression.py:939).  gamma: list of (q, q, m, n) maps."""

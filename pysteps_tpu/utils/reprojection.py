@@ -59,3 +59,52 @@ def reproject_grids(src_array, src_metadata, dst_metadata):
 def reprojection(*args, **kwargs):
     """Alias kept for API parity (reference exposes 'reproject_grids')."""
     return reproject_grids(*args, **kwargs)
+
+
+def unstructured2regular(src_array, metadata_src, metadata_dst):
+    """Nearest-neighbour regrid of unstructured (cell-list) data onto a
+    regular grid in the destination projection
+    (reference: reprojection.py:132-241).
+
+    src_array: (t, n_ens, n_gridcells); metadata_src must carry per-cell
+    centre coordinates ``clon``/``clat``.  Returns ((t, n_ens, y, x), dict).
+    """
+    try:
+        import pyproj
+    except ImportError as err:
+        raise MissingOptionalDependency(
+            "pyproj is required for unstructured2regular but is not installed"
+        ) from err
+    from scipy.spatial import cKDTree
+
+    for key in ("clon", "clat"):
+        if key not in metadata_src:
+            raise KeyError(f"cell centre coordinate '{key}' missing in metadata_src")
+
+    x_dst = np.arange(
+        np.float32(metadata_dst["x1"]),
+        np.float32(metadata_dst["x2"]),
+        metadata_dst["xpixelsize"],
+    )
+    y_dst = np.arange(
+        np.float32(metadata_dst["y1"]),
+        np.float32(metadata_dst["y2"]),
+        metadata_dst["ypixelsize"],
+    )
+    if metadata_dst["yorigin"] == "upper":
+        y_dst = y_dst[::-1]
+    xx, yy = np.meshgrid(x_dst, y_dst)
+
+    proj = pyproj.Proj(metadata_dst["projection"])
+    x_src, y_src = proj(metadata_src["clon"], metadata_src["clat"])
+    tree = cKDTree(np.stack((np.ravel(x_src), np.ravel(y_src)), axis=1))
+    _, ic_out = tree.query(np.stack((xx.ravel(), yy.ravel()), axis=1))
+    ic_out = ic_out.reshape(xx.shape)
+
+    r_rprj = np.asarray(src_array)[..., ic_out]
+
+    metadata = metadata_src.copy()
+    for key in ("projection", "yorigin", "xpixelsize", "ypixelsize",
+                "x1", "x2", "y1", "y2", "cartesian_unit"):
+        metadata[key] = metadata_dst[key]
+    return r_rprj, metadata

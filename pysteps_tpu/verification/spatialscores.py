@@ -137,6 +137,87 @@ def binary_mse_compute(bmse, return_scales=True):
     return SS
 
 
+def intensity_scale_init(name, thrs, scales=None, wavelet="haar"):
+    """Streaming intensity-scale verification object
+    (reference: spatialscores.py:97-179): a dict of per-threshold fss/bmse
+    states, accumulated with intensity_scale_accum."""
+    name = name.lower()
+    thrs = np.atleast_1d(np.asarray(thrs, float))
+    if name == "fss":
+        if scales is None:
+            raise ValueError("FSS needs the scales argument")
+        scales = np.atleast_1d(np.asarray(scales, int))
+        states = {
+            float(thr): {int(s): fss_init(float(thr), int(s)) for s in scales}
+            for thr in thrs
+        }
+    elif name == "bmse":
+        scales = None  # determined by the wavelet decomposition depth
+        states = {float(thr): binary_mse_init(float(thr), wavelet) for thr in thrs}
+    else:
+        raise ValueError(f"unknown intensity-scale score {name}")
+    return {"name": name, "thrs": thrs, "scales": scales, "states": states}
+
+
+def intensity_scale_accum(intscale, X_f, X_o):
+    """Accumulate one forecast/observation pair into every (thr, scale) state
+    (reference: spatialscores.py:182-210)."""
+    for thr in intscale["thrs"]:
+        state = intscale["states"][float(thr)]
+        if intscale["name"] == "fss":
+            for s in intscale["scales"]:
+                fss_accum(state[int(s)], X_f, X_o)
+        else:
+            binary_mse_accum(state, X_f, X_o)
+    if intscale["scales"] is None:
+        # bmse: scale count known after the first accumulation
+        first = intscale["states"][float(intscale["thrs"][0])]
+        intscale["scales"] = 2 ** np.arange(1, len(first["mse"]) + 1)
+
+
+def intensity_scale_merge(intscale_1, intscale_2):
+    """Merge two accumulated intensity-scale objects (associative; the
+    cross-worker reduction — reference: spatialscores.py:213-258)."""
+    if intscale_1["name"] != intscale_2["name"]:
+        raise ValueError(
+            "cannot merge intensity-scale objects of different methods: "
+            f"{intscale_1['name']} != {intscale_2['name']}"
+        )
+    out = {
+        "name": intscale_1["name"],
+        "thrs": intscale_1["thrs"],
+        "scales": intscale_1["scales"],
+        "states": {},
+    }
+    for thr in out["thrs"]:
+        s1 = intscale_1["states"][float(thr)]
+        s2 = intscale_2["states"][float(thr)]
+        if out["name"] == "fss":
+            out["states"][float(thr)] = {
+                int(s): fss_merge(s1[int(s)], s2[int(s)])
+                for s in out["scales"]
+            }
+        else:
+            out["states"][float(thr)] = binary_mse_merge(s1, s2)
+    return out
+
+
+def intensity_scale_compute(intscale):
+    """(n_scales, n_thrs) skill matrix from an accumulated object
+    (reference: spatialscores.py:261-297)."""
+    thrs = intscale["thrs"]
+    scales = intscale["scales"]
+    SS = np.zeros((len(scales), len(thrs)))
+    for k, thr in enumerate(thrs):
+        state = intscale["states"][float(thr)]
+        if intscale["name"] == "fss":
+            for j, s in enumerate(scales):
+                SS[j, k] = fss_compute(state[int(s)])
+        else:
+            SS[:, k] = binary_mse_compute(state, return_scales=False)
+    return SS
+
+
 def intensity_scale(X_f, X_o, name, thrs, scales=None, wavelet="haar"):
     """Intensity-scale skill-score matrix over thresholds
     (reference: spatialscores.py:43)."""

@@ -1,10 +1,34 @@
 """
-Motion-field plotting: quiver and streamplot
-(reference: pysteps/visualization/motionfields.py:145,193).
+Motion-field plotting: quiver, streamplot, and the motion_plot dispatcher
+(reference: pysteps/visualization/motionfields.py:27,145,193).  Geodata-aware
+via visualization.utils.get_geogrid / get_basemap_axis.
 """
 
-import matplotlib.pyplot as plt
 import numpy as np
+
+from pysteps_tpu.visualization.utils import get_basemap_axis, get_geogrid
+
+
+def motion_plot(uv_motion_field, plot_type="quiver", ax=None, geodata=None,
+                axis="on", plot_kwargs=None, map_kwargs=None, step=20):
+    """Plot a motion field as arrows or stream lines
+    (reference: motionfields.py:27-144)."""
+    if plot_type == "quiver":
+        return quiver(uv_motion_field, ax=ax, geodata=geodata, axis=axis,
+                      step=step, quiver_kwargs=plot_kwargs,
+                      map_kwargs=map_kwargs)
+    if plot_type == "streamplot":
+        return streamplot(uv_motion_field, ax=ax, geodata=geodata, axis=axis,
+                          streamplot_kwargs=plot_kwargs,
+                          map_kwargs=map_kwargs)
+    raise ValueError(f"unknown plot_type {plot_type}; use quiver|streamplot")
+
+
+def _grid_for(uv, geodata):
+    """Cell-centre grids + axis setup shared by quiver/streamplot."""
+    m, n = uv.shape[1:]
+    x_grid, y_grid, extent, _, origin = get_geogrid(m, n, geodata=geodata)
+    return x_grid, y_grid, extent, origin
 
 
 def quiver(uv_motion_field, ax=None, geodata=None, axis="on", step=20,
@@ -12,16 +36,17 @@ def quiver(uv_motion_field, ax=None, geodata=None, axis="on", step=20,
     """Quiver plot of a (2, m, n) motion field
     (reference: motionfields.py:145)."""
     uv = np.asarray(uv_motion_field)
-    if ax is None:
-        ax = plt.gca()
     quiver_kwargs = quiver_kwargs or {}
-    m, n = uv.shape[1:]
-    ys = np.arange(0, m, step)
-    xs = np.arange(0, n, step)
-    X, Y = np.meshgrid(xs, ys)
-    U = uv[0][::step, ::step]
-    V = uv[1][::step, ::step]
-    ax.quiver(X, Y, U, -V, angles="xy", **quiver_kwargs)
+    x_grid, y_grid, extent, origin = _grid_for(uv, geodata)
+    ax = get_basemap_axis(extent, geodata=geodata, ax=ax, map_kwargs=map_kwargs)
+
+    skip = (slice(None, None, step), slice(None, None, step))
+    u = uv[0][skip]
+    # image row index grows downward; flip v so arrows point with the flow
+    # unless the grid itself has a lower origin
+    v = uv[1][skip] if origin == "lower" else -uv[1][skip]
+    ax.quiver(x_grid[skip], y_grid[skip], u, v, angles="xy", zorder=20,
+              **quiver_kwargs)
     if axis == "off":
         ax.axis("off")
     return ax
@@ -32,13 +57,15 @@ def streamplot(uv_motion_field, ax=None, geodata=None, axis="on",
     """Streamplot of a (2, m, n) motion field
     (reference: motionfields.py:193)."""
     uv = np.asarray(uv_motion_field)
-    if ax is None:
-        ax = plt.gca()
     streamplot_kwargs = streamplot_kwargs or {}
-    m, n = uv.shape[1:]
-    x = np.arange(n)
-    y = np.arange(m)
-    ax.streamplot(x, y, uv[0], -uv[1], **streamplot_kwargs)
+    x_grid, y_grid, extent, origin = _grid_for(uv, geodata)
+    ax = get_basemap_axis(extent, geodata=geodata, ax=ax, map_kwargs=map_kwargs)
+
+    # streamplot requires strictly increasing 1-D coordinates
+    x = x_grid[0]
+    y = np.sort(y_grid[:, 0])
+    v = uv[1] if origin == "lower" else -uv[1]
+    ax.streamplot(x, y, uv[0], v, zorder=20, **streamplot_kwargs)
     if axis == "off":
         ax.axis("off")
     return ax

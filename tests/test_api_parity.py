@@ -1,0 +1,187 @@
+"""Tests for reference-API parity additions: streaming intensity-scale,
+localized VAR OLS, vet helpers (morph / cost function), visualization utils,
+create_timestep_range, interface info functions."""
+
+import numpy as np
+import pytest
+
+
+def test_intensity_scale_streaming_matches_direct():
+    from pysteps_tpu.verification.spatialscores import (
+        intensity_scale,
+        intensity_scale_accum,
+        intensity_scale_compute,
+        intensity_scale_init,
+        intensity_scale_merge,
+    )
+
+    rng = np.random.RandomState(0)
+    X_o = rng.exponential(1.0, (64, 64))
+    X_f = X_o + 0.3 * rng.randn(64, 64)
+
+    st = intensity_scale_init("FSS", [0.5, 1.0], [2, 4, 8])
+    intensity_scale_accum(st, X_f, X_o)
+    direct = intensity_scale(X_f, X_o, "fss", [0.5, 1.0], [2, 4, 8])
+    assert np.allclose(direct, intensity_scale_compute(st))
+
+    # merge of two separately accumulated halves == accumulating both
+    s1 = intensity_scale_init("fss", [0.5], [2, 4])
+    s2 = intensity_scale_init("fss", [0.5], [2, 4])
+    both = intensity_scale_init("fss", [0.5], [2, 4])
+    intensity_scale_accum(s1, X_f, X_o)
+    intensity_scale_accum(s2, X_o, X_f)
+    intensity_scale_accum(both, X_f, X_o)
+    intensity_scale_accum(both, X_o, X_f)
+    assert np.allclose(
+        intensity_scale_compute(intensity_scale_merge(s1, s2)),
+        intensity_scale_compute(both),
+    )
+
+    # bmse path: scales resolved after first accumulation
+    sb = intensity_scale_init("BMSE", [0.5])
+    intensity_scale_accum(sb, X_f, X_o)
+    out = intensity_scale_compute(sb)
+    assert out.shape == (len(sb["scales"]), 1)
+
+
+def test_var_ols_localized_recovers_var1():
+    from pysteps_tpu.timeseries.autoregression import (
+        estimate_var_params_ols_localized,
+    )
+
+    rng = np.random.RandomState(3)
+    q, m, n = 2, 24, 24
+    Phi = np.array([[0.7, 0.2], [0.1, 0.6]])
+    x = np.zeros((4, q, m, n))
+    x[0] = rng.randn(q, m, n)
+    for t in range(1, 4):
+        x[t] = np.einsum("ab,bmn->amn", Phi, x[t - 1]) + 0.05 * rng.randn(q, m, n)
+
+    out = estimate_var_params_ols_localized(x, 1, window_radius=5, h=2,
+                                            window="uniform")
+    assert len(out) == 2  # Phi_1 + zero innovation matrix
+    est = np.asarray(out[0])[:, :, m // 2, n // 2]
+    assert np.allclose(est, Phi, atol=0.05)
+    assert np.allclose(np.asarray(out[-1]), 0.0)
+
+    out_c = estimate_var_params_ols_localized(
+        x, 1, window_radius=5, h=2, include_constant_term=True
+    )
+    assert len(out_c) == 3 and np.asarray(out_c[0]).shape == (q, m, n)
+
+
+def test_vet_morph_and_cost_function():
+    from pysteps_tpu.motion.vet import (
+        ceil_int,
+        morph,
+        round_int,
+        vet_cost_function,
+        vet_cost_function_gradient,
+    )
+
+    rng = np.random.RandomState(0)
+    img = rng.rand(64, 64)
+    d = np.zeros((2, 64, 64))
+    d[0] += 3.0
+    d[1] -= 2.0
+    warped, mask = morph(img, d)
+    # out[x] = img[x - d]
+    assert np.allclose(warped[10:50, 10:50], img[7:47, 12:52])
+    assert mask[:3].max() == 2 and mask[30, 30] == 0
+    _, _, grad = morph(img, d, gradient=True)
+    assert grad.shape == (2, 64, 64)
+
+    zeros = np.zeros(2 * 4 * 4)
+    no_mask = np.zeros((64, 64), bool)
+    pair = np.stack([img, img])
+    assert vet_cost_function(zeros, pair, (4, 4), no_mask, 1e-3) < 1e-6
+    g = vet_cost_function_gradient(zeros, pair, (4, 4), no_mask, 1e-3)
+    assert g.shape == (32,)
+
+    # cost at the true displacement is far below cost at zero
+    target, _ = morph(img, d)
+    pair = np.stack([img, target])
+    c0 = vet_cost_function(zeros, pair, (4, 4), no_mask, 0.0)
+    true_disp = np.concatenate([np.full(16, 3.0), np.full(16, -2.0)])
+    ct = vet_cost_function(true_disp, pair, (4, 4), no_mask, 0.0)
+    assert ct < 0.05 * c0
+
+    assert round_int(2.6) == 3 and ceil_int(2.1) == 3
+
+
+def test_visualization_utils():
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from pysteps_tpu.visualization.utils import (
+        get_basemap_axis,
+        get_geogrid,
+        parse_proj4_string,
+    )
+
+    d = parse_proj4_string(
+        "+proj=lcc +lat_1=46 +lat_2=49 +lon_0=8.5 +x_0=600000 +no_defs"
+    )
+    assert d["proj"] == "lcc"
+    assert d["lat_1"] == 46 and d["x_0"] == 600000 and d["no_defs"] is True
+
+    geodata = {"projection": "+proj=stere", "x1": 0.0, "x2": 640.0,
+               "y1": 0.0, "y2": 640.0, "yorigin": "upper"}
+    x_grid, y_grid, extent, regular, origin = get_geogrid(64, 64, geodata)
+    assert x_grid.shape == (64, 64) and extent == (0.0, 640.0, 0.0, 640.0)
+    assert regular and origin == "upper"
+    # upper origin: first row has the largest y
+    assert y_grid[0, 0] > y_grid[-1, 0]
+    ax = get_basemap_axis(extent, geodata=geodata)
+    assert ax is not None
+
+
+def test_motion_plot_dispatch():
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from pysteps_tpu.visualization import motion_plot
+
+    uv = np.random.randn(2, 32, 32)
+    assert motion_plot(uv, "quiver") is not None
+    assert motion_plot(uv, "streamplot") is not None
+    with pytest.raises(ValueError):
+        motion_plot(uv, "nope")
+
+
+def test_create_timestep_range():
+    from pysteps_tpu.nowcasts.utils import create_timestep_range
+
+    ts, orig, kind = create_timestep_range(4)
+    assert list(ts) == [0, 1, 2, 3, 4] and orig is None and kind == "int"
+    bins, orig, kind = create_timestep_range([0.5, 1.5, 3.0])
+    assert kind == "list" and orig == [0, 0.5, 1.5, 3.0]
+    assert sum(len(b) for b in bins) == 4
+
+
+def test_interface_info_functions(capsys):
+    from pysteps_tpu.io.interface import importers_info
+    from pysteps_tpu.postprocessing.interface import postprocessors_info
+
+    module_importers, registered = importers_info()
+    assert "import_fmi_pgm" in module_importers
+    mod, iface = postprocessors_info()
+    assert any("excprob" in n for n in iface)
+    capsys.readouterr()
+
+
+def test_blending_check_norain_deprecated_alias():
+    from pysteps_tpu.blending.utils import check_norain
+
+    with pytest.deprecated_call():
+        assert check_norain(np.zeros((8, 8))) is np.True_ or check_norain(
+            np.zeros((8, 8))
+        )
+
+
+def test_config_fname_exists():
+    import os
+
+    from pysteps_tpu import config_fname
+
+    assert os.path.isfile(config_fname())
