@@ -6,10 +6,14 @@ contract of the reference (io/importers.py:14-66): projection, x1/x2/y1/y2,
 xpixelsize/ypixelsize, yorigin, unit, transform, accutime, threshold,
 zerovalue, institution.
 
-Formats with available dependencies are implemented natively (PGM, GIF via
-PIL, RADOLAN binary, KNMI/ODIM/MCH HDF5 via h5py, NPZ); formats requiring
-GDAL/pygrib/metranet are gated behind MissingOptionalDependency, matching
-the reference's graceful-degradation pattern (io/importers.py:102-153).
+All 13 reference formats are implemented except Metranet (proprietary
+library, gated in the reference too): PGM, GIF via PIL, RADOLAN binary,
+KNMI/ODIM/MCH/DWD/OPERA HDF5 via h5py, BoM RF3 + SAF CRRI NetCDF via the
+_netcdf facade (h5py for NetCDF-4, scipy for classic), FMI GeoTIFF via PIL
++ GeoTIFF tags, MRMS GRIB2 via the native C++ decoder
+(pysteps_tpu/native/grib2.cpp), plus NPZ.  Unavailable dependencies raise
+MissingOptionalDependency, matching the reference's graceful-degradation
+pattern (io/importers.py:102-153).
 """
 
 import gzip
@@ -282,14 +286,276 @@ def _gated_importer(name, dependency):
     return _importer
 
 
-# formats requiring unavailable native libraries (reference implements them
-# with GDAL/pygrib/metranet; gated here)
-import_mrms_grib = _gated_importer("import_mrms_grib", "pygrib")
-import_bom_rf3 = _gated_importer("import_bom_rf3", "netCDF4")
-import_fmi_geotiff = _gated_importer("import_fmi_geotiff", "gdal")
+@postprocess_import()
+def import_bom_rf3(filename, **kwargs):
+    """BoM Rainfields3 NetCDF rainfall product
+    (reference: io/importers.py:440-566).  Reads NetCDF-4 via h5py or
+    classic NetCDF-3 via scipy — no netCDF4 dependency."""
+    from pysteps_tpu.io import _netcdf
+
+    with _netcdf.Dataset(filename) as ds:
+        if "precipitation" not in ds.variables:
+            raise DataModelError(f"{filename}: no 'precipitation' variable")
+        precip = ds.variables["precipitation"][:]
+        metadata = _bom_rf3_geodata(ds)
+
+    metadata["transform"] = None
+    metadata["zerovalue"] = float(np.nanmin(precip))
+    metadata["threshold"] = _min_above(precip)
+    return precip, None, metadata
+
+
+def _bom_rf3_geodata(ds):
+    """Geodata dict from a Rainfields3 dataset
+    (reference: io/importers.py:486-566)."""
+    geodata = {}
+    projdef = None
+    if "proj" in ds.variables:
+        proj = ds.variables["proj"]
+        if getattr(proj, "grid_mapping_name", None) == "albers_conical_equal_area":
+            std = np.atleast_1d(proj.standard_parallel)
+            projdef = (
+                f"+proj=aea  +lon_0={float(proj.longitude_of_central_meridian):.3f}"
+                f" +lat_0={float(proj.latitude_of_projection_origin):.3f}"
+                f" +lat_1={float(std[0]):.3f} +lat_2={float(std[-1]):.3f}"
+            )
+    geodata["projection"] = projdef
+
+    x, y = ds.variables["x"], ds.variables["y"]
+    if "valid_min" in x.ncattrs():
+        xmin, xmax = float(x.valid_min), float(x.valid_max)
+        ymin, ymax = float(y.valid_min), float(y.valid_max)
+    else:
+        xv, yv = x[:], y[:]
+        xmin, xmax = float(np.min(xv)), float(np.max(xv))
+        ymin, ymax = float(np.min(yv)), float(np.max(yv))
+    scale = 1000.0 if getattr(x, "units", "") == "km" else 1.0
+    geodata.update(
+        x1=xmin * scale, y1=ymin * scale, x2=xmax * scale, y2=ymax * scale,
+        xpixelsize=abs(float(x[:][1] - x[:][0])) * scale,
+        ypixelsize=abs(float(y[:][1] - y[:][0])) * scale,
+        cartesian_unit="m", yorigin="upper",
+    )
+
+    accutime = None
+    if "valid_time" in ds.variables and "start_time" in ds.variables:
+        from pysteps_tpu.io._netcdf import num2date
+
+        vt = ds.variables["valid_time"]
+        st = ds.variables["start_time"]
+        try:
+            valid = num2date(vt[:].ravel()[0], vt.units)
+            start = num2date(st[:].ravel()[0], st.units)
+            accutime = (valid - start).seconds // 60
+        except (ValueError, KeyError, AttributeError):
+            pass
+    geodata["accutime"] = accutime
+
+    units = getattr(ds.variables["precipitation"], "units", None)
+    geodata["unit"] = "mm" if units in ("kg m-2", "mm") else units
+    geodata["institution"] = "Commonwealth of Australia, Bureau of Meteorology"
+    return geodata
+
+
+@postprocess_import()
+def import_saf_crri(filename, extent=None, **kwargs):
+    """SAF Convective Rainfall Rate Intensity NetCDF product
+    (reference: io/importers.py:1557-1680)."""
+    from pysteps_tpu.io import _netcdf
+
+    with _netcdf.Dataset(filename) as ds:
+        metadata = {
+            "projection": ds.getncattr("gdal_projection"),
+            "cartesian_unit": "m",
+            "yorigin": "upper",
+            "accutime": None,
+            "institution": ds.getncattr("institution"),
+        }
+        geotable = np.atleast_1d(ds.getncattr("gdal_geotransform_table"))
+        metadata.update(
+            x1=float(ds.getncattr("gdal_xgeo_up_left")),
+            x2=float(ds.getncattr("gdal_xgeo_low_right")),
+            y1=float(ds.getncattr("gdal_ygeo_low_right")),
+            y2=float(ds.getncattr("gdal_ygeo_up_left")),
+            xpixelsize=abs(float(geotable[1])),
+            ypixelsize=abs(float(geotable[5])),
+        )
+        var = ds.variables["crr_intensity"]
+        metadata["unit"] = getattr(var, "units", "mm/h")
+        data = var[:]
+        quality = ds.variables["crr_quality"][:]
+
+    if extent is not None:
+        xc = (
+            np.arange(metadata["x1"], metadata["x2"], metadata["xpixelsize"])
+            + metadata["xpixelsize"] / 2
+        )
+        yc = (
+            np.arange(metadata["y1"], metadata["y2"], metadata["ypixelsize"])
+            + metadata["ypixelsize"] / 2
+        )[::-1]
+        idx_x = (xc > extent[0]) & (xc < extent[1])
+        idx_y = (yc > extent[2]) & (yc < extent[3])
+        data = data[np.ix_(idx_y, idx_x)]
+        quality = quality[np.ix_(idx_y, idx_x)]
+        metadata["x1"] = float(xc[idx_x].min() - metadata["xpixelsize"] / 2)
+        metadata["x2"] = float(xc[idx_x].max() + metadata["xpixelsize"] / 2)
+        metadata["y1"] = float(yc[idx_y].min() - metadata["ypixelsize"] / 2)
+        metadata["y2"] = float(yc[idx_y].max() + metadata["ypixelsize"] / 2)
+
+    precip = np.where(data == 65535, np.nan, data.astype(float))
+    metadata["transform"] = None
+    metadata["zerovalue"] = float(np.nanmin(precip))
+    metadata["threshold"] = _min_above(precip)
+    return precip, quality, metadata
+
+
+# EPSG codes seen in the supported GeoTIFF archives (reference resolves the
+# projection via GDAL's WKT->proj4 export, unavailable here)
+_EPSG_TO_PROJ4 = {
+    3067: "+proj=utm +zone=35 +ellps=GRS80 +towgs84=0,0,0,0,0,0,0 "
+          "+units=m +no_defs",  # ETRS-TM35FIN (FMI composites)
+    3857: "+proj=merc +a=6378137 +b=6378137 +lat_ts=0 +lon_0=0 +x_0=0 "
+          "+y_0=0 +k=1 +units=m +no_defs",
+    4326: "+proj=longlat +datum=WGS84 +no_defs",
+}
+
+
+@postprocess_import()
+def import_fmi_geotiff(filename, **kwargs):
+    """FMI reflectivity composite in GeoTIFF (dBZ)
+    (reference: io/importers.py:569-634, via GDAL; here PIL + GeoTIFF tags)."""
+    try:
+        from PIL import Image
+    except ImportError as err:
+        raise MissingOptionalDependency(
+            "PIL is required for import_fmi_geotiff but is not installed"
+        ) from err
+
+    with Image.open(filename) as img:
+        arr = np.array(img, dtype=float)
+        tags = dict(getattr(img, "tag_v2", {}) or {})
+
+    precip = np.where(arr == 255, np.nan, (arr - 64.0) / 2.0)
+    height, width = arr.shape[:2]
+
+    # ModelPixelScale (33550) + ModelTiepoint (33922) -> affine geotransform
+    scale = tags.get(33550)
+    tiepoint = tags.get(33922)
+    if scale is not None and tiepoint is not None:
+        sx, sy = float(scale[0]), float(scale[1])
+        ti, tj, _, tx, ty, _ = (float(v) for v in tiepoint[:6])
+        x0 = tx - ti * sx        # west edge
+        y0 = ty + tj * sy        # north edge
+    else:
+        sx = sy = 1000.0
+        x0, y0 = 0.0, height * sy
+
+    projection = None
+    geokeys = tags.get(34735)
+    if geokeys is not None:
+        keys = np.asarray(geokeys, dtype=np.int64).reshape(-1, 4)
+        for key_id, loc, _count, value in keys:
+            if key_id == 3072 and loc == 0:  # ProjectedCSTypeGeoKey inline
+                projection = _EPSG_TO_PROJ4.get(int(value))
+
+    metadata = {
+        "projection": projection,
+        "x1": x0,
+        "y1": y0 - sy * height,
+        "x2": x0 + sx * width,
+        "y2": y0,
+        "xpixelsize": sx, "ypixelsize": sy,
+        "yorigin": "upper",
+        "institution": "Finnish Meteorological Institute",
+        "unit": "dBZ", "transform": "dB",
+        "accutime": 5.0,
+        "threshold": _min_above(precip),
+        "zerovalue": float(np.nanmin(precip)) if np.isfinite(precip).any() else 0.0,
+        "cartesian_unit": "m",
+        "zr_a": 223.0, "zr_b": 1.53,
+    }
+    return precip, None, metadata
+
+
+@postprocess_import(dtype="float32")
+def import_mrms_grib(filename, extent=None, window_size=4, **kwargs):
+    """NSSL MRMS rainrate composite in GRIB2
+    (reference: io/importers.py:244-440, via pygrib; here the native GRIB2
+    decoder in pysteps_tpu/native/grib2.cpp + pysteps_tpu/io/_grib2.py).
+
+    Returns mm/h on the 0.01-degree CONUS lat/lon grid, row 0 = north,
+    downsampled by ``window_size`` (mean over blocks, NaN-poisoning blocks
+    that contain any missing data) and optionally clipped to
+    ``extent=(min_lon, max_lon, min_lat, max_lat)``.
+    """
+    from pysteps_tpu.io import _grib2
+
+    if isinstance(window_size, int):
+        window_size = (window_size, window_size)
+
+    msg = _grib2.read_messages(filename)[0]
+    # _grib2 normalizes scan order to row 0 = northernmost latitude
+    precip = np.asarray(msg.values, dtype=float)
+    # "-3" encodes No Coverage / Missing in MRMS products
+    no_data_mask = precip == -3
+
+    ul_lat, lr_lat = max(msg.lat1, msg.lat2), min(msg.lat1, msg.lat2)
+    ul_lon, lr_lon = msg.lon1, msg.lon2
+    lats = np.linspace(ul_lat, lr_lat, msg.nj)
+    lons = np.linspace(ul_lon, lr_lon, msg.ni)
+
+    if window_size != (1, 1):
+        wy, wx = window_size
+        ny = precip.shape[0] // wy * wy
+        nx = precip.shape[1] // wx * wx
+        precip = np.where(no_data_mask, 0.0, precip)[:ny, :nx]
+        precip = precip.reshape(ny // wy, wy, nx // wx, wx).mean(axis=(1, 3))
+        no_data_mask = (
+            no_data_mask[:ny, :nx]
+            .reshape(ny // wy, wy, nx // wx, wx)
+            .any(axis=(1, 3))
+        )
+        lats = lats[:ny].reshape(-1, wy).mean(axis=1)
+        lons = lons[:nx].reshape(-1, wx).mean(axis=1)
+        ul_lat, lr_lat = lats[0], lats[-1]
+        ul_lon, lr_lon = lons[0], lons[-1]
+    precip = np.where(no_data_mask, np.nan, precip)
+
+    if extent is not None:
+        extent = np.asarray(extent, float).ravel()
+        if extent.size != 4:
+            raise ValueError("extent must be (min_lon, max_lon, min_lat, max_lat)")
+        idx_lon = (lons >= extent[0]) & (lons <= extent[1])
+        idx_lat = (lats >= extent[2]) & (lats <= extent[3])
+        precip = precip[np.ix_(idx_lat, idx_lon)]
+        ul_lat, lr_lat = lats[idx_lat][0], lats[idx_lat][-1]
+        ul_lon, lr_lon = lons[idx_lon][0], lons[idx_lon][-1]
+
+    proj_params = msg.projparams
+    proj_def = " ".join(f"+{k}={v}" for k, v in proj_params.items())
+    xsize = msg.di * window_size[1]
+    ysize = msg.dj * window_size[0]
+
+    metadata = {
+        "institution": "NOAA National Severe Storms Laboratory",
+        "xpixelsize": xsize, "ypixelsize": ysize,
+        "unit": "mm/h",
+        "accutime": 2.0,
+        "transform": None,
+        "zerovalue": 0,
+        "projection": proj_def,
+        "yorigin": "upper",
+        "threshold": _min_above(precip, 0.0),
+        "x1": ul_lon - xsize / 2, "x2": lr_lon + xsize / 2,
+        "y1": lr_lat - ysize / 2, "y2": ul_lat + ysize / 2,
+        "cartesian_unit": "degrees",
+    }
+    return precip, None, metadata
+
+
 import_mch_hdf5 = import_odim_hdf5  # MCH HDF5 follows ODIM conventions
 import_mch_metranet = _gated_importer("import_mch_metranet", "metranet")
-import_saf_crri = _gated_importer("import_saf_crri", "netCDF4")
 import_dwd_hdf5 = import_odim_hdf5  # DWD HDF5 follows ODIM conventions
 import_opera_hdf5 = import_odim_hdf5
 

@@ -13,12 +13,12 @@ _importer_methods = {
     "dwd_hdf5": importers.import_dwd_hdf5,
     "dwd_radolan": importers.import_dwd_radolan,
     "npz": importers.import_npz,
-    # gated formats (MissingOptionalDependency at call time)
     "mrms_grib": importers.import_mrms_grib,
     "bom_rf3": importers.import_bom_rf3,
     "fmi_geotiff": importers.import_fmi_geotiff,
-    "mch_metranet": importers.import_mch_metranet,
     "saf_crri": importers.import_saf_crri,
+    # gated (proprietary metranet library, gated in the reference too)
+    "mch_metranet": importers.import_mch_metranet,
 }
 
 _exporter_methods = {

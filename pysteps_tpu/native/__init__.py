@@ -45,6 +45,27 @@ def get_lib():
             ctypes.c_float, ctypes.c_float,
         ]
         lib.omp_thread_count.restype = ctypes.c_int
+        lib.grib_unpack_simple.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int,
+            ctypes.c_float, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.grib_unpack_simple.restype = ctypes.c_int
+        lib.grib_unpack_complex.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_float, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.grib_unpack_complex.restype = ctypes.c_int
+        lib.grib_png_unpack.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_float, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.grib_png_unpack.restype = ctypes.c_int
         _lib = lib
     except OSError:
         _lib = None
@@ -98,3 +119,55 @@ def calibrate_u16(raw_u16, gain, offset, nodata, undetect, undetect_value=0.0):
         ctypes.c_float(undetect_value),
     )
     return out
+
+
+def _f32_out(n):
+    out = np.empty(int(n), dtype=np.float32)
+    return out, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def grib_unpack_simple(payload, n, nbits, R, E, D):
+    """Native GRIB2 template-5.0 unpack; float32 (n,) or None."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "grib_unpack_simple"):
+        return None
+    src = np.frombuffer(payload, dtype=np.uint8)
+    out, outp = _f32_out(n)
+    rc = lib.grib_unpack_simple(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        int(n), int(nbits), ctypes.c_float(R), int(E), int(D), outp,
+    )
+    return out if rc == 0 else None
+
+
+def grib_unpack_complex(payload, n, nbits, R, E, D, ng, width_ref, width_bits,
+                        len_ref, len_inc, last_len, len_bits, mvm, order,
+                        ival1, ival2, gmin):
+    """Native GRIB2 template-5.2/5.3 unpack; float32 (n,) or None."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "grib_unpack_complex"):
+        return None
+    src = np.frombuffer(payload, dtype=np.uint8)
+    out, outp = _f32_out(n)
+    rc = lib.grib_unpack_complex(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        src.size, int(n), int(nbits), ctypes.c_float(R), int(E), int(D),
+        int(ng), int(width_ref), int(width_bits), int(len_ref), int(len_inc),
+        int(last_len), int(len_bits), int(mvm), int(order), int(ival1),
+        int(ival2), int(gmin), outp,
+    )
+    return out if rc == 0 else None
+
+
+def grib_png_unpack(payload, n, R, E, D):
+    """Native GRIB2 template-5.41 (PNG) unpack; float32 (n,) or None."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "grib_png_unpack"):
+        return None
+    src = np.frombuffer(payload, dtype=np.uint8)
+    out, outp = _f32_out(n)
+    rc = lib.grib_png_unpack(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        src.size, int(n), ctypes.c_float(R), int(E), int(D), outp,
+    )
+    return out if rc == 0 else None

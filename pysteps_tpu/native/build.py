@@ -5,19 +5,25 @@ import subprocess
 import sys
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-SRC = os.path.join(_DIR, "decoders.cpp")
+SOURCES = [
+    os.path.join(_DIR, "decoders.cpp"),
+    os.path.join(_DIR, "grib2.cpp"),
+]
 LIB = os.path.join(_DIR, "_decoders.so")
 
 
 def build(force=False, verbose=False):
-    """Compile decoders.cpp -> _decoders.so; returns the lib path or None."""
-    if not force and os.path.exists(LIB) and os.path.getmtime(
-        LIB
-    ) >= os.path.getmtime(SRC):
+    """Compile the native sources -> _decoders.so; returns the lib path or
+    None."""
+    if (
+        not force
+        and os.path.exists(LIB)
+        and all(os.path.getmtime(LIB) >= os.path.getmtime(s) for s in SOURCES)
+    ):
         return LIB
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC", "-fopenmp",
-        SRC, "-o", LIB,
+        *SOURCES, "-o", LIB, "-lz",
     ]
     try:
         subprocess.run(

@@ -134,7 +134,164 @@ def test_gated_importers_raise():
     from pysteps_tpu.exceptions import MissingOptionalDependency
 
     with pytest.raises(MissingOptionalDependency):
-        importers.import_mrms_grib("nonexistent.grib2")
+        importers.import_mch_metranet("nonexistent.gif")
+
+
+@pytest.mark.parametrize("packing", ["simple", "png", "complex"])
+def test_grib2_roundtrip(tmp_path, packing):
+    from helpers import encode_grib2
+
+    from pysteps_tpu.io import _grib2
+
+    rng = np.random.RandomState(0)
+    field = np.round(rng.exponential(2.0, (40, 60)), 3)
+    field[3, 7] = -3.0
+    path = tmp_path / f"test_{packing}.grib2"
+    path.write_bytes(encode_grib2(field, packing=packing))
+    msg = _grib2.read_messages(str(path))[0]
+    assert msg.values.shape == field.shape
+    np.testing.assert_allclose(msg.values, field, atol=2e-3)
+    assert msg.ni == 60 and msg.nj == 40
+    assert msg.projparams["proj"] == "longlat"
+
+
+def test_grib2_numpy_fallback_matches_native(tmp_path, monkeypatch):
+    from helpers import encode_grib2
+
+    import pysteps_tpu.native as native
+    from pysteps_tpu.io import _grib2
+
+    rng = np.random.RandomState(1)
+    field = np.round(rng.exponential(1.0, (16, 24)), 3)
+    for packing in ("simple", "png", "complex"):
+        path = tmp_path / f"fb_{packing}.grib2"
+        path.write_bytes(encode_grib2(field, packing=packing))
+        native_vals = _grib2.read_messages(str(path))[0].values
+        monkeypatch.setattr(native, "_lib", None)
+        monkeypatch.setattr(native, "_tried", True)
+        fallback_vals = _grib2.read_messages(str(path))[0].values
+        monkeypatch.undo()
+        np.testing.assert_allclose(native_vals, fallback_vals, atol=1e-6)
+
+
+def test_import_mrms_grib(tmp_path):
+    import gzip
+
+    from helpers import encode_grib2
+
+    rng = np.random.RandomState(2)
+    field = np.round(rng.exponential(2.0, (40, 60)), 3)
+    field[0, :5] = -3.0  # MRMS no-coverage sentinel
+    path = tmp_path / "PrecipRate_00.00.grib2.gz"
+    with gzip.open(path, "wb") as f:
+        f.write(encode_grib2(field, packing="png"))
+
+    precip, quality, meta = importers.import_mrms_grib(str(path), window_size=2)
+    assert precip.shape == (20, 30)
+    assert np.isnan(precip[0, :3]).all()  # no-coverage poisons its block
+    assert meta["unit"] == "mm/h" and meta["yorigin"] == "upper"
+    assert meta["projection"].startswith("+proj=longlat")
+
+    full, _, _ = importers.import_mrms_grib(str(path), window_size=1)
+    assert full.shape == field.shape
+    ok = field != -3.0
+    np.testing.assert_allclose(full[ok], field[ok], atol=2e-3)
+
+    sub, _, meta_sub = importers.import_mrms_grib(
+        str(path), window_size=1, extent=(230.1, 230.4, 20.05, 20.3)
+    )
+    assert sub.shape[0] < field.shape[0] and sub.shape[1] < field.shape[1]
+
+
+def test_import_bom_rf3(tmp_path):
+    from scipy.io import netcdf_file
+
+    path = str(tmp_path / "bom.nc")
+    f = netcdf_file(path, "w")
+    f.createDimension("x", 8)
+    f.createDimension("y", 8)
+    f.createDimension("t", 1)
+    x = f.createVariable("x", "f4", ("x",))
+    x[:] = np.arange(8) * 2.0
+    x.units, x.valid_min, x.valid_max = b"km", 0.0, 14.0
+    y = f.createVariable("y", "f4", ("y",))
+    y[:] = np.arange(8) * 2.0
+    y.units, y.valid_min, y.valid_max = b"km", 0.0, 14.0
+    pr = f.createVariable("precipitation", "f4", ("y", "x"))
+    pr[:] = np.random.RandomState(0).exponential(1, (8, 8)).astype("f4")
+    pr.units = b"kg m-2"
+    proj = f.createVariable("proj", "i4", ())
+    proj.grid_mapping_name = b"albers_conical_equal_area"
+    proj.longitude_of_central_meridian = 144.75
+    proj.latitude_of_projection_origin = -37.85
+    proj.standard_parallel = np.array([-18.0, -36.0])
+    vt = f.createVariable("valid_time", "i4", ("t",))
+    vt[:] = [600]
+    vt.units = b"seconds since 2020-01-01 00:00:00"
+    st = f.createVariable("start_time", "i4", ("t",))
+    st[:] = [300]
+    st.units = b"seconds since 2020-01-01 00:00:00"
+    f.close()
+
+    precip, quality, meta = importers.import_bom_rf3(path)
+    assert precip.shape == (8, 8)
+    assert meta["unit"] == "mm" and meta["accutime"] == 5
+    assert meta["projection"].startswith("+proj=aea")
+    assert meta["x2"] == 14000.0 and meta["xpixelsize"] == 2000.0
+
+
+def test_import_saf_crri(tmp_path):
+    h5py = pytest.importorskip("h5py")
+
+    path = str(tmp_path / "saf.nc")
+    with h5py.File(path, "w") as h:
+        h.attrs["gdal_projection"] = np.bytes_("+proj=geos +h=35785831")
+        h.attrs["institution"] = np.bytes_("EUMETSAT NWC SAF")
+        h.attrs["gdal_geotransform_table"] = np.array(
+            [0.0, 3000.0, 0.0, 0.0, 0.0, -3000.0]
+        )
+        h.attrs["gdal_xgeo_up_left"] = -100000.0
+        h.attrs["gdal_xgeo_low_right"] = 100000.0
+        h.attrs["gdal_ygeo_up_left"] = 100000.0
+        h.attrs["gdal_ygeo_low_right"] = -100000.0
+        data = np.random.RandomState(1).randint(0, 50, (64, 64)).astype("u2")
+        data[0, 0] = 65535  # nodata sentinel
+        d = h.create_dataset("crr_intensity", data=data)
+        d.attrs["units"] = np.bytes_("mm/h")
+        h.create_dataset("crr_quality", data=np.full((64, 64), 8, "u1"))
+
+    precip, quality, meta = importers.import_saf_crri(path)
+    assert precip.shape == (64, 64) and np.isnan(precip[0, 0])
+    assert quality is not None and meta["institution"] == "EUMETSAT NWC SAF"
+
+    sub, qsub, msub = importers.import_saf_crri(
+        path, extent=(-50000, 50000, -50000, 50000)
+    )
+    assert sub.shape[0] < 64 and qsub.shape == sub.shape
+    assert msub["x1"] >= -50000 - 3000
+
+
+def test_import_fmi_geotiff(tmp_path):
+    from PIL import Image, TiffImagePlugin
+
+    path = str(tmp_path / "fmi.tif")
+    arr = np.random.RandomState(2).randint(0, 255, (32, 32)).astype(np.uint8)
+    arr[5, 5] = 255  # nodata
+    info = TiffImagePlugin.ImageFileDirectory_v2()
+    info[33550] = (1000.0, 1000.0, 0.0)  # ModelPixelScale
+    info[33922] = (0.0, 0.0, 0.0, 100000.0, 7800000.0, 0.0)  # ModelTiepoint
+    info[34735] = tuple(
+        np.array([1, 1, 0, 1, 3072, 0, 1, 3067], dtype=np.int16).tolist()
+    )  # GeoKeyDirectory with EPSG 3067
+    Image.fromarray(arr).save(path, tiffinfo=info)
+
+    precip, quality, meta = importers.import_fmi_geotiff(path)
+    assert precip.shape == (32, 32) and np.isnan(precip[5, 5])
+    # dBZ convention (raw - 64) / 2
+    assert np.isclose(precip[0, 0], (arr[0, 0] - 64.0) / 2.0)
+    assert meta["x1"] == 100000.0 and meta["y2"] == 7800000.0
+    assert meta["projection"].startswith("+proj=utm +zone=35")
+    assert meta["transform"] == "dB"
 
 
 def test_native_radolan_decoder_matches_numpy():
