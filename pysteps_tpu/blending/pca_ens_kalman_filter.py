@@ -10,9 +10,14 @@ update — MXU matmuls over (n_ens x n_pc) matrices — and back-transforms,
 followed by probability matching against the weight-resampled
 intensity distribution.
 
+Class layout mirrors the reference: EnKFCombinationConfig (:82),
+EnKFCombinationParams (:226), ForecastInitialization (:251),
+ForecastState (:585), ForecastModel (:620), EnKFCombinationNowcaster
+(:923), with the flat `forecast` wrapper (:1555).
+
 TPU notes: the forecast step reuses the STEPS scan core (one compiled
-program per inter-analysis segment); the PCA + EnKF analysis is a handful
-of matmuls/SVDs on (n_ens, m*n) matrices.
+program over the full horizon); the PCA + EnKF analysis is a handful of
+matmuls/SVDs on (n_ens, m*n) matrices.
 """
 
 import dataclasses
@@ -28,9 +33,9 @@ from pysteps_tpu.blending.ens_kalman_filter_methods import (
     MaskedEnKF,
 )
 from pysteps_tpu.nowcasts import steps as steps_nowcast
+from pysteps_tpu.nowcasts import utils as nowcast_utils
 from pysteps_tpu.postprocessing.probmatching import resample_distributions
 from pysteps_tpu.utils.check_norain import check_norain
-from pysteps_tpu.nowcasts import utils as nowcast_utils
 
 
 @dataclasses.dataclass(frozen=True)
@@ -46,6 +51,221 @@ class EnKFCombinationConfig:
     ar_order: int = 1
     seed: Optional[int] = None
     combination_kwargs: dict = dataclasses.field(default_factory=dict)
+
+
+@dataclasses.dataclass
+class EnKFCombinationParams:
+    """Derived quantities shared between the forecast and correction models
+    (reference: pca_ens_kalman_filter.py:226-249)."""
+
+    combination_kwargs: dict = dataclasses.field(default_factory=dict)
+    zerovalue: float = 0.0
+    n_nwp_members: int = 0
+    n_timesteps: int = 0
+
+
+@dataclasses.dataclass
+class ForecastState:
+    """Evolving state of the combination loop
+    (reference: pca_ens_kalman_filter.py:585-618)."""
+
+    analysis: np.ndarray          # (E, m, n) current combined ensemble
+    rng_key: jnp.ndarray          # resampling PRNG key
+    timestep: int = 0
+
+
+class ForecastInitialization:
+    """Input validation + background-ensemble generation
+    (reference: pca_ens_kalman_filter.py:251-583, which decomposes and
+    fits AR cascades itself; here the STEPS scan core does that in one
+    compiled program)."""
+
+    def __init__(self, obs_precip, velocity, config, forecast_horizon,
+                 noise_method="nonparametric", noise_stddev_adj=None,
+                 timestep=5, kmperpixel=1.0):
+        self.obs_precip = np.asarray(obs_precip, np.float32)
+        self.velocity = velocity
+        self.config = config
+        self.forecast_horizon = int(forecast_horizon)
+        self.noise_method = noise_method
+        self.noise_stddev_adj = noise_stddev_adj
+        self.timestep = timestep
+        self.kmperpixel = kmperpixel
+
+    def compute_background(self):
+        """Run the stochastic nowcast over the full horizon; returns
+        (E, T, m, n) with NaNs filled at the domain minimum."""
+        cfg = self.config
+        background = np.asarray(
+            steps_nowcast.forecast(
+                self.obs_precip, self.velocity, self.forecast_horizon,
+                n_ens_members=cfg.n_ens_members,
+                n_cascade_levels=cfg.n_cascade_levels,
+                precip_thr=cfg.precip_threshold,
+                kmperpixel=self.kmperpixel,
+                timestep=self.timestep,
+                noise_method=self.noise_method,
+                noise_stddev_adj=self.noise_stddev_adj,
+                ar_order=max(cfg.ar_order, 1) if cfg.ar_order >= 2 else 2,
+                vel_pert_method=None,
+                probmatching_method="cdf",
+                mask_method="incremental",
+                seed=cfg.seed,
+            )
+        )
+        return np.nan_to_num(
+            background, nan=float(np.nanmin(self.obs_precip))
+        )
+
+
+class ForecastModel:
+    """One combination cycle: weight-ramped distribution resampling +
+    (PCA-reduced) EnKF analysis when an NWP field is valid
+    (reference: pca_ens_kalman_filter.py:620-921)."""
+
+    def __init__(self, config, params, enkf):
+        self.config = config
+        self.params = params
+        self.enkf = enkf
+
+    def nwp_weight(self, t, horizon):
+        """Linear trust ramp toward NWP with lead time."""
+        return min(0.1 + 0.9 * t / max(horizon - 1, 1), 1.0)
+
+    def correction_step(self, state, background_t, nwp_t, horizon):
+        """EnKF analysis of one lead time; returns the updated state."""
+        cfg = self.config
+        E = cfg.n_ens_members
+        n_nwp = self.params.n_nwp_members
+        obs_ens = np.stack(
+            [nwp_t[j % n_nwp] for j in range(E)]
+        )
+        obs_ens = np.nan_to_num(obs_ens, nan=self.params.zerovalue)
+        w_nwp = self.nwp_weight(state.timestep, horizon)
+        key, sub = jax.random.split(state.rng_key)
+        resampled = np.stack(
+            [
+                np.asarray(
+                    resample_distributions(
+                        background_t[j], obs_ens[j], 1.0 - w_nwp,
+                        key=jax.random.fold_in(sub, j),
+                    )
+                ).reshape(background_t[j].shape)
+                for j in range(E)
+            ]
+        )
+        if isinstance(self.enkf, MaskedEnKF):
+            analysis = np.asarray(
+                self.enkf.correct_step(background_t, obs_ens, resampled)
+            )
+        else:
+            bg_flat = background_t.reshape(E, -1)
+            obs_flat = obs_ens.reshape(E, -1)
+            analysis = np.asarray(
+                self.enkf.update(bg_flat, obs_flat).T
+            ).reshape(background_t.shape)
+        return ForecastState(
+            analysis=analysis, rng_key=key, timestep=state.timestep + 1
+        )
+
+    def forecast_step(self, state, background_t):
+        """No valid NWP at this lead time: the background is the analysis."""
+        return ForecastState(
+            analysis=background_t, rng_key=state.rng_key,
+            timestep=state.timestep + 1,
+        )
+
+
+class EnKFCombinationNowcaster:
+    """Orchestration of forecast/correction cycling
+    (reference: pca_ens_kalman_filter.py:923-1553)."""
+
+    def __init__(self, obs_precip, nwp_precip, velocity, forecast_horizon,
+                 enkf_combination_config, noise_method="nonparametric",
+                 noise_stddev_adj=None, timestep=5, kmperpixel=1.0,
+                 callback=None, return_output=True, measure_time=False):
+        self.obs_precip = np.asarray(obs_precip, np.float32)
+        self.nwp_precip = np.asarray(nwp_precip, np.float32)
+        if self.nwp_precip.ndim == 3:
+            self.nwp_precip = self.nwp_precip[None]
+        self.velocity = velocity
+        self.forecast_horizon = int(forecast_horizon)
+        self.config = enkf_combination_config
+        self.noise_method = noise_method
+        self.noise_stddev_adj = noise_stddev_adj
+        self.timestep = timestep
+        self.kmperpixel = kmperpixel
+        self.callback = callback
+        self.return_output = return_output
+        self.measure_time = measure_time
+
+    def compute_forecast(self):
+        cfg = self.config
+        t0 = time.time()
+
+        if check_norain(
+            self.obs_precip, cfg.precip_threshold, cfg.norain_threshold,
+            None, printmsg=False,
+        ) and check_norain(
+            self.nwp_precip, cfg.precip_threshold, cfg.norain_threshold,
+            None, printmsg=False,
+        ):
+            return nowcast_utils.zero_precipitation_forecast(
+                cfg.n_ens_members, self.forecast_horizon, self.obs_precip,
+                self.callback, self.return_output, self.measure_time, t0,
+            )
+
+        params = EnKFCombinationParams(
+            combination_kwargs=dict(cfg.combination_kwargs),
+            zerovalue=float(np.nanmin(self.obs_precip)),
+            n_nwp_members=self.nwp_precip.shape[0],
+            n_timesteps=self.nwp_precip.shape[1],
+        )
+        enkf = (
+            MaskedEnKF(cfg, params)
+            if cfg.enkf_method == "masked_enkf"
+            else EnsembleKalmanFilter(cfg, params)
+        )
+
+        init = ForecastInitialization(
+            self.obs_precip, self.velocity, cfg, self.forecast_horizon,
+            noise_method=self.noise_method,
+            noise_stddev_adj=self.noise_stddev_adj,
+            timestep=self.timestep, kmperpixel=self.kmperpixel,
+        )
+        background = init.compute_background()  # (E, T, m, n)
+
+        if not cfg.enable_combination:
+            out = jnp.asarray(background)
+            if self.measure_time:
+                return out, time.time() - t0, 0.0
+            return out if self.return_output else None
+
+        model = ForecastModel(cfg, params, enkf)
+        state = ForecastState(
+            analysis=background[:, 0],
+            rng_key=jax.random.PRNGKey(cfg.seed if cfg.seed is not None else 42),
+        )
+        outputs = []
+        for t in range(self.forecast_horizon):
+            if t < params.n_timesteps:
+                state = model.correction_step(
+                    state, background[:, t], self.nwp_precip[:, t],
+                    self.forecast_horizon,
+                )
+            else:
+                state = model.forecast_step(state, background[:, t])
+            outputs.append(state.analysis)
+
+        out = jnp.asarray(np.stack(outputs, axis=1))
+        if self.callback is not None:
+            arr = np.asarray(out)
+            for t in range(arr.shape[1]):
+                self.callback(arr[:, t])
+        result = out if self.return_output else None
+        if self.measure_time:
+            return result, time.time() - t0, 0.0
+        return result
 
 
 def forecast(
@@ -89,21 +309,6 @@ def forecast(
     forecast_horizon: number of forecast steps.
     Returns (n_ens_members, T, m, n).
     """
-    t0 = time.time()
-    obs_precip = np.asarray(obs_precip, np.float32)
-    nwp_precip = np.asarray(nwp_precip, np.float32)
-    if nwp_precip.ndim == 3:
-        nwp_precip = nwp_precip[None]
-    combination_kwargs = dict(combination_kwargs or {})
-
-    if check_norain(obs_precip, precip_thr, norain_thr, None, printmsg=False) and (
-        check_norain(nwp_precip, precip_thr, norain_thr, None, printmsg=False)
-    ):
-        return nowcast_utils.zero_precipitation_forecast(
-            n_ens_members, forecast_horizon, obs_precip, callback, return_output,
-            measure_time, t0,
-        )
-
     config = EnKFCombinationConfig(
         n_ens_members=n_ens_members,
         n_cascade_levels=n_cascade_levels,
@@ -113,95 +318,17 @@ def forecast(
         enable_combination=enable_combination,
         ar_order=ar_order,
         seed=seed,
-        combination_kwargs=combination_kwargs,
+        combination_kwargs=dict(combination_kwargs or {}),
     )
-
-    class _Params:
-        pass
-
-    params = _Params()
-    params.combination_kwargs = combination_kwargs
-    enkf = (
-        MaskedEnKF(config, params)
-        if enkf_method == "masked_enkf"
-        else EnsembleKalmanFilter(config, params)
+    nowcaster = EnKFCombinationNowcaster(
+        obs_precip, nwp_precip, velocity, forecast_horizon,
+        enkf_combination_config=config,
+        noise_method=noise_method,
+        noise_stddev_adj=noise_stddev_adj,
+        timestep=timestep,
+        kmperpixel=kmperpixel,
+        callback=callback,
+        return_output=return_output,
+        measure_time=measure_time,
     )
-
-    # background: STEPS stochastic nowcast over the full horizon
-    background = np.asarray(
-        steps_nowcast.forecast(
-            obs_precip, velocity, int(forecast_horizon),
-            n_ens_members=n_ens_members,
-            n_cascade_levels=n_cascade_levels,
-            precip_thr=precip_thr,
-            kmperpixel=kmperpixel,
-            timestep=timestep,
-            noise_method=noise_method,
-            noise_stddev_adj=noise_stddev_adj,
-            ar_order=max(ar_order, 1) if ar_order >= 2 else 2,
-            vel_pert_method=None,
-            probmatching_method="cdf",
-            mask_method="incremental",
-            seed=seed,
-        )
-    )  # (E, T, m, n)
-    background = np.nan_to_num(background, nan=float(np.nanmin(obs_precip)))
-
-    if not enable_combination:
-        out = jnp.asarray(background)
-        if measure_time:
-            return out, time.time() - t0, 0.0
-        return out if return_output else None
-
-    # NWP ensemble members cycled onto the nowcast ensemble
-    n_nwp = nwp_precip.shape[0]
-    nwp_t = nwp_precip.shape[1]
-    key = jax.random.PRNGKey(seed if seed is not None else 42)
-
-    outputs = []
-    analysis = background[:, 0]
-    for t in range(int(forecast_horizon)):
-        bg_t = background[:, t]
-        if t < nwp_t:
-            obs_ens = np.stack(
-                [nwp_precip[j % n_nwp, t] for j in range(n_ens_members)]
-            )
-            obs_ens = np.nan_to_num(obs_ens, nan=float(np.nanmin(obs_precip)))
-            # weight ramp: NWP trust grows with lead time
-            w_nwp = min(0.1 + 0.9 * t / max(forecast_horizon - 1, 1), 1.0)
-            key, sub = jax.random.split(key)
-            resampled = np.stack(
-                [
-                    np.asarray(
-                        resample_distributions(
-                            bg_t[j], obs_ens[j], 1.0 - w_nwp,
-                            key=jax.random.fold_in(sub, j),
-                        )
-                    ).reshape(bg_t[j].shape)
-                    for j in range(n_ens_members)
-                ]
-            )
-            if isinstance(enkf, MaskedEnKF):
-                analysis = np.asarray(
-                    enkf.correct_step(bg_t, obs_ens, resampled)
-                )
-            else:
-                E = n_ens_members
-                bg_flat = bg_t.reshape(E, -1)
-                obs_flat = obs_ens.reshape(E, -1)
-                analysis = np.asarray(
-                    enkf.update(bg_flat, obs_flat).T
-                ).reshape(bg_t.shape)
-        else:
-            analysis = bg_t
-        outputs.append(analysis)
-
-    out = jnp.asarray(np.stack(outputs, axis=1))
-    if callback is not None:
-        arr = np.asarray(out)
-        for t in range(arr.shape[1]):
-            callback(arr[:, t])
-    result = out if return_output else None
-    if measure_time:
-        return result, time.time() - t0, 0.0
-    return result
+    return nowcaster.compute_forecast()

@@ -23,6 +23,7 @@ TPU-native redesign:
   offline NetCDF cascade store; see blending.utils.decompose_NWP).
 """
 
+import dataclasses
 import functools
 import time
 
@@ -42,6 +43,152 @@ from pysteps_tpu.ops.warp import warp
 from pysteps_tpu.postprocessing.probmatching import _match_cdf_core
 from pysteps_tpu.timeseries import autoregression
 from pysteps_tpu.utils.check_norain import check_norain
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("cascades", "noise_cascades", "precip_mask", "member_keys",
+                 "displacement"),
+    meta_fields=(),
+)
+@dataclasses.dataclass
+class StepsBlendingState:
+    """Evolving per-member state of the blended forecast loop — the
+    ``lax.scan`` carry (reference: blending/steps.py:364-449 mutates the
+    corresponding fields in per-member dask workers)."""
+
+    cascades: jnp.ndarray        # (E, k, p, m, n) extrapolation cascades
+    noise_cascades: jnp.ndarray  # (E, k, p, m, n) noise cascades
+    precip_mask: jnp.ndarray     # (E, m, n) rain mask
+    member_keys: jnp.ndarray     # (E,) PRNG keys
+    displacement: jnp.ndarray    # (E, 2, m, n) accumulated displacement
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("phi", "weights", "weights_model_only", "nwp_cascades",
+                 "nwp_means", "nwp_sigmas", "radar_means", "radar_sigmas",
+                 "noise_filter", "noise_std_coeffs", "velocity_blend"),
+    meta_fields=(),
+)
+@dataclasses.dataclass
+class StepsBlendingParams:
+    """Quantities precomputed before the loop and constant inside it
+    (reference: blending/steps.py:327-362; here the per-step skill/weight
+    tensors are also precomputed — see the module docstring)."""
+
+    phi: jnp.ndarray                # (k, p+1) radar AR parameters
+    weights: jnp.ndarray            # (T, n_models, 3, k) extrap/NWP/noise
+    weights_model_only: jnp.ndarray  # (T, n_models, 2, k) means/sigmas blend
+    nwp_cascades: jnp.ndarray       # (T, n_models, k, m, n) normalized
+    nwp_means: jnp.ndarray          # (T, n_models, k)
+    nwp_sigmas: jnp.ndarray         # (T, n_models, k)
+    radar_means: jnp.ndarray        # (k,)
+    radar_sigmas: jnp.ndarray       # (k,)
+    noise_filter: jnp.ndarray       # (m, n//2+1)
+    noise_std_coeffs: jnp.ndarray   # (k,)
+    velocity_blend: jnp.ndarray     # (T, n_models, 2, m, n)
+
+
+@dataclasses.dataclass(frozen=True)
+class StepsBlendingConfig:
+    """Frozen configuration for STEPS blending
+    (reference: blending/steps.py:75-325).  Field names follow the
+    reference; `StepsBlendingNowcaster` maps them onto
+    :func:`forecast`'s keyword arguments."""
+
+    precip_threshold: float | None = None
+    norain_threshold: float = 0.0
+    kmperpixel: float | None = None
+    timestep: float | None = None
+    n_ens_members: int = 24
+    n_cascade_levels: int = 6
+    blend_nwp_members: bool = False
+    extrapolation_method: str = "semilagrangian"
+    decomposition_method: str = "fft"
+    bandpass_filter_method: str = "gaussian"
+    noise_method: str | None = "nonparametric"
+    noise_stddev_adj: str | None = None
+    ar_order: int = 2
+    velocity_perturbation_method: str | None = None
+    weights_method: str = "bps"
+    conditional: bool = False
+    probmatching_method: str | None = "cdf"
+    mask_method: str | None = "incremental"
+    resample_distribution: bool = True
+    smooth_radar_mask_range: int = 0
+    seed: int | None = None
+    num_workers: int = 1
+    fft_method: str = "numpy"
+    domain: str = "spatial"
+    outdir_path_skill: str | None = None
+    extrapolation_kwargs: dict = dataclasses.field(default_factory=dict)
+    filter_kwargs: dict = dataclasses.field(default_factory=dict)
+    noise_kwargs: dict = dataclasses.field(default_factory=dict)
+    velocity_perturbation_kwargs: dict = dataclasses.field(default_factory=dict)
+    climatology_kwargs: dict = dataclasses.field(default_factory=dict)
+    mask_kwargs: dict = dataclasses.field(default_factory=dict)
+    measure_time: bool = False
+    callback: object = None
+    return_output: bool = True
+    mesh: object = None
+
+
+class StepsBlendingNowcaster:
+    """Class front-end over the functional blending core
+    (reference: blending/steps.py:451-492)."""
+
+    def __init__(self, precip, precip_models, velocity, velocity_models,
+                 time_steps, issue_time=None, steps_blending_config=None):
+        self.precip = precip
+        self.precip_models = precip_models
+        self.velocity = velocity
+        self.velocity_models = velocity_models
+        self.time_steps = time_steps
+        self.issue_time = issue_time
+        self.config = steps_blending_config or StepsBlendingConfig()
+
+    def compute_forecast(self):
+        cfg = self.config
+        return forecast(
+            self.precip, self.precip_models, self.velocity,
+            self.velocity_models, self.time_steps, cfg.timestep,
+            issuetime=self.issue_time,
+            n_ens_members=cfg.n_ens_members,
+            n_cascade_levels=cfg.n_cascade_levels,
+            blend_nwp_members=cfg.blend_nwp_members,
+            precip_thr=cfg.precip_threshold,
+            norain_thr=cfg.norain_threshold,
+            kmperpixel=cfg.kmperpixel,
+            extrap_method=cfg.extrapolation_method,
+            decomp_method=cfg.decomposition_method,
+            bandpass_filter_method=cfg.bandpass_filter_method,
+            noise_method=cfg.noise_method,
+            noise_stddev_adj=cfg.noise_stddev_adj,
+            ar_order=cfg.ar_order,
+            vel_pert_method=cfg.velocity_perturbation_method,
+            weights_method=cfg.weights_method,
+            conditional=cfg.conditional,
+            probmatching_method=cfg.probmatching_method,
+            mask_method=cfg.mask_method,
+            resample_distribution=cfg.resample_distribution,
+            smooth_radar_mask_range=cfg.smooth_radar_mask_range,
+            callback=cfg.callback,
+            return_output=cfg.return_output,
+            seed=cfg.seed,
+            num_workers=cfg.num_workers,
+            fft_method=cfg.fft_method,
+            domain=cfg.domain,
+            outdir_path_skill=cfg.outdir_path_skill,
+            extrap_kwargs=cfg.extrapolation_kwargs,
+            filter_kwargs=cfg.filter_kwargs,
+            noise_kwargs=cfg.noise_kwargs,
+            vel_pert_kwargs=cfg.velocity_perturbation_kwargs,
+            clim_kwargs=cfg.climatology_kwargs,
+            mask_kwargs=cfg.mask_kwargs,
+            measure_time=cfg.measure_time,
+            mesh=cfg.mesh,
+        )
 
 
 def calculate_ratios(correlations):
@@ -160,7 +307,11 @@ def _blending_scan(
     displacement0 = jnp.zeros((E, 2, m, n), jnp.float32)
 
     def step(carry, t):
-        cascades, noise_casc, mask_prec, keys, displacement = carry
+        cascades = carry.cascades
+        noise_casc = carry.noise_cascades
+        mask_prec = carry.precip_mask
+        keys = carry.member_keys
+        displacement = carry.displacement
 
         def member(key, casc_j, noise_j, mask_j, disp_j, model_j, ext_j):
             key, k_noise = jax.random.split(key)
@@ -267,9 +418,17 @@ def _blending_scan(
         keys, cascades, noise_casc, mask_prec, displacement, outs = jax.vmap(
             member
         )(keys, cascades, noise_casc, mask_prec, displacement, member_model, ext_t)
-        return (cascades, noise_casc, mask_prec, keys, displacement), outs
+        new_carry = StepsBlendingState(
+            cascades=cascades, noise_cascades=noise_casc,
+            precip_mask=mask_prec, member_keys=keys,
+            displacement=displacement,
+        )
+        return new_carry, outs
 
-    carry0 = (cascades0, noise0, mask_prec0, member_keys, displacement0)
+    carry0 = StepsBlendingState(
+        cascades=cascades0, noise_cascades=noise0, precip_mask=mask_prec0,
+        member_keys=member_keys, displacement=displacement0,
+    )
     _, outputs = jax.lax.scan(step, carry0, jnp.arange(int_steps))
     return jnp.swapaxes(outputs, 0, 1)
 

@@ -202,6 +202,53 @@ def _member_update(
     return cascades_j, field
 
 
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=(
+        "phi", "gamma", "means", "stds", "war", "mu_0", "velocity_unit",
+        "velocity_perp", "precip_min", "precip_last", "noise_filter",
+    ),
+    meta_fields=(),
+)
+@dataclasses.dataclass
+class StepsNowcasterParams:
+    """Quantities derived at initialization and fixed over the forecast
+    loop (reference: steps.py:238-263).  A JAX pytree: crosses jit
+    boundaries as-is."""
+
+    phi: jnp.ndarray            # (k, p+1) AR parameters per cascade level
+    gamma: jnp.ndarray          # (k, p) temporal autocorrelations
+    means: jnp.ndarray          # (k,) cascade means of the last input
+    stds: jnp.ndarray           # (k,) cascade stds of the last input
+    war: jnp.ndarray            # wet-area ratio of the last input
+    mu_0: jnp.ndarray           # mean rain rate over wet pixels
+    velocity_unit: jnp.ndarray  # (2, m, n) unit flow (BPS parallel axis)
+    velocity_perp: jnp.ndarray  # (2, m, n) perpendicular axis
+    precip_min: jnp.ndarray     # domain minimum (fill value)
+    precip_last: jnp.ndarray    # (m, n) last observed field
+    noise_filter: jnp.ndarray   # (m, n//2+1) nonparametric |FFT| filter
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=(
+        "window", "precip_mask", "member_keys", "eps_par", "eps_perp",
+    ),
+    meta_fields=(),
+)
+@dataclasses.dataclass
+class StepsNowcasterState:
+    """Per-member evolving state of the forecast loop
+    (reference: steps.py:265-285).  The reference mutates lists in dask
+    workers; here this pytree is the (functional) scan carry seed."""
+
+    window: jnp.ndarray       # (k, p, m, n) recent cascade states
+    precip_mask: jnp.ndarray  # (m, n) rain mask (float)
+    member_keys: jnp.ndarray  # (E,) folded PRNG keys (RandomState chain analog)
+    eps_par: jnp.ndarray      # (E,) BPS parallel perturbation draws
+    eps_perp: jnp.ndarray     # (E,) BPS perpendicular perturbation draws
+
+
 class StepsNowcaster:
     """Host orchestration around the jitted STEPS core
     (reference: steps.py:287)."""
@@ -403,11 +450,7 @@ def _steps_forecast(precip, velocity, timesteps, cfg, domain_mask):
     # one fused init program: Lagrangian alignment, cascade decomposition,
     # AR estimation, masks, velocity-perturbation draws, member keys,
     # and (for the nonparametric method) the noise filter
-    (
-        precip_aligned, window, means_last, stds_last, phi, gamma,
-        war, mu_0, mask_prec_init, member_keys, eps_par, eps_perp,
-        V_n, V_perp, precip_min, precip_last, noise_filt_init,
-    ) = _steps_init(
+    precip_aligned, params, state = _steps_init(
         precip, velocity, weights_2d, key_members, key_vel, precip_thr_f,
         taper,
         E=E, ar_order=p, conditional=cfg.conditional,
@@ -422,7 +465,7 @@ def _steps_forecast(precip, velocity, timesteps, cfg, domain_mask):
     noise_std_coeffs = jnp.ones(k_levels, jnp.float32)
     if cfg.noise_method is not None:
         if noise_in_graph:
-            noise_filt = noise_filt_init
+            noise_filt = params.noise_filter
             pert_gen = {
                 "field": noise_filt,
                 "input_shape": (m, n),
@@ -437,7 +480,7 @@ def _steps_forecast(precip, velocity, timesteps, cfg, domain_mask):
             noise_std_coeffs = noise.utils.compute_noise_stddev_adjs(
                 precip[-1],
                 cfg.precip_threshold,
-                float(precip_min),
+                float(params.precip_min),
                 bp_filter,
                 None,
                 pert_gen,
@@ -480,33 +523,37 @@ def _steps_forecast(precip, velocity, timesteps, cfg, domain_mask):
         from pysteps_tpu.parallel import ens_sharding
 
         sh = ens_sharding(cfg.mesh)
-        member_keys = jax.device_put(member_keys, sh)
-        eps_par = jax.device_put(eps_par, sh)
-        eps_perp = jax.device_put(eps_perp, sh)
+        state = dataclasses.replace(
+            state,
+            member_keys=jax.device_put(state.member_keys, sh),
+            eps_par=jax.device_put(state.eps_par, sh),
+            eps_perp=jax.device_put(state.eps_perp, sh),
+        )
 
     init_time = time.time() - t_init0
     t_loop0 = time.time()
 
     out = _steps_scan(
-        window,
-        mask_prec_init,
-        member_keys,
+        state.window,
+        state.precip_mask,
+        state.member_keys,
         velocity,
-        phi,
+        params.phi,
         noise_filt,
         (m, n),
         use_full_fft,
         weights_2d,
         noise_std_coeffs,
-        means_last,
-        stds_last,
-        precip_last,
-        precip_min,
+        params.means,
+        params.stds,
+        params.precip_last,
+        params.precip_min,
         precip_thr_f,
-        war,
-        mu_0,
+        params.war,
+        params.mu_0,
         domain_mask,
-        eps_par, eps_perp, V_n, V_perp,
+        state.eps_par, state.eps_perp,
+        params.velocity_unit, params.velocity_perp,
         jnp.float32(vsf),
         p_par, p_perp,
         int_steps,
@@ -619,11 +666,16 @@ def _steps_init(
     else:
         noise_filt = jnp.zeros((m, n // 2 + 1), jnp.float32)
 
-    return (
-        precip_aligned, window, means_last, stds_last, phi, gamma,
-        war, mu_0, mask_prec_init, member_keys, eps_par, eps_perp,
-        V_n, V_perp, precip_min, precip_last, noise_filt,
+    params = StepsNowcasterParams(
+        phi=phi, gamma=gamma, means=means_last, stds=stds_last, war=war,
+        mu_0=mu_0, velocity_unit=V_n, velocity_perp=V_perp,
+        precip_min=precip_min, precip_last=precip_last, noise_filter=noise_filt,
     )
+    state = StepsNowcasterState(
+        window=window, precip_mask=mask_prec_init, member_keys=member_keys,
+        eps_par=eps_par, eps_perp=eps_perp,
+    )
+    return precip_aligned, params, state
 
 
 @functools.partial(

@@ -14,6 +14,9 @@ from scipy.ndimage import center_of_mass
 
 from pysteps_tpu.feature import tstorm as tstorm_detect
 
+# object properties computed per detected feature (reference: salscores.py)
+REGIONPROPS = ["label", "weighted_centroid", "max_intensity", "intensity_image"]
+
 
 def sal(prediction, observation, thr_factor=0.067, thr_quantile=0.95, tstorm_kwargs=None):
     """SAL score triple (structure, amplitude, location)

@@ -8,6 +8,9 @@ import numpy as np
 from pysteps_tpu.visualization.precipfields import plot_precip_field
 from pysteps_tpu.visualization.motionfields import quiver
 
+PRECIP_VALID_TYPES = ("ensemble", "mean", "prob")
+MOTION_VALID_METHODS = ("quiver", "streamplot")
+
 
 def animate(
     precip_obs,

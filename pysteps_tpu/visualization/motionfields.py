@@ -8,6 +8,8 @@ import numpy as np
 
 from pysteps_tpu.visualization.utils import get_basemap_axis, get_geogrid
 
+VALID_PLOT_TYPES = ("quiver", "streamplot")
+
 
 def motion_plot(uv_motion_field, plot_type="quiver", ax=None, geodata=None,
                 axis="on", plot_kwargs=None, map_kwargs=None, step=20):
@@ -21,7 +23,9 @@ def motion_plot(uv_motion_field, plot_type="quiver", ax=None, geodata=None,
         return streamplot(uv_motion_field, ax=ax, geodata=geodata, axis=axis,
                           streamplot_kwargs=plot_kwargs,
                           map_kwargs=map_kwargs)
-    raise ValueError(f"unknown plot_type {plot_type}; use quiver|streamplot")
+    raise ValueError(
+        f"unknown plot_type {plot_type}; valid: {VALID_PLOT_TYPES}"
+    )
 
 
 def _grid_for(uv, geodata):

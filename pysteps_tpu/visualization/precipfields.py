@@ -8,6 +8,9 @@ import matplotlib.pyplot as plt
 import numpy as np
 from matplotlib import colors
 
+PRECIP_VALID_TYPES = ("intensity", "depth", "prob")
+PRECIP_VALID_UNITS = ("mm/h", "mm", "dBZ")
+
 
 def get_colormap(ptype="intensity", units="mm/h", colorscale="pysteps"):
     """Colormap + norm + ticks for precipitation plots

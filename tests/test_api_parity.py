@@ -185,3 +185,127 @@ def test_config_fname_exists():
     from pysteps_tpu import config_fname
 
     assert os.path.isfile(config_fname())
+
+
+def test_steps_nowcaster_dataclasses():
+    """StepsNowcasterParams/State are registered pytrees carrying the init
+    outputs of the STEPS core."""
+    import jax
+
+    from pysteps_tpu.nowcasts.steps import (
+        StepsNowcasterParams,
+        StepsNowcasterState,
+    )
+
+    import jax.numpy as jnp
+
+    params = StepsNowcasterParams(
+        phi=jnp.zeros((6, 3)), gamma=jnp.zeros((6, 2)), means=jnp.zeros(6),
+        stds=jnp.ones(6), war=jnp.float32(0.1), mu_0=jnp.float32(1.0),
+        velocity_unit=jnp.zeros((2, 8, 8)), velocity_perp=jnp.zeros((2, 8, 8)),
+        precip_min=jnp.float32(-15.0), precip_last=jnp.zeros((8, 8)),
+        noise_filter=jnp.zeros((8, 5)),
+    )
+    leaves = jax.tree_util.tree_leaves(params)
+    assert len(leaves) == 11
+    doubled = jax.tree_util.tree_map(lambda x: x * 2, params)
+    assert isinstance(doubled, StepsNowcasterParams)
+    assert float(doubled.stds[0]) == 2.0
+
+    state = StepsNowcasterState(
+        window=jnp.zeros((6, 2, 8, 8)), precip_mask=jnp.ones((8, 8)),
+        member_keys=jax.random.split(jax.random.PRNGKey(0), 4),
+        eps_par=jnp.zeros(4), eps_perp=jnp.zeros(4),
+    )
+    assert isinstance(jax.tree_util.tree_map(lambda x: x, state),
+                      StepsNowcasterState)
+
+
+def test_blending_class_api():
+    """StepsBlendingConfig + StepsBlendingNowcaster produce the same
+    forecast as the flat wrapper."""
+    from pysteps_tpu.blending.steps import (
+        StepsBlendingConfig,
+        StepsBlendingNowcaster,
+        forecast,
+    )
+
+    from helpers import make_synthetic_sequence
+
+    frames = np.asarray(
+        make_synthetic_sequence(n_frames=3, shape=(64, 64),
+                                velocity=(1.0, 0.5), seed=3)
+    )
+    precip = np.where(frames > 0.1, 10 * np.log10(np.maximum(frames, 0.1)),
+                      -15.0).astype(np.float32)
+    rng = np.random.RandomState(0)
+    precip += 0.05 * rng.randn(*precip.shape).astype(np.float32)
+    velocity = np.zeros((2, 64, 64), np.float32)
+    nwp = np.repeat(precip[-1][None], 4, axis=0)[None]  # (1, T+1, m, n)
+    vel_models = np.zeros((1, 2, 64, 64), np.float32)
+
+    cfg = StepsBlendingConfig(
+        precip_threshold=-10.0, timestep=5.0, n_ens_members=2,
+        n_cascade_levels=4, seed=7, mask_method=None,
+        probmatching_method=None,
+    )
+    out_cls = StepsBlendingNowcaster(
+        precip, nwp, velocity, vel_models, 3,
+        steps_blending_config=cfg,
+    ).compute_forecast()
+    out_flat = forecast(
+        precip, nwp, velocity, vel_models, 3, 5.0, n_ens_members=2,
+        n_cascade_levels=4, precip_thr=-10.0, seed=7, mask_method=None,
+        probmatching_method=None,
+    )
+    assert out_cls.shape == (2, 3, 64, 64)
+    np.testing.assert_allclose(np.asarray(out_cls), np.asarray(out_flat),
+                               atol=1e-5)
+
+
+def test_pca_enkf_class_api():
+    """EnKFCombinationNowcaster classes mirror the reference architecture
+    and agree with the flat forecast wrapper."""
+    from pysteps_tpu.blending.pca_ens_kalman_filter import (
+        EnKFCombinationConfig,
+        EnKFCombinationNowcaster,
+        EnKFCombinationParams,
+        ForecastInitialization,
+        ForecastModel,
+        ForecastState,
+        forecast,
+    )
+
+    from helpers import make_synthetic_sequence
+
+    frames = np.asarray(
+        make_synthetic_sequence(n_frames=3, shape=(64, 64),
+                                velocity=(1.0, 0.5), seed=5)
+    )
+    precip = np.where(frames > 0.1, 10 * np.log10(np.maximum(frames, 0.1)),
+                      -15.0).astype(np.float32)
+    rng = np.random.RandomState(1)
+    precip += 0.05 * rng.randn(*precip.shape).astype(np.float32)
+    velocity = np.zeros((2, 64, 64), np.float32)
+    nwp = np.repeat(precip[-1][None], 3, axis=0)[None]  # (1, T, m, n)
+
+    cfg = EnKFCombinationConfig(n_ens_members=2, n_cascade_levels=4,
+                                precip_threshold=-10.0, seed=11)
+    out_cls = EnKFCombinationNowcaster(
+        precip, nwp, velocity, 3, enkf_combination_config=cfg
+    ).compute_forecast()
+    out_flat = forecast(
+        precip, None, nwp, None, velocity, 3, n_ens_members=2,
+        n_cascade_levels=4, precip_thr=-10.0, seed=11,
+    )
+    assert out_cls.shape == (2, 3, 64, 64)
+    np.testing.assert_allclose(np.asarray(out_cls), np.asarray(out_flat),
+                               atol=1e-5)
+    # the auxiliary classes expose the reference architecture
+    assert ForecastState(analysis=None, rng_key=None).timestep == 0
+    assert EnKFCombinationParams().n_nwp_members == 0
+    assert hasattr(ForecastModel(cfg, EnKFCombinationParams(), None),
+                   "correction_step")
+    assert hasattr(
+        ForecastInitialization(precip, velocity, cfg, 3), "compute_background"
+    )
