@@ -309,3 +309,36 @@ def test_pca_enkf_class_api():
     assert hasattr(
         ForecastInitialization(precip, velocity, cfg, 3), "compute_background"
     )
+
+
+def test_vel_pert_analysis_scripts():
+    """run_vel_pert_analysis + fit_vel_pert_params recover a known BPS
+    growth curve (reference: pysteps/scripts/)."""
+    from pysteps_tpu.scripts.fit_vel_pert_params import (
+        compute_stds,
+        fit_parameters,
+        growth_curve,
+    )
+    from pysteps_tpu.scripts.run_vel_pert_analysis import accumulate_pair
+
+    rng = np.random.RandomState(0)
+    V0 = np.stack([np.full((32, 32), 3.0), np.full((32, 32), 1.0)])
+    n_par = V0 / np.linalg.norm(V0, axis=0)
+    n_perp = np.stack([-n_par[1], n_par[0]])
+    results = {}
+    for lt in (5, 10, 20, 30, 40, 60):
+        sigma = 0.5 * lt**0.6 + 0.2
+        for _ in range(64):
+            V2 = (V0 + sigma * rng.randn() * n_par
+                  + 0.5 * sigma * rng.randn() * n_perp)
+            accumulate_pair(results, V0, V2, lt)
+
+    leadtimes, std_par, std_perp = compute_stds(results)
+    assert len(leadtimes) == 6 and np.all(np.diff(std_par) > -1.0)
+    p_par, p_perp = fit_parameters(results)
+    assert p_par is not None
+    pred = growth_curve(40.0, *p_par)
+    true = 0.5 * 40**0.6 + 0.2
+    assert abs(pred - true) / true < 0.25
+    # perpendicular component was generated at half amplitude
+    assert growth_curve(40.0, *p_perp) < pred
