@@ -317,3 +317,145 @@ def test_native_calibrate_u16():
     out = native.calibrate_u16(raw, 0.5, 1.0, 65535, 0, undetect_value=-1.0)
     np.testing.assert_allclose(out[:3], [-1.0, 6.0, 128.5])
     assert np.isnan(out[3])
+
+
+# ---------------------------------------------------------------------------
+# CF-1.7 NetCDF exporter (h5py-backed) + projections + GeoTIFF writer
+
+
+_NC_META = {
+    "projection": (
+        "+proj=stere +lon_0=25 +lat_0=90 +lat_ts=60 +a=6371288"
+        " +x_0=380886.31 +y_0=3395677.92"
+    ),
+    "x1": 0.0, "x2": 512000.0, "y1": 0.0, "y2": 256000.0,
+    "yorigin": "upper", "unit": "mm/h", "cartesian_unit": "m",
+}
+
+
+@pytest.mark.parametrize("incremental", [None, "timestep", "member"])
+def test_netcdf_exporter_roundtrip(tmp_path, incremental):
+    from pysteps_tpu.io import nowcast_importers
+
+    start = datetime.datetime(2026, 8, 18, 12, 0)
+    F = np.random.RandomState(0).gamma(1.0, 2.0, (3, 4, 32, 64)).astype(np.float32)
+    kwargs = {"incremental": incremental}
+    if incremental != "member":
+        kwargs["n_ens_members"] = 3
+    exp = exporters.initialize_forecast_exporter_netcdf(
+        str(tmp_path), "fc", start, 5, 4, (32, 64), _NC_META, **kwargs
+    )
+    if incremental is None:
+        exporters.export_forecast_dataset(F, exp)
+    elif incremental == "timestep":
+        for t in range(4):
+            exporters.export_forecast_dataset(F[:, t], exp)
+    else:
+        for j in range(3):
+            exporters.export_forecast_dataset(F[j], exp)
+    exporters.close_forecast_files(exp)
+
+    precip, meta = nowcast_importers.import_netcdf_pysteps(
+        str(tmp_path / "fc.nc"), onerror="raise"
+    )
+    np.testing.assert_allclose(precip, F, atol=1e-5)
+    assert meta["unit"] == "mm/h"
+    np.testing.assert_allclose(meta["leadtimes"], [5, 10, 15, 20])
+    # grid mapping -> proj4 reconstruction keeps the projection family
+    assert "+proj=stere" in meta["projection"]
+    assert meta["x1"] == pytest.approx(0.0)
+    assert meta["x2"] == pytest.approx(512000.0)
+
+
+def test_netcdf_exporter_packing(tmp_path):
+    from pysteps_tpu.io import nowcast_importers
+
+    start = datetime.datetime(2026, 8, 18, 12, 0)
+    F = np.random.RandomState(1).gamma(1.0, 2.0, (1, 4, 16, 16)).astype(np.float32)
+    exp = exporters.initialize_forecast_exporter_netcdf(
+        str(tmp_path), "fcp", start, 5, 4, (16, 16), _NC_META,
+        datatype=np.int16, scale_factor=0.01, fill_value=-9999,
+    )
+    exporters.export_forecast_dataset(F[0], exp)
+    exporters.close_forecast_files(exp)
+    precip, _ = nowcast_importers.import_netcdf_pysteps(
+        str(tmp_path / "fcp.nc"), onerror="raise"
+    )
+    assert np.abs(precip - F[0]).max() < 0.0051
+
+
+def test_geotiff_exporter(tmp_path):
+    pytest.importorskip("PIL")
+    from PIL import Image
+
+    start = datetime.datetime(2026, 8, 18, 12, 0)
+    F = np.random.RandomState(2).gamma(1.0, 2.0, (1, 2, 16, 32)).astype(np.float32)
+    exp = exporters.initialize_forecast_exporter_geotiff(
+        str(tmp_path), "gt", start, 5, 2, (16, 32), _NC_META, n_ens_members=1
+    )
+    exporters.export_forecast_dataset(F, exp)
+    exporters.close_forecast_files(exp)
+    fns = sorted(tmp_path.glob("gt_*.tif"))
+    assert len(fns) == 2
+    im = Image.open(fns[0])
+    np.testing.assert_allclose(np.array(im), F[0, 0], atol=1e-6)
+    # georeferencing tags: pixel scale and upper-left tiepoint
+    assert im.tag_v2[33550][0] == pytest.approx(512000.0 / 32)
+    assert im.tag_v2[33922][3:5] == (0.0, 256000.0)
+    assert "+proj=stere" in im.tag_v2[34737]
+
+
+def test_projection_roundtrips():
+    from pysteps_tpu.utils.projection import Proj
+
+    cases = [
+        ("+proj=stere +lat_0=90 +lon_0=25 +lat_ts=60 +a=6371288", (19.1, 59.7)),
+        ("+proj=aea +lon_0=144.75 +lat_0=-37.85 +lat_1=-18 +lat_2=-36 +ellps=GRS80",
+         (145.0, -37.0)),
+        ("+proj=merc +lon_0=0 +lat_ts=0 +ellps=WGS84", (10.0, 50.0)),
+        ("+proj=utm +zone=33 +ellps=WGS84", (14.0, 46.0)),
+        ("+proj=somerc +lat_0=46.9524055555 +lon_0=7.4395833333 +k_0=1"
+         " +x_0=600000 +y_0=200000 +ellps=bessel", (8.2, 46.8)),
+        ("+proj=aeqd +lon_0=10 +lat_0=50 +R=6371000", (12.0, 52.0)),
+        ("+proj=laea +lat_0=55 +lon_0=10 +x_0=1950000 +y_0=-2100000"
+         " +ellps=WGS84", (2.0, 48.0)),
+        ("+proj=longlat +ellps=WGS84", (2.0, 48.0)),
+    ]
+    for proj4, (lon, lat) in cases:
+        proj = Proj(proj4)
+        x, y = proj(lon, lat)
+        lon2, lat2 = proj(x, y, inverse=True)
+        assert lon2 == pytest.approx(lon, abs=1e-7), proj4
+        assert lat2 == pytest.approx(lat, abs=1e-7), proj4
+
+
+def test_projection_somerc_swisstopo_constants():
+    # the four published swisstopo CH1903/LV03 projection constants
+    import math
+
+    from pysteps_tpu.utils.projection import Proj
+
+    impl = Proj(
+        "+proj=somerc +lat_0=46.95240555555556 +lon_0=7.439583333333333"
+        " +k_0=1 +x_0=600000 +y_0=200000 +ellps=bessel"
+    )._impl
+    assert impl.alpha == pytest.approx(1.00072913843038, abs=1e-11)
+    assert impl.R == pytest.approx(6378815.90, abs=0.01)
+    assert math.degrees(impl.b0) == pytest.approx(46.9077314, abs=1e-6)
+    assert impl.K == pytest.approx(0.0030667323772751, abs=1e-9)
+    # projection centre maps to the false origin
+    x, y = impl.forward(7.439583333333333, 46.95240555555556)
+    assert x == pytest.approx(600000.0, abs=1e-6)
+    assert y == pytest.approx(200000.0, abs=1e-6)
+
+
+def test_projection_utm_known_points():
+    from pysteps_tpu.utils.projection import Proj
+
+    utm = Proj("+proj=utm +zone=33 +ellps=WGS84")
+    x, y = utm(15.0, 0.0)
+    assert x == pytest.approx(500000.0, abs=1e-6)
+    assert y == pytest.approx(0.0, abs=1e-6)
+    # scaled meridian arc at 45N (0.9996 * M(45))
+    _, y45 = utm(15.0, 45.0)
+    assert y45 == pytest.approx(4982950.40, abs=0.5)
