@@ -131,9 +131,9 @@ class MaskedEnKF(EnsembleKalmanFilter):
         # fit PCA on the combined ensembles (reduced space dim <= 2*n_ens)
         combined = jnp.concatenate([bg_flat, obs_flat], axis=0)
         n_comp = self._n_components or max(n_ens - 1, 1)
-        _, pca_params = pca_transform(combined, n_components=n_comp)
-        bg_pc, _ = pca_transform(bg_flat, pca_params=pca_params)
-        obs_pc, _ = pca_transform(obs_flat, pca_params=pca_params)
+        _, pca_params = pca_transform(combined, n_components=n_comp, get_params=True)
+        bg_pc = pca_transform(bg_flat, pca_params=pca_params)
+        obs_pc = pca_transform(obs_flat, pca_params=pca_params)
 
         analysis_pc = self.update(
             bg_pc, obs_pc,

@@ -82,6 +82,7 @@ class ForecastInitialization:
 
     def __init__(self, obs_precip, velocity, config, forecast_horizon,
                  noise_method="nonparametric", noise_stddev_adj=None,
+                 nowcast_kwargs=None,
                  timestep=5, kmperpixel=1.0):
         self.obs_precip = np.asarray(obs_precip, np.float32)
         self.velocity = velocity
@@ -91,6 +92,7 @@ class ForecastInitialization:
         self.noise_stddev_adj = noise_stddev_adj
         self.timestep = timestep
         self.kmperpixel = kmperpixel
+        self.nowcast_kwargs = dict(nowcast_kwargs or {})
 
     def compute_background(self):
         """Run the stochastic nowcast over the full horizon; returns
@@ -111,6 +113,7 @@ class ForecastInitialization:
                 probmatching_method="cdf",
                 mask_method="incremental",
                 seed=cfg.seed,
+                **self.nowcast_kwargs,
             )
         )
         return np.nan_to_num(
@@ -183,7 +186,8 @@ class EnKFCombinationNowcaster:
     def __init__(self, obs_precip, nwp_precip, velocity, forecast_horizon,
                  enkf_combination_config, noise_method="nonparametric",
                  noise_stddev_adj=None, timestep=5, kmperpixel=1.0,
-                 callback=None, return_output=True, measure_time=False):
+                 callback=None, return_output=True, measure_time=False,
+                 nowcast_kwargs=None, verbose_output=False):
         self.obs_precip = np.asarray(obs_precip, np.float32)
         self.nwp_precip = np.asarray(nwp_precip, np.float32)
         if self.nwp_precip.ndim == 3:
@@ -198,6 +202,8 @@ class EnKFCombinationNowcaster:
         self.callback = callback
         self.return_output = return_output
         self.measure_time = measure_time
+        self.nowcast_kwargs = dict(nowcast_kwargs or {})
+        self.verbose_output = verbose_output
 
     def compute_forecast(self):
         cfg = self.config
@@ -232,6 +238,7 @@ class EnKFCombinationNowcaster:
             noise_method=self.noise_method,
             noise_stddev_adj=self.noise_stddev_adj,
             timestep=self.timestep, kmperpixel=self.kmperpixel,
+            nowcast_kwargs=self.nowcast_kwargs,
         )
         background = init.compute_background()  # (E, T, m, n)
 
@@ -248,13 +255,20 @@ class EnKFCombinationNowcaster:
         )
         outputs = []
         for t in range(self.forecast_horizon):
-            if t < params.n_timesteps:
+            corrected = t < params.n_timesteps
+            if corrected:
                 state = model.correction_step(
                     state, background[:, t], self.nwp_precip[:, t],
                     self.forecast_horizon,
                 )
             else:
                 state = model.forecast_step(state, background[:, t])
+            if self.verbose_output:
+                print(
+                    f"t={t + 1}: "
+                    + ("EnKF analysis" if corrected else "background only")
+                    + f", ens mean {float(np.nanmean(state.analysis)):.3f}"
+                )
             outputs.append(state.analysis)
 
         out = jnp.asarray(np.stack(outputs, axis=1))
@@ -299,10 +313,17 @@ def forecast(
     timestep=5,
     kmperpixel=1.0,
     combination_kwargs=None,
+    extrap_kwargs=None,
+    filter_kwargs=None,
+    noise_kwargs=None,
+    verbose_output=False,
     measure_time=False,
     **kwargs,
 ):
-    """PCA-EnKF combined forecast (reference: pca_ens_kalman_filter.py:1555).
+    """PCA-EnKF combined forecast (reference: pca_ens_kalman_filter.py:1555;
+    extrap_kwargs/filter_kwargs/noise_kwargs forward to the extrapolator,
+    bandpass filter and noise initializer, verbose_output prints the
+    per-step combination diagnostics).
 
     obs_precip: (ar_order+1, m, n) radar inputs; nwp_precip:
     (n_nwp_ens, T, m, n) NWP ensemble fields valid at the forecast steps.
@@ -320,6 +341,13 @@ def forecast(
         seed=seed,
         combination_kwargs=dict(combination_kwargs or {}),
     )
+    nowcast_kwargs = {}
+    if extrap_kwargs:
+        nowcast_kwargs["extrap_kwargs"] = dict(extrap_kwargs)
+    if filter_kwargs:
+        nowcast_kwargs["filter_kwargs"] = dict(filter_kwargs)
+    if noise_kwargs:
+        nowcast_kwargs["noise_kwargs"] = dict(noise_kwargs)
     nowcaster = EnKFCombinationNowcaster(
         obs_precip, nwp_precip, velocity, forecast_horizon,
         enkf_combination_config=config,
@@ -330,5 +358,7 @@ def forecast(
         callback=callback,
         return_output=return_output,
         measure_time=measure_time,
+        nowcast_kwargs=nowcast_kwargs,
+        verbose_output=verbose_output,
     )
     return nowcaster.compute_forecast()

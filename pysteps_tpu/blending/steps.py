@@ -475,6 +475,8 @@ def forecast(
     mask_kwargs=None,
     measure_time=False,
     precip_nowcast=None,
+    nowcasting_method="steps",
+    timestep_start_full_nwp_weight=None,
     mesh=None,
 ):
     """STEPS blending forecast (reference: blending/steps.py:3383).
@@ -486,9 +488,27 @@ def forecast(
     precip_nowcast: optional externally computed nowcast ensemble
     (n_ens_members, T, m, n) used as the extrapolation component instead
     of the internal AR cascade (reference:
-    nowcasting_method="external_nowcast", blending/steps.py:113-121).
+    nowcasting_method="external_nowcast", blending/steps.py:113-121);
+    selecting nowcasting_method="external_nowcast" requires it.
+    timestep_start_full_nwp_weight: lead-time index after which the weights
+    transition linearly to full NWP weight
+    (reference: blending/steps.py:143-150,3987 via calculate_end_weights).
     Returns (n_ens_members, T, m, n).
     """
+    if nowcasting_method not in ("steps", "external_nowcast"):
+        raise ValueError(
+            f"unknown nowcasting_method {nowcasting_method}; "
+            "must be 'steps' or 'external_nowcast'"
+        )
+    if nowcasting_method == "external_nowcast" and precip_nowcast is None:
+        raise ValueError(
+            "nowcasting_method='external_nowcast' requires precip_nowcast"
+        )
+    if timestep_start_full_nwp_weight is not None:
+        if timestep_start_full_nwp_weight < 0:
+            raise ValueError(
+                "timestep_start_full_nwp_weight cannot be smaller than zero"
+            )
     t0 = time.time()
     precip = np.asarray(precip, np.float32)
     precip_models = np.asarray(precip_models, np.float32)
@@ -508,6 +528,14 @@ def forecast(
     else:
         subsel = list(timesteps)
         int_steps = int(np.ceil(max(subsel)))
+    if (
+        timestep_start_full_nwp_weight is not None
+        and timestep_start_full_nwp_weight >= int_steps
+    ):
+        raise ValueError(
+            "timestep_start_full_nwp_weight cannot be the same or larger "
+            "than the total number of timesteps in this forecast"
+        )
 
     if precip_models.ndim == 3:
         precip_models = np.repeat(
@@ -620,6 +648,16 @@ def forecast(
                 )
             else:
                 raise ValueError(f"unknown weights_method {weights_method}")
+            # linear transition to full-NWP weight near the forecast end
+            # (reference: blending/steps.py:2178,3987); timesteps are
+            # compared as lead indices like the reference's sub-timesteps
+            if (
+                timestep_start_full_nwp_weight is not None
+                and t + 1 > timestep_start_full_nwp_weight
+            ):
+                w = calculate_end_weights(
+                    w, t + 1, int_steps, timestep_start_full_nwp_weight
+                )
             weights_t[t, im] = w
 
     # blended advection per step: weighted by the second cascade level's

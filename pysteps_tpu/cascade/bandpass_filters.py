@@ -29,11 +29,14 @@ def filter_uniform(shape, n):
 
 
 def filter_gaussian(
-    shape, n, gauss_scale=0.5, d=1.0, normalize=True, include_mean=True
+    shape, n, gauss_scale=0.5, d=1.0, normalize=True,
+    return_weight_funcs=False, include_mean=True,
 ):
     """n log-spaced Gaussian bandpass filters, normalized so the per-
     wavenumber weights sum to one; the DC bin is assigned to level 0
-    (reference: bandpass_filters.py:91-206)."""
+    (reference: bandpass_filters.py:91-206).  ``return_weight_funcs``
+    adds the un-normalized radial weight callables under 'weight_funcs'
+    (reference: bandpass_filters.py:119-121)."""
     if n < 3:
         raise ValueError("n must be greater than 2")
     try:
@@ -89,10 +92,16 @@ def filter_gaussian(
     central_freqs[-1] = 0.5
     central_freqs = d * central_freqs
 
-    return {
+    out = {
         "weights_1d": jnp.asarray(weights_1d),
         "weights_2d": jnp.asarray(weights_2d),
         "central_wavenumbers": jnp.asarray(central_wavenumbers),
         "central_freqs": jnp.asarray(central_freqs),
         "shape": (height, width),
     }
+    if return_weight_funcs:
+        out["weight_funcs"] = [
+            (lambda r, c=c: band_weight(np.asarray(r, float), c))
+            for c in centres
+        ]
+    return out

@@ -80,17 +80,17 @@ def config_fname():
     return os.path.join(os.path.dirname(__file__), "pysteps_tpu_rc")
 
 
-def load_config_file(config_file=None, verbose=False):
+def load_config_file(params_file=None, verbose=False, dryrun=False):
     """Load an rc parameter file and return it as a DotDict.
 
-    Parameters mirror the reference loader (pysteps/__init__.py:150).
-    Missing file -> packaged defaults, with a warning only if an explicit
-    path was requested.
+    Parameters mirror the reference loader (pysteps/__init__.py:150):
+    ``dryrun=True`` parses and validates without touching the module-level
+    ``rcparams``.
     """
     params = json.loads(json.dumps(_DEFAULT_RC))  # deep copy
     path = None
-    if config_file is not None:
-        path = config_file
+    if params_file is not None:
+        path = params_file
     else:
         for cand in _candidate_paths():
             if cand and os.path.isfile(cand):
@@ -106,6 +106,8 @@ def load_config_file(config_file=None, verbose=False):
                 print(f"pysteps_tpu configuration loaded from {path}")
         except (OSError, json.JSONDecodeError) as err:
             warnings.warn(f"could not load rc file {path}: {err}; using defaults")
+    if dryrun:
+        return DotDict(params)
     global rcparams
     rcparams = DotDict(params)
     return rcparams

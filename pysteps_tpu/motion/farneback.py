@@ -130,18 +130,39 @@ def farneback(
     pyr_scale=0.5,
     levels=4,
     winsize=32,
-    num_iterations=5,
+    iterations=5,
     poly_n=7,
     poly_sigma=1.5,
-    smoothing_sigma=0.0,
+    flags=0,
+    size_opening=0,
+    sigma=0.0,
+    verbose=False,
     **kwargs,
 ):
     """Farneback dense flow over the last two frames
-    (reference: motion/farneback.py:40).  Returns (2, m, n)."""
+    (reference: motion/farneback.py:40; same keyword names).  Returns
+    (2, m, n).  ``flags`` is accepted for signature parity (the OpenCV
+    bit-flags have no equivalent here); ``size_opening`` applies the
+    reference's morphological declutter to the inputs; ``sigma`` > 0
+    smooths the flow with magnitude preservation."""
+    # the pre-rename keyword names stay accepted
+    iterations = kwargs.pop("num_iterations", iterations)
+    sigma = kwargs.pop("smoothing_sigma", sigma)
+    del flags
+    num_iterations = iterations
+    smoothing_sigma = sigma
     input_images = np.asarray(input_images, dtype=np.float32)
     if input_images.ndim != 3 or input_images.shape[0] < 2:
         raise ValueError("input_images must be (T>=2, m, n)")
+    if verbose:
+        print("Computing the motion field with the Farneback method.")
     im1, im2 = input_images[-2], input_images[-1]
+    if size_opening and size_opening > 0:
+        from pysteps_tpu.utils.images import morph_opening
+
+        thr = np.nanmin(input_images)
+        im1 = np.asarray(morph_opening(im1, thr, size_opening))
+        im2 = np.asarray(morph_opening(im2, thr, size_opening))
     lo = np.nanmin([np.nanmin(im1), np.nanmin(im2)])
     hi = np.nanmax([np.nanmax(im1), np.nanmax(im2)])
     scale = 1.0 / max(hi - lo, 1e-9)

@@ -59,22 +59,22 @@ def dilation_kernel(mask_rim):
     return (np.abs(yy) + np.abs(xx) <= n).astype(np.float32)
 
 
-def compute_percentile_mask(precip, war):
+def compute_percentile_mask(precip, pct):
     """True for pixels above the intensity whose exceedance fraction equals
-    ``war`` (reference: nowcasts/utils.py:102)."""
+    ``pct`` (reference: nowcasts/utils.py:102)."""
     flat = jnp.sort(precip.ravel())
     n = flat.size
     # exceedance fraction of sorted values (descending index)
-    i = jnp.clip(jnp.round((1.0 - war) * n).astype(jnp.int32) - 1, 0, n - 1)
+    i = jnp.clip(jnp.round((1.0 - pct) * n).astype(jnp.int32) - 1, 0, n - 1)
     thr = flat[i]
     return precip >= thr
 
 
-def stack_cascades(decomp_list, n_levels, convert_to_full_arrays=False):
+def stack_cascades(precip_decomp, n_levels, convert_to_full_arrays=False):
     """Stack per-time decompositions into a (k, t, m, n) window array
     (reference: nowcasts/utils.py:612)."""
     del convert_to_full_arrays
-    levels = jnp.stack([d["cascade_levels"] for d in decomp_list], axis=1)
+    levels = jnp.stack([d["cascade_levels"] for d in precip_decomp], axis=1)
     return levels[:n_levels]
 
 

@@ -44,10 +44,11 @@ def excprob(X, X_thr, ignore_nan=False):
     return P[0] if scalar else P
 
 
-def banddepth(X, thr=None, verbose=False):
+def banddepth(X, thr=None, norm=False):
     """Band depth of ensemble members (reference: ensemblestats.py:118,
     following Lopez-Pintado & Romo 2009): for each member, the fraction of
-    member pairs whose envelope contains it."""
+    member pairs whose envelope contains it.  ``norm=True`` rescales the
+    depths to [0, 1] (reference: ensemblestats.py:175-177)."""
     X = jnp.asarray(X)
     n = X.shape[0]
     flat = X.reshape(n, -1)
@@ -67,6 +68,6 @@ def banddepth(X, thr=None, verbose=False):
     depth = jnp.sum(jnp.where(valid, pair_frac, 0.0), axis=1) / jnp.maximum(
         jnp.sum(valid, axis=1), 1
     )
-    if verbose:
-        print("banddepth:", np.asarray(depth))
+    if norm:
+        depth = (depth - depth.min()) / jnp.maximum(depth.max() - depth.min(), 1e-30)
     return depth

@@ -101,27 +101,38 @@ def temporal_autocorrelation(
     return gamma
 
 
-def temporal_autocorrelation_multivariate(x, d=0, mask=None):
+def temporal_autocorrelation_multivariate(
+    x, d=0, mask=None, window="gaussian", window_radius=jnp.inf
+):
     """Lag-l cross-correlation matrices Gamma_l for a q-variate series
-    (reference: correlation.py:222).  x: (n, q, ...)."""
+    (reference: correlation.py:133-222).  x: (n, q, ...).
+
+    With a finite ``window_radius`` each Gamma_l is localized per pixel
+    (shape (*spatial, q, q), reference: correlation.py:203-215)."""
     x = jnp.asarray(x)
     if d == 1:
         x = jnp.diff(x, axis=0)
     n, q = x.shape[:2]
     if mask is None:
         mask = jnp.ones(x.shape[2:], dtype=bool)
+    localized = window_radius != jnp.inf
+
+    def cc(a, b):
+        if localized:
+            return _moving_window_corrcoef(
+                a, b, window_radius, window=window, mask=mask
+            )
+        return _masked_corrcoef(a, b, mask)
+
     gamma = []
     for l in range(n):
         G = jnp.stack(
             [
-                jnp.stack(
-                    [
-                        _masked_corrcoef(x[-1, i], x[-(l + 1), j], mask)
-                        for j in range(q)
-                    ]
-                )
+                jnp.stack([cc(x[-1, i], x[-(l + 1), j]) for j in range(q)])
                 for i in range(q)
             ]
         )
+        if localized:  # (q, q, *spatial) -> (*spatial, q, q)
+            G = jnp.moveaxis(G, (0, 1), (-2, -1))
         gamma.append(G)
     return gamma

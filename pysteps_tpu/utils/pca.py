@@ -2,39 +2,74 @@
 Principal-component transform for the reduced-space EnKF
 (reference: pysteps/utils/pca.py:25,136).
 
-TPU-native: SVD + matmuls in JAX; the (pixels x members) matrices involved
-map straight onto the MXU.
+TPU-native: SVD + matmuls in JAX; the (members x pixels) matrices involved
+map straight onto the MXU.  No sklearn dependency — the economy SVD of the
+centred data reproduces sklearn.decomposition.PCA(svd_solver="full").
 """
 
 import jax.numpy as jnp
 
 
-def pca_transform(data_array, n_components=None, pca_params=None):
-    """Project (n_samples, n_features) data onto principal components.
+def pca_transform(forecast_ens, mask=None, pca_params=None, get_params=False, **kwargs):
+    """Project (n_ens, n_features) forecasts onto principal components
+    (reference: utils/pca.py:25; same signature and dict keys).
 
-    Returns (transformed, params) where params holds the mean and component
-    matrix for the back-transform (reference: utils/pca.py:25).
+    With ``mask`` (boolean, n_features), only the masked features enter
+    the projection (Lien criterion pixel selection in the PCA EnKF).
+    ``kwargs``: n_components (default n_ens), svd_solver (ignored — the
+    full SVD always runs on the accelerator).
+
+    Returns the transformed (n_ens, n_components) array, plus the
+    ``pca_params`` dict (principal_components, mean, explained_variance)
+    when ``get_params=True``.
     """
-    X = jnp.asarray(data_array, jnp.float32)
+    X = jnp.asarray(forecast_ens, jnp.float32)
+    if X.ndim != 2:
+        raise ValueError("Input array should be two-dimensional!")
+
     if pca_params is None:
+        n_components = kwargs.get("n_components", X.shape[0])
         mean = jnp.mean(X, axis=0)
         Xc = X - mean
         # economy SVD: components are rows of Vt
         _, S, Vt = jnp.linalg.svd(Xc, full_matrices=False)
+        var = (S**2) / max(X.shape[0] - 1, 1)
         if n_components is not None:
             Vt = Vt[:n_components]
-            S = S[:n_components]
-        explained_variance = (S**2) / max(X.shape[0] - 1, 1)
         pca_params = {
+            "principal_components": Vt,
             "mean": mean,
-            "components": Vt,
-            "explained_variance": explained_variance,
+            "explained_variance": var / jnp.maximum(jnp.sum(var), 1e-30),
         }
-    transformed = (X - pca_params["mean"]) @ pca_params["components"].T
-    return transformed, pca_params
+    else:
+        if "principal_components" not in pca_params:
+            raise KeyError(
+                "Output is not None but has no key 'principal_components'!"
+            )
+        if "mean" not in pca_params:
+            raise KeyError("Output is not None but has no key 'mean'!")
+        if X.shape[1] != pca_params["mean"].shape[0]:
+            raise ValueError("pca mean has not the same length as the input array!")
+        if X.shape[1] != pca_params["principal_components"].shape[1]:
+            raise ValueError(
+                "principal components have not the same length as the input array"
+            )
+
+    if mask is None:
+        transformed = (X - pca_params["mean"]) @ pca_params["principal_components"].T
+    else:
+        mask = jnp.asarray(mask, bool)
+        transformed = (
+            (X[:, mask] - pca_params["mean"][mask])
+            @ pca_params["principal_components"][:, mask].T
+        )
+
+    if get_params:
+        return transformed, pca_params
+    return transformed
 
 
-def pca_backtransform(data_array, pca_params):
+def pca_backtransform(forecast_ens_pc, pca_params):
     """Inverse of :func:`pca_transform` (reference: utils/pca.py:136)."""
-    Z = jnp.asarray(data_array, jnp.float32)
-    return Z @ pca_params["components"] + pca_params["mean"]
+    Z = jnp.asarray(forecast_ens_pc, jnp.float32)
+    return Z @ pca_params["principal_components"] + pca_params["mean"]

@@ -15,7 +15,9 @@ def get_method(name, type="deterministic"):
     type: "deterministic" | "ensemble" | "probabilistic"
     """
     if name is None:
-        raise ValueError("name is None")
+        name = "none"
+    if type is None:
+        type = "none"
     name, type = name.lower(), type.lower()
 
     if type == "deterministic":
@@ -24,9 +26,11 @@ def get_method(name, type="deterministic"):
             "hss", "mcc", "pod", "sedi",
         }
         cont = {
-            "me", "mae", "mse", "rmse", "nmse", "drmse", "beta1", "beta2",
-            "corr_p", "corr_s", "rv", "scatter",
+            "me", "mae", "mse", "rmse", "nmse", "drmse", "beta", "beta1",
+            "beta2", "corr_p", "corr_s", "rv", "scatter",
         }
+        if name == "beta":  # reference alias for the slope beta1
+            name = "beta1"
         if name in cat:
 
             def f(fct, obs, **kwargs):
@@ -43,6 +47,10 @@ def get_method(name, type="deterministic"):
             return spatialscores.fss
         if name == "binary_mse" or name == "bmse":
             return spatialscores.binary_mse
+        if name == "sal":
+            from pysteps_tpu.verification.salscores import sal
+
+            return sal
         raise ValueError(f"unknown deterministic method {name}")
 
     if type == "ensemble":

@@ -6,7 +6,7 @@ Host-side matplotlib.
 import numpy as np
 
 
-def plot_intensityscale(iss, fig=None, vminmax=None, kmperpixel=None, unit=None):
+def plot_intensityscale(intscale, fig=None, vminmax=None, kmperpixel=None, unit=None):
     """Intensity-scale skill-score matrix plot (reference: plots.py:24)."""
     import matplotlib.pyplot as plt
 
@@ -14,7 +14,7 @@ def plot_intensityscale(iss, fig=None, vminmax=None, kmperpixel=None, unit=None)
         fig = plt.figure()
     ax = fig.gca()
     im = ax.imshow(
-        iss, vmin=vminmax[0] if vminmax else None,
+        intscale, vmin=vminmax[0] if vminmax else None,
         vmax=vminmax[1] if vminmax else None, interpolation="nearest",
         origin="lower", aspect="auto", cmap="viridis",
     )
@@ -39,7 +39,7 @@ def plot_rankhist(rankhist, ax=None):
     return ax
 
 
-def plot_reldiag(reldiag_result, ax=None):
+def plot_reldiag(reldiag, ax=None):
     """Reliability-diagram plot (reference: plots.py:120).
 
     Accepts either the (obs_freq, fct_prob) tuple from reldiag_compute or a
@@ -48,12 +48,12 @@ def plot_reldiag(reldiag_result, ax=None):
 
     if ax is None:
         ax = plt.figure().gca()
-    if isinstance(reldiag_result, dict):
+    if isinstance(reldiag, dict):
         from pysteps_tpu.verification.probscores import reldiag_compute
 
-        r, f = reldiag_compute(reldiag_result)
+        r, f = reldiag_compute(reldiag)
     else:
-        r, f = reldiag_result
+        r, f = reldiag
     ax.plot([0, 1], [0, 1], "k--", lw=1)
     ax.plot(f, r, "o-", color="#1f77b4")
     ax.set_xlabel("forecast probability")
@@ -63,7 +63,7 @@ def plot_reldiag(reldiag_result, ax=None):
     return ax
 
 
-def plot_ROC(roc_result, ax=None, opt_prob_thr=False):
+def plot_ROC(ROC, ax=None, opt_prob_thr=False):
     """ROC-curve plot (reference: plots.py:155).
 
     Accepts the (POFD, POD[, area]) tuple from ROC_curve_compute or a ROC
@@ -72,12 +72,12 @@ def plot_ROC(roc_result, ax=None, opt_prob_thr=False):
 
     if ax is None:
         ax = plt.figure().gca()
-    if isinstance(roc_result, dict):
+    if isinstance(ROC, dict):
         from pysteps_tpu.verification.probscores import ROC_curve_compute
 
-        POFD, POD = ROC_curve_compute(roc_result)
+        POFD, POD = ROC_curve_compute(ROC)
     else:
-        POFD, POD = roc_result[0], roc_result[1]
+        POFD, POD = ROC[0], ROC[1]
     ax.plot([0, 1], [0, 1], "k--", lw=1)
     ax.plot(POFD, POD, "o-", color="#1f77b4")
     ax.set_xlabel("probability of false detection")

@@ -115,11 +115,11 @@ def binary_mse_accum(bmse, X_f, X_o):
     bmse["n"] += 1
 
 
-def binary_mse_merge(b1, b2):
-    out = dict(b1)
-    out["mse"] = b1["mse"] + b2["mse"]
-    out["eps"] = b1["eps"] + b2["eps"]
-    out["n"] = b1["n"] + b2["n"]
+def binary_mse_merge(bmse_1, bmse_2):
+    out = dict(bmse_1)
+    out["mse"] = bmse_1["mse"] + bmse_2["mse"]
+    out["eps"] = bmse_1["eps"] + bmse_2["eps"]
+    out["n"] = bmse_1["n"] + bmse_2["n"]
     return out
 
 

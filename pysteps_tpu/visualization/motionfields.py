@@ -57,9 +57,12 @@ def quiver(uv_motion_field, ax=None, geodata=None, axis="on", step=20,
 
 
 def streamplot(uv_motion_field, ax=None, geodata=None, axis="on",
-               streamplot_kwargs=None, map_kwargs=None):
+               streamplot_kwargs=None, map_kwargs=None, step=20):
     """Streamplot of a (2, m, n) motion field
-    (reference: motionfields.py:193)."""
+    (reference: motionfields.py:193).  ``step`` is accepted for signature
+    parity; matplotlib's streamplot integrates on the full grid and
+    controls line spacing via streamplot_kwargs['density']."""
+    del step
     uv = np.asarray(uv_motion_field)
     streamplot_kwargs = streamplot_kwargs or {}
     x_grid, y_grid, extent, origin = _grid_for(uv, geodata)

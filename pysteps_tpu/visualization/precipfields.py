@@ -61,12 +61,27 @@ def plot_precip_field(
     axis="on",
     cax=None,
     map_kwargs=None,
+    colormap_config=None,
 ):
-    """Plot a precipitation field (reference: precipfields.py:33)."""
+    """Plot a precipitation field (reference: precipfields.py:33).
+
+    ``colormap_config`` (any object with cmap/norm/clevs attributes,
+    reference: precipfields.py:119-123,521) overrides ``colorscale``."""
     precip = np.asarray(precip)
     if ax is None:
         ax = plt.gca()
-    cmap, norm, clevs, _ = get_colormap(ptype, units, colorscale)
+    if colormap_config is not None:
+        missing = [a for a in ("cmap", "norm", "clevs")
+                   if not hasattr(colormap_config, a)]
+        if missing:
+            raise ValueError(
+                f"colormap_config is missing attributes: {missing}"
+            )
+        cmap, norm, clevs = (
+            colormap_config.cmap, colormap_config.norm, colormap_config.clevs
+        )
+    else:
+        cmap, norm, clevs, _ = get_colormap(ptype, units, colorscale)
 
     extent = None
     if geodata is not None:

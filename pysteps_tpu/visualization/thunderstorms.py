@@ -19,10 +19,14 @@ def plot_track(track_list, geodata=None, ref_shape=None, ax=None, color="b"):
     return ax
 
 
-def plot_cart_contour(contours, geodata=None, ax=None, color="k"):
-    """Plot cell contours (reference: thunderstorms.py:62)."""
+def plot_cart_contour(contours, geodata=None, ref_shape=None, ax=None, color="k"):
+    """Plot cell contours (reference: thunderstorms.py:62).  ``ref_shape``
+    frames the pixel axes when no geodata is given."""
     if ax is None:
         ax = plt.gca()
+    if geodata is None and ref_shape is not None:
+        ax.set_xlim(0, ref_shape[1])
+        ax.set_ylim(ref_shape[0], 0)
     for contour_set in contours:
         for cont in (contour_set if isinstance(contour_set, list) else [contour_set]):
             cont = np.asarray(cont)

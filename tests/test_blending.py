@@ -324,3 +324,53 @@ def test_steps_blending_zero_nwp(blending_data):
     assert fc.shape == (2, 2, 128, 128)
     assert np.all(np.isfinite(fc))
     assert (fc[:, 0] > -10.0).mean() > 0.01
+
+
+def test_steps_blending_end_weights(blending_data):
+    """timestep_start_full_nwp_weight forces the forecast toward the NWP
+    fields at the last lead times (reference: blending/steps.py:143-150)."""
+    from pysteps_tpu import blending
+
+    db, velocity, nwp = blending_data
+    fc = blending.get_method("steps")(
+        db[:3], nwp[None], velocity, velocity[None], 4, 5,
+        n_ens_members=2, n_cascade_levels=6,
+        precip_thr=-10.0, kmperpixel=1.0,
+        timestep_start_full_nwp_weight=1,
+        noise_method=None, vel_pert_method=None,
+        mask_method=None, probmatching_method=None,
+        seed=42,
+    )
+    fc = np.asarray(fc)
+    assert fc.shape == (2, 4, 128, 128)
+    # by the final step the blend must be closer to NWP than at step 1
+    err_first = np.abs(fc[:, 0] - nwp[1]).mean()
+    err_last = np.abs(fc[:, -1] - nwp[4]).mean()
+    assert err_last < err_first
+
+    with pytest.raises(ValueError):
+        blending.get_method("steps")(
+            db[:3], nwp[None], velocity, velocity[None], 3, 5,
+            n_ens_members=2, precip_thr=-10.0, kmperpixel=1.0,
+            timestep_start_full_nwp_weight=5, seed=42,
+        )
+    with pytest.raises(ValueError):
+        blending.get_method("steps")(
+            db[:3], nwp[None], velocity, velocity[None], 3, 5,
+            n_ens_members=2, precip_thr=-10.0, kmperpixel=1.0,
+            nowcasting_method="external_nowcast", seed=42,
+        )
+
+
+def test_multivariate_autocorrelation_localized():
+    from pysteps_tpu.timeseries import correlation
+
+    rng = np.random.RandomState(3)
+    x = rng.randn(3, 2, 32, 32).astype(np.float32)
+    gamma = correlation.temporal_autocorrelation_multivariate(
+        x, window="gaussian", window_radius=8.0
+    )
+    assert len(gamma) == 3
+    assert gamma[0].shape == (32, 32, 2, 2)
+    # lag-0 diagonal is a self-correlation: ~1 everywhere
+    np.testing.assert_allclose(np.asarray(gamma[0])[..., 0, 0], 1.0, atol=1e-3)
