@@ -166,14 +166,44 @@ def generate_noise_2d_fft_filter(
     )
 
 
+def _spectral_white(key, input_shape):
+    """Draw rfft2(white N(0,1)) directly in the half-plane — exact in law,
+    skipping the forward FFT of the hot loop.
+
+    Interior bins are CN(0, mn): Re/Im ~ N(0, mn/2).  The kx=0 (and, for
+    even n, kx=n/2) columns must satisfy the internal Hermitian constraint
+    W[ky] = conj(W[m-ky]); they are symmetrized by averaging the column
+    with its reversed conjugate (scaled by 1/sqrt(2) to preserve the
+    per-bin variance), which also makes the four self-conjugate bins real
+    with variance mn, as in a true rfft2 of white noise.
+    """
+    m, n = input_shape
+    rf = n // 2 + 1
+    z = jax.random.normal(key, (m, rf, 2), dtype=jnp.float32) * jnp.sqrt(
+        m * n / 2.0
+    )
+    W = jax.lax.complex(z[..., 0], z[..., 1])
+
+    def hermitianize(col):
+        rev = jnp.roll(col[::-1], 1)  # index ky -> (m - ky) mod m
+        return (col + jnp.conj(rev)) / jnp.sqrt(2.0)
+
+    W = W.at[:, 0].set(hermitianize(W[:, 0]))
+    if n % 2 == 0:
+        W = W.at[:, -1].set(hermitianize(W[:, -1]))
+    return W
+
+
 def _generate_fft_noise(key, filt, input_shape, use_full_fft, domain="spatial"):
     """Jittable core: white noise -> filter -> standardized noise.
 
-    vmap over keys for members.
+    vmap over keys for members.  The rfft2 path draws the white spectrum
+    directly (see _spectral_white): one FFT per noise field in the spatial
+    domain, zero in the spectral domain.
     """
     m, n = input_shape
-    white = jax.random.normal(key, (m, n), dtype=jnp.float32)
     if use_full_fft:
+        white = jax.random.normal(key, (m, n), dtype=jnp.float32)
         fN = jnp.fft.fft2(white) * filt
         if domain == "spatial":
             N = jnp.real(jnp.fft.ifft2(fN))
@@ -181,7 +211,7 @@ def _generate_fft_noise(key, filt, input_shape, use_full_fft, domain="spatial"):
         # spectral output: zero the DC bin, unit spectral std
         fN = fN.at[0, 0].set(0.0)
         return fN / spectral_utils.std(fN, input_shape, use_full_fft=True)
-    fN = jnp.fft.rfft2(white) * filt
+    fN = _spectral_white(key, input_shape) * filt
     if domain == "spatial":
         N = jnp.fft.irfft2(fN, s=input_shape)
         return (N - jnp.mean(N)) / jnp.std(N)

@@ -41,7 +41,20 @@ def binary_dilation(mask, kernel_or_radius):
 
 def compute_dilated_mask(input_mask, kr, r):
     """Buffered rain mask with a grayscale rim built by r iterative
-    connectivity-1 dilations (reference: nowcasts/utils.py:69)."""
+    connectivity-1 dilations (reference: nowcasts/utils.py:69).
+
+    On TPU the rim is computed as a bounded L1 distance transform in one
+    Pallas kernel (ops/pallas_dilate.py) instead of ~2*(kr+r)
+    reduce_window passes through HBM."""
+    from pysteps_tpu.ops.warp import _use_pallas
+
+    if _use_pallas() and int(kr) >= 1 and input_mask.ndim == 2:
+        try:
+            from pysteps_tpu.ops.pallas_dilate import dilated_rim_pallas
+
+            return dilated_rim_pallas(input_mask, int(kr), int(r))
+        except Exception:  # noqa: BLE001 — Mosaic unavailable: XLA fallback
+            pass
     mask_dilated = binary_dilation(input_mask, kr)
     mask = mask_dilated.astype(jnp.float32)
     for _ in range(int(r)):

