@@ -17,6 +17,8 @@ Filter dicts carry: "field" (filter magnitudes), "input_shape",
 "use_full_fft"; SSFT filters additionally "masks" and "norm" stacks.
 """
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -56,20 +58,27 @@ def initialize_nonparam_2d_fft_filter(field, **kwargs):
     else:
         taper = np.ones(field_shape)
 
-    tapered = jnp.asarray(field * taper[None])
-    if use_full_fft:
-        F = jnp.mean(jnp.fft.fft2(tapered), axis=0)
-    else:
-        F = jnp.mean(jnp.fft.rfft2(tapered), axis=0)
-
-    if donorm:
-        re, im = jnp.real(F), jnp.imag(F)
-        re = jnp.where(jnp.std(re) > 0, (re - jnp.mean(re)) / jnp.std(re), re)
-        im = jnp.where(jnp.std(im) > 0, (im - jnp.mean(im)) / jnp.std(im), im)
-        F = re + 1j * im
+    # complex ops stay inside jit: eager complex arithmetic/FFTs are
+    # unimplemented on the axon TPU path (see CLAUDE.md)
+    @functools.partial(jax.jit, static_argnames=("full", "norm"))
+    def _absF(tapered, full, norm):
+        if full:
+            F = jnp.mean(jnp.fft.fft2(tapered), axis=0)
+        else:
+            F = jnp.mean(jnp.fft.rfft2(tapered), axis=0)
+        if norm:
+            re, im = jnp.real(F), jnp.imag(F)
+            re = jnp.where(
+                jnp.std(re) > 0, (re - jnp.mean(re)) / jnp.std(re), re
+            )
+            im = jnp.where(
+                jnp.std(im) > 0, (im - jnp.mean(im)) / jnp.std(im), im
+            )
+            F = jax.lax.complex(re, im)
+        return jnp.abs(F)
 
     return {
-        "field": jnp.abs(F),
+        "field": _absF(jnp.asarray(field * taper[None]), use_full_fft, donorm),
         "input_shape": field_shape,
         "use_full_fft": use_full_fft,
     }

@@ -20,8 +20,7 @@ from pysteps_tpu.extrapolation.semilagrangian import integrate_displacement, mod
 from pysteps_tpu.nowcasts import utils as nowcast_utils
 from pysteps_tpu.nowcasts.steps import _estimate_params, _lagrangian_alignment
 from pysteps_tpu.postprocessing.probmatching import (
-    _match_cdf_presorted,
-    _prepare_cdf_target,
+    prepare_cdf_matcher,
 )
 from pysteps_tpu.timeseries import autoregression
 from pysteps_tpu.utils.check_norain import check_norain
@@ -38,7 +37,7 @@ def _sprog_scan(
 ):
     m, n = precip_last.shape
     displacement0 = jnp.zeros((2, m, n), jnp.float32)
-    pm_ranked, pm_zvalue = _prepare_cdf_target(precip_last)
+    pm_match, pm_state = prepare_cdf_matcher(precip_last)
 
     def step(carry, _):
         window, displacement = carry
@@ -49,7 +48,7 @@ def _sprog_scan(
         mask = nowcast_utils.compute_percentile_mask(field, war)
         field = jnp.where(mask, field, precip_min)
         if probmatching == "cdf":
-            field = _match_cdf_presorted(field, pm_ranked, pm_zvalue)
+            field = pm_match(field, pm_state)
         elif probmatching == "mean":
             wet = field >= precip_thr
             mu_fct = jnp.sum(jnp.where(wet, field, 0.0)) / jnp.maximum(

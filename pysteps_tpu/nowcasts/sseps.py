@@ -36,8 +36,7 @@ from pysteps_tpu.noise.fftgenerators import (
 from pysteps_tpu.nowcasts import utils as nowcast_utils
 from pysteps_tpu.nowcasts.steps import _lagrangian_alignment
 from pysteps_tpu.postprocessing.probmatching import (
-    _match_cdf_presorted,
-    _prepare_cdf_target,
+    prepare_cdf_matcher,
 )
 from pysteps_tpu.timeseries import autoregression, correlation
 from pysteps_tpu.utils.check_norain import check_norain
@@ -97,8 +96,12 @@ def _sseps_scan(
     p_par=None, p_perp=None, vsf=1.0, timestep_min=1.0,
 ):
     k_levels, p, m, n = window.shape
-    cascades0 = jnp.broadcast_to(window, (E,) + window.shape)
-    pm_ranked, pm_zvalue = _prepare_cdf_target(precip_last)
+    # AR window as a tuple of lags: the per-step shift is a carry
+    # re-binding instead of a whole-state concatenate copy (HBM-bound)
+    cascades0 = tuple(
+        jnp.broadcast_to(window[:, i], (E, k_levels, m, n)) for i in range(p)
+    )
+    pm_match, pm_state = prepare_cdf_matcher(precip_last)
     mask_prec0 = jnp.broadcast_to(mask_prec_init, (E, m, n))
     displacement0 = jnp.zeros((E, 2, m, n), jnp.float32)
 
@@ -111,11 +114,12 @@ def _sseps_scan(
             eps = _generate_ssft_noise(k_noise, ssft_filt, ssft_masks, (m, n))
             eps_levels, _, _ = decompose_core(eps, weights_2d, normalize=True)
             # localized AR update with per-pixel parameters + innovation
-            coeffs = phi_map[:, :p][:, ::-1]
-            x_new = jnp.sum(casc_j * coeffs, axis=1) + phi_map[:, -1] * eps_levels
-            casc_j = jnp.concatenate([casc_j[:, 1:], x_new[:, None]], axis=1)
+            x_new = phi_map[:, -1] * eps_levels
+            for i in range(p):
+                x_new = x_new + casc_j[i] * phi_map[:, p - 1 - i]
+            casc_j = casc_j[1:] + (x_new,)
             # localized recomposition
-            field = jnp.sum(casc_j[:, -1] * sigma_map + mu_map, axis=0)
+            field = jnp.sum(x_new * sigma_map + mu_map, axis=0)
 
             fmin = jnp.min(field)
             if mask_method == "incremental":
@@ -125,7 +129,7 @@ def _sseps_scan(
                 field = jnp.where(mask_j > 0, field, fmin)
 
             if probmatching == "cdf":
-                field = _match_cdf_presorted(field, pm_ranked, pm_zvalue)
+                field = pm_match(field, pm_state)
 
             if mask_method == "incremental":
                 mask_j = nowcast_utils.compute_dilated_mask(

@@ -47,8 +47,7 @@ from pysteps_tpu.noise.motion import (
 )
 from pysteps_tpu.nowcasts import utils as nowcast_utils
 from pysteps_tpu.postprocessing.probmatching import (
-    _match_cdf_presorted,
-    _prepare_cdf_target,
+    prepare_cdf_matcher,
 )
 from pysteps_tpu.timeseries import autoregression, correlation
 from pysteps_tpu.utils import tapering as tapering_utils
@@ -165,12 +164,17 @@ def _member_update(
 ):
     """One member's cascade update: noise -> AR -> recompose.
 
-    cascades_j: (k, p, m, n) spatial cascades, or complex (k, p, m, n//2+1)
-    spectral cascades (reference: steps.py:122-126 domain="spectral").  The
-    spectral path keeps the AR state in rfft2 half-planes: noise
-    decomposition is a broadcast multiply (no per-level inverse FFTs) and
-    only the recomposed output comes back through one irfft2 —
-    2 FFTs per member-step instead of k+1.
+    cascades_j: tuple of p (k, m, n) spatial cascades (oldest first), or
+    complex (k, m, n//2+1) spectral cascades (reference: steps.py:122-126
+    domain="spectral").  The spectral path keeps the AR state in rfft2
+    half-planes: noise decomposition is a broadcast multiply (no per-level
+    inverse FFTs) and only the recomposed output comes back through one
+    irfft2 — 2 FFTs per member-step instead of k+1.
+
+    Carrying the AR window as a tuple of lags makes the per-step shift a
+    carry re-binding instead of ``concatenate`` — the reference's
+    np.roll-style window copy costs an extra read+write of the whole
+    cascade state per member-step on TPU (HBM-bound op).
     """
     has_noise = cfg_flags["noise"]
     spectral = cfg_flags.get("spectral", False)
@@ -192,14 +196,26 @@ def _member_update(
         eps_levels = eps_levels * noise_std_coeffs[:, None, None]
     else:
         eps_levels = None
-    cascades_j = autoregression.iterate_ar_model(cascades_j, phi, eps=eps_levels)
+    cascades_j = _ar_step_lags(cascades_j, phi, eps=eps_levels)
     if spectral:
         field = recompose_spectral_core(
-            cascades_j[:, -1], means_last, stds_last, shape
+            cascades_j[-1], means_last, stds_last, shape
         )
     else:
-        field = recompose_core(cascades_j[:, -1], means_last, stds_last)
+        field = recompose_core(cascades_j[-1], means_last, stds_last)
     return cascades_j, field
+
+
+def _ar_step_lags(lags, phi, eps=None):
+    """AR(p) step on a tuple of lag arrays (oldest first) — the copy-free
+    carry form of ``autoregression.iterate_ar_model``."""
+    p = len(lags)
+    x_new = lags[p - 1] * phi[:, 0, None, None]
+    for i in range(p - 1):
+        x_new = x_new + lags[i] * phi[:, p - 1 - i, None, None]
+    if eps is not None:
+        x_new = x_new + phi[:, p, None, None] * eps
+    return lags[1:] + (x_new,)
 
 
 @functools.partial(
@@ -704,11 +720,17 @@ def _steps_scan(
         # lift the normalized spatial window into rfft2 half-planes once;
         # the AR state then stays spectral for the whole scan
         window = jnp.fft.rfft2(window)
-    cascades0 = jnp.broadcast_to(window, (E,) + window.shape)
+    # AR window as a tuple of lags: the per-step shift becomes a carry
+    # re-binding instead of a whole-state concatenate copy
+    ar_order = window.shape[1]
+    lags0 = tuple(window[:, i] for i in range(ar_order))
+    cascades0 = tuple(
+        jnp.broadcast_to(lag, (E,) + lag.shape) for lag in lags0
+    )
     # the CDF-matching target is the fixed latest observation: sort once
-    pm_ranked, pm_zvalue = _prepare_cdf_target(precip_last)
+    pm_match, pm_state = prepare_cdf_matcher(precip_last)
     mask_prec0 = jnp.broadcast_to(mask_prec_init, (E, m, n))
-    det_window0 = window if need_det else None
+    det_window0 = lags0 if need_det else None
     displacement0 = jnp.zeros((E, 2, m, n), jnp.float32)
 
     def step(carry, t):
@@ -717,14 +739,14 @@ def _steps_scan(
 
         # deterministic AR evolution (for sprog mask / no-noise path)
         if det_window is not None:
-            det_window = autoregression.iterate_ar_model(det_window, phi)
+            det_window = _ar_step_lags(det_window, phi)
             if spectral:
                 det_field = recompose_spectral_core(
-                    det_window[:, -1], means_last, stds_last, (m, n)
+                    det_window[-1], means_last, stds_last, (m, n)
                 )
             else:
                 det_field = recompose_core(
-                    det_window[:, -1], means_last, stds_last
+                    det_window[-1], means_last, stds_last
                 )
             sprog_m = nowcast_utils.compute_percentile_mask(det_field, war)
         else:
@@ -756,7 +778,7 @@ def _steps_scan(
 
             # --- probability matching ---
             if probmatching == "cdf":
-                field = _match_cdf_presorted(field, pm_ranked, pm_zvalue)
+                field = pm_match(field, pm_state)
             elif probmatching == "mean":
                 wet = field >= precip_thr
                 mu_fct = jnp.sum(jnp.where(wet, field, 0.0)) / jnp.maximum(
@@ -803,15 +825,15 @@ def _steps_scan(
             # member_chunk (lax.map reuses the chunk's buffers), trading a
             # little launch overhead for ~E/member_chunk lower peak memory
             n_chunks = E // member_chunk
-            chunked = tuple(
-                a.reshape((n_chunks, member_chunk) + a.shape[1:])
-                for a in member_args
+            chunked = jax.tree.map(
+                lambda a: a.reshape((n_chunks, member_chunk) + a.shape[1:]),
+                member_args,
             )
             results = jax.lax.map(
                 lambda args: jax.vmap(member_fn)(*args), chunked
             )
-            keys, cascades, mask_prec, displacement, out_fields = tuple(
-                r.reshape((E,) + r.shape[2:]) for r in results
+            keys, cascades, mask_prec, displacement, out_fields = jax.tree.map(
+                lambda r: r.reshape((E,) + r.shape[2:]), results
             )
         else:
             keys, cascades, mask_prec, displacement, out_fields = jax.vmap(

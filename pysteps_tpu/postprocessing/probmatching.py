@@ -91,6 +91,27 @@ def _prepare_cdf_target(target):
     return jnp.sort(targ), zvalue_trg
 
 
+def prepare_cdf_matcher(target):
+    """Build the per-forecast CDF-matching closure used by the nowcast hot
+    loops: ``match_fn(field, state) -> matched field``.
+
+    On TPU the match runs as a piecewise-linear quantile map evaluated with
+    Pallas comparison/matmul kernels (``ops/pallas_histmatch.py``) — no
+    per-step O(n log^2 n) sorts; elsewhere it falls back to the packed
+    sort-based matcher.  The state is a pytree safe to close over a scan.
+    """
+    from pysteps_tpu.ops.warp import _use_pallas
+
+    ranked, zvalue = _prepare_cdf_target(target)
+    if _use_pallas():
+        from pysteps_tpu.ops import pallas_histmatch
+
+        if pallas_histmatch.supported(target.shape):
+            state = pallas_histmatch.prepare_target(ranked, zvalue)
+            return pallas_histmatch.match_cdf_pwl, state
+    return (lambda f, s: _match_cdf_presorted(f, s[0], s[1])), (ranked, zvalue)
+
+
 @jax.jit
 def _match_cdf_core(initial, target):
     # the public matcher keeps the reference's exact semantics: output

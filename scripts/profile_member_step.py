@@ -79,18 +79,20 @@ def main():
     from pysteps_tpu.nowcasts import utils as nu
     from pysteps_tpu.postprocessing.probmatching import (
         _match_cdf_presorted,
-        _prepare_cdf_target,
+        prepare_cdf_matcher,
     )
 
     ranked = np.sort(field_np[0].ravel())
     zval = np.float32(ranked.min())
+    pm_match, pm_state = prepare_cdf_matcher(jnp.asarray(field_np[0]))
 
-    # 1. noise generation (white noise -> rfft2 -> filter -> spectral out)
+    # 1. noise generation (direct spectral white draw -> filter)
+    from pysteps_tpu.noise.fftgenerators import _spectral_white
+
     def noise_body(state):
         k, acc = state
         k, sub = jax.random.split(k)
-        w = jax.random.normal(sub, (SIDE, SIDE))
-        eps_fft = jnp.fft.rfft2(w) * noise_filt
+        eps_fft = _spectral_white(sub, (SIDE, SIDE)) * noise_filt
         return (k, acc + jnp.nanmean(eps_fft.real))
 
     @jax.jit
@@ -132,11 +134,16 @@ def main():
 
     bench_scan("recompose: sum K + irfft2", recomp_body, casc_ri[:, :, -1])
 
-    # 4. CDF matching (2 sorts)
+    # 4. CDF matching: live matcher (PWL Pallas on TPU) vs packed sorts
     def cdf_body(f):
+        return pm_match(f, pm_state)
+
+    bench_scan("cdf match (live: pwl on tpu)", cdf_body, field)
+
+    def cdf_sort_body(f):
         return _match_cdf_presorted(f, ranked, zval)
 
-    bench_scan("cdf match (2 sorts)", cdf_body, field)
+    bench_scan("cdf match (packed sorts)", cdf_sort_body, field)
 
     # 5. incremental mask dilation
     def mask_body(f):
