@@ -70,6 +70,63 @@ def integrate_displacement(
     return displacement
 
 
+def coarsen_velocity(velocity, coarse=4):
+    """Block-average a (2, m, n) velocity field for coarse-grid
+    integration (values stay in full-resolution pixel units)."""
+    if coarse <= 1:
+        return velocity
+    m, n = velocity.shape[1:]
+    mc, nc = m // coarse, n // coarse
+    return jnp.mean(velocity.reshape(2, mc, coarse, nc, coarse), axis=(2, 4))
+
+
+def integrate_displacement_coarse(
+    vel_c, disp_c, td, n_iter=1, vel_timestep=1.0, max_disp=None, coarse=4
+):
+    """Midpoint displacement integration entirely on the coarse grid.
+
+    The semi-Lagrangian displacement is the time integral of a smooth
+    (IDW/sector-interpolated) flow, so integrating it at 1/coarse
+    resolution and bilinearly upsampling once per step for the field warp
+    costs O(coarse^2) less HBM traffic per member-step with O(coarse^2 *
+    d2v) error.  ``disp_c`` is (2, mc, nc) in full-resolution pixel units
+    at coarse grid positions; the velocity field must be pre-averaged with
+    :func:`coarsen_velocity`.
+    """
+    if coarse <= 1:
+        return integrate_displacement(
+            vel_c, disp_c, td, n_iter=n_iter, vel_timestep=vel_timestep,
+            max_disp=max_disp,
+        )
+    Dc = max(int(-(-(max_disp or coarse) // coarse)), 1)
+
+    def sample(d):
+        dc = d / coarse
+        return jnp.stack(
+            [
+                warp_shifted(vel_c[0], dc, Dc, mode="nearest"),
+                warp_shifted(vel_c[1], dc, Dc, mode="nearest"),
+            ]
+        )
+
+    scale = td / vel_timestep
+    if n_iter > 0:
+        vel_inc = sample(disp_c) * scale / n_iter
+        for _ in range(n_iter):
+            vel_inc = sample(disp_c - vel_inc / 2.0) * scale / n_iter
+            disp_c = disp_c - vel_inc
+    else:
+        disp_c = disp_c - sample(disp_c) * scale
+    return disp_c
+
+
+def upsample_displacement(disp_c, shape, coarse=4):
+    """Bilinearly upsample a coarse displacement field to (2, m, n)."""
+    if coarse <= 1:
+        return disp_c
+    return jax.image.resize(disp_c, (2,) + tuple(shape), method="bilinear")
+
+
 def model_warp(field, displacement, max_disp=None, interp_order=1, cval=jnp.nan):
     """Warp used inside the model scan loops: shift-decomposition fast path
     when a static displacement bound is available, exact gather otherwise."""

@@ -36,8 +36,11 @@ from pysteps_tpu.cascade.decomposition import (
     recompose_spectral_core,
 )
 from pysteps_tpu.extrapolation.semilagrangian import (
+    coarsen_velocity,
     integrate_displacement,
+    integrate_displacement_coarse,
     model_warp,
+    upsample_displacement,
 )
 from pysteps_tpu.noise.fftgenerators import _generate_fft_noise
 from pysteps_tpu.noise.motion import (
@@ -731,7 +734,15 @@ def _steps_scan(
     pm_match, pm_state = prepare_cdf_matcher(precip_last)
     mask_prec0 = jnp.broadcast_to(mask_prec_init, (E, m, n))
     det_window0 = lags0 if need_det else None
-    displacement0 = jnp.zeros((E, 2, m, n), jnp.float32)
+    # displacement carried on a coarse grid (full-res pixel units): the
+    # midpoint integration and the BPS perturbation (linear in the
+    # velocity) run at 1/coarse^2 cost; one bilinear upsample per step
+    # feeds the full-res output warp
+    coarse = 4 if (max_disp is not None and m % 4 == 0 and n % 4 == 0) else 1
+    vel_c = coarsen_velocity(velocity, coarse)
+    V_n_c = coarsen_velocity(V_n, coarse) if vel_pert else None
+    V_perp_c = coarsen_velocity(V_perp, coarse) if vel_pert else None
+    displacement0 = jnp.zeros((E, 2, m // coarse, n // coarse), jnp.float32)
 
     def step(carry, t):
         cascades, det_window, mask_prec, keys, displacement = carry
@@ -798,16 +809,19 @@ def _steps_scan(
                 a2, b2, c2 = p_perp
                 g_par = a1 * t_total**b1 + c1
                 g_perp = a2 * t_total**b2 + c2
-                vel_j = velocity + (
-                    eps_par_j * g_par * V_n + eps_perp_j * g_perp * V_perp
+                vel_j = vel_c + (
+                    eps_par_j * g_par * V_n_c + eps_perp_j * g_perp * V_perp_c
                 ) / vsf
             else:
-                vel_j = velocity
-            disp_j = integrate_displacement(
-                vel_j, disp_j, 1.0, n_iter=n_iter, max_disp=max_disp
+                vel_j = vel_c
+            disp_j = integrate_displacement_coarse(
+                vel_j, disp_j, 1.0, n_iter=n_iter, max_disp=max_disp,
+                coarse=coarse,
             )
             out_field = model_warp(
-                field, disp_j, max_disp=max_disp, interp_order=interp_order,
+                field,
+                upsample_displacement(disp_j, (m, n), coarse),
+                max_disp=max_disp, interp_order=interp_order,
                 cval=precip_min,
             )
             out_field = jnp.where(domain_mask, jnp.nan, out_field)

@@ -218,16 +218,12 @@ def match_cdf_pwl(initial, tstate):
     r = (size - cdf_counts(init, edges)).astype(jnp.int32)
 
     # target quantile at each edge rank: q_j = value of first target bin v
-    # with C_t(v) > r_j, i.e. v_j = #(C_t <= r_j); merged without gathers
-    keys = jnp.concatenate([c_t * 2, r * 2 + 1])
-    payload = jnp.concatenate(
-        [jnp.full((B_T,), B_T, jnp.int32), jnp.arange(K, dtype=jnp.int32)]
-    )
-    _, p1 = jax.lax.sort_key_val(keys, payload)
-    is_t = (p1 >= B_T).astype(jnp.int32)
-    tcb = jnp.cumsum(is_t) - is_t
-    _, v = jax.lax.sort_key_val(jnp.where(p1 >= B_T, B_T + K, p1), tcb)
-    q = tlo + (v[:K].astype(jnp.float32) + 0.5) / tscale
+    # with C_t(v) > r_j, i.e. v_j = #(C_t <= r_j).  A broadcast-compare
+    # count (K x B_T bools, fused into the reduction by XLA) — cheaper
+    # than merging by sort, which would re-sort the constant C_t every
+    # member-step
+    v = jnp.sum((c_t[None, :] <= r[:, None]).astype(jnp.int32), axis=1)
+    q = tlo + (v.astype(jnp.float32) + 0.5) / tscale
     q = jnp.minimum(q, ranked[-1])
 
     # wet-area-ratio adjustment (reference: probmatching.py:106-112)
