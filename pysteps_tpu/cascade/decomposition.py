@@ -89,10 +89,18 @@ def recompose_core(levels, means, stds):
 
 
 def recompose_spectral_core(levels_fft, means, stds, shape):
-    """Spectral recompose + inverse FFT to the spatial field."""
+    """Spectral recompose + inverse FFT to the spatial field.
+
+    On TPU the inverse transform runs as a DFT-matrix contraction on the
+    MXU (ops/matfft.py), ~3x faster than XLA's vector-unit FFT for the
+    in-scan batched case."""
     size = shape[0] * shape[1]
     out_fft = jnp.sum(levels_fft * stds[:, None, None], axis=0)
     out_fft = out_fft.at[0, 0].add(jnp.sum(means) * size)
+    from pysteps_tpu.ops import matfft
+
+    if matfft.use_matfft() and matfft.supported(shape):
+        return matfft.irfft2_mat(out_fft, shape)
     return jnp.fft.irfft2(out_fft, s=shape)
 
 

@@ -132,8 +132,8 @@ def _sseps_scan(
                 field = pm_match(field, pm_state)
 
             if mask_method == "incremental":
-                mask_j = nowcast_utils.compute_dilated_mask(
-                    field >= precip_thr, struct_radius, mask_rim
+                mask_j = nowcast_utils.compute_dilated_mask_from_field(
+                    field, precip_thr, struct_radius, mask_rim
                 )
 
             # BPS velocity perturbation (reference: sseps.py vp_par/vp_perp)

@@ -799,8 +799,8 @@ def _steps_scan(
 
             # --- incremental mask update ---
             if mask_method == "incremental":
-                mask_j = nowcast_utils.compute_dilated_mask(
-                    field >= precip_thr, struct_radius, mask_rim
+                mask_j = nowcast_utils.compute_dilated_mask_from_field(
+                    field, precip_thr, struct_radius, mask_rim
                 )
 
             # --- velocity perturbation + incremental advection ---

@@ -39,6 +39,28 @@ def binary_dilation(mask, kernel_or_radius):
     return out > 0
 
 
+def compute_dilated_mask_from_field(field, thr, kr, r):
+    """``compute_dilated_mask(field >= thr, kr, r)`` with the threshold
+    fused into the TPU rim kernel (saves one field pass per member-step in
+    the incremental-mask hot loop)."""
+    from pysteps_tpu.ops.warp import _use_pallas
+
+    if _use_pallas() and int(kr) >= 1 and field.ndim == 2:
+        try:
+            from pysteps_tpu.ops.pallas_dilate import (
+                dilated_rim_from_field_pallas,
+                whole_field_ok,
+            )
+
+            if whole_field_ok(field.shape):
+                return dilated_rim_from_field_pallas(
+                    field, thr, int(kr), int(r)
+                )
+        except Exception:  # noqa: BLE001 — Mosaic unavailable: XLA fallback
+            pass
+    return compute_dilated_mask(field >= thr, kr, r)
+
+
 def compute_dilated_mask(input_mask, kr, r):
     """Buffered rain mask with a grayscale rim built by r iterative
     connectivity-1 dilations (reference: nowcasts/utils.py:69).

@@ -1,0 +1,75 @@
+"""
+DFT-by-matmul transforms for the nowcast hot loops.
+
+XLA's TPU FFT leaves the MXU idle (it lowers to a vector-unit
+Cooley-Tukey); at nowcasting grid sizes (<= ~1024^2) an explicit
+DFT-matrix contraction runs ~3x faster for the in-scan batched inverse
+transform because the O(n) extra arithmetic is free on the systolic array
+while both formulations are HBM-bound.  Used by
+``cascade.decomposition.recompose_spectral_core`` (the one inverse FFT per
+member-step of spectral-domain STEPS, reference: nowcasts/steps.py:122-126).
+
+Precision: matmuls run at ``jax.lax.Precision.HIGH`` (bfloat16x3 passes,
+~1e-4 max relative error on the recomposed field — well below radar
+observation noise); pass precision="highest" for ~1e-6.
+
+The DFT matrices are built host-side as numpy constants (device closure
+constants trigger axon D2H readbacks, see CLAUDE.md) and cached per shape.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_MAX_SIDE = 1024
+
+
+@functools.lru_cache(maxsize=8)
+def _idft_mats(m, n):
+    """Constants for irfft2 on an (m, n//2+1) half-plane."""
+    k = np.arange(m)
+    C = (np.cos(2 * np.pi * np.outer(k, k) / m) / m).astype(np.float32)
+    S = (np.sin(2 * np.pi * np.outer(k, k) / m) / m).astype(np.float32)
+    rf = n // 2 + 1
+    kk = np.arange(rf)
+    x = np.arange(n)
+    w = np.full(rf, 2.0, np.float32)
+    w[0] = 1.0
+    if n % 2 == 0:
+        w[-1] = 1.0
+    Cr = (np.cos(2 * np.pi * np.outer(kk, x) / n) * w[:, None] / n).astype(
+        np.float32
+    )
+    Sr = (np.sin(2 * np.pi * np.outer(kk, x) / n) * w[:, None] / n).astype(
+        np.float32
+    )
+    return C, S, Cr, Sr
+
+
+def supported(shape):
+    m, n = shape
+    return m <= _MAX_SIDE and n <= _MAX_SIDE
+
+
+def irfft2_mat(spec, shape, precision="high"):
+    """Inverse rfft2 of a complex (..., m, n//2+1) half-plane via DFT
+    matmuls; equivalent to ``jnp.fft.irfft2(spec, s=shape)``."""
+    m, n = shape
+    C, S, Cr, Sr = _idft_mats(m, n)
+    ein = functools.partial(jnp.einsum, precision=precision)
+    Xr = jnp.real(spec)
+    Xi = jnp.imag(spec)
+    # stage 1: length-m inverse c2c DFT over the row axis
+    Yr = ein("km,...mr->...kr", C, Xr) - ein("km,...mr->...kr", S, Xi)
+    Yi = ein("km,...mr->...kr", C, Xi) + ein("km,...mr->...kr", S, Xr)
+    # stage 2: length-n c2r DFT over the half-plane axis
+    return ein("...kr,rx->...kx", Yr, Cr) - ein("...kr,rx->...kx", Yi, Sr)
+
+
+def use_matfft():
+    """Matmul DFTs pay off on MXU backends only."""
+    from pysteps_tpu.ops.warp import _use_pallas
+
+    return _use_pallas()

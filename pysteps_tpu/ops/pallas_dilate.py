@@ -50,6 +50,53 @@ def _rim_kernel(kr, r, halo, n, tile_m, mask_ref, out_ref):
     out_ref[:] = rim[halo : halo + tile_m]
 
 
+def _rim_kernel_whole(kr, r, thr_ref, field_ref, out_ref):
+    """Single-tile variant: the whole field sits in VMEM, the mask is
+    thresholded in-kernel (field >= thr), and no halo padding is needed
+    because the shifts are edge-masked.
+
+    The bounded L1 distance transform is separable (min-plus over x, then
+    over y), and each 1-D pass uses power-of-2 jump doubling: any offset
+    |d| <= 2^(k+1)-1 decomposes into distinct powers of two with exact
+    total cost, so ~log2(R) rounds of 2 shifts replace R rounds of 4."""
+    R = kr + r
+    m, n = field_ref.shape
+    d = jnp.where(field_ref[...] >= thr_ref[0, 0], 0.0, _BIG)
+    row = jax.lax.broadcasted_iota(jnp.int32, (m, n), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (m, n), 1)
+    for axis, size, idx in ((0, m, row), (1, n, col)):
+        s = 1
+        while s <= R:
+            fwd = jnp.where(idx >= size - s, _BIG, pltpu.roll(d, size - s, axis))
+            bwd = jnp.where(idx < s, _BIG, pltpu.roll(d, s, axis))
+            d = jnp.minimum(d, jnp.minimum(fwd, bwd) + float(s))
+            s *= 2
+    out_ref[...] = jnp.clip((kr + r + 1.0 - d) / (r + 1.0), 0.0, 1.0)
+
+
+@functools.partial(jax.jit, static_argnames=("kr", "r"))
+def dilated_rim_from_field_pallas(field, thr, kr, r):
+    """Fused threshold + grayscale rim for fields small enough to fit one
+    VMEM tile (saves the separate threshold pass and the halo pad copy of
+    the tiled path)."""
+    m, n = field.shape
+    kernel = functools.partial(_rim_kernel_whole, int(kr), int(r))
+    return pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec((1, 1), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, n), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((m, n), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+    )(jnp.asarray(thr, jnp.float32).reshape(1, 1), field.astype(jnp.float32))
+
+
+def whole_field_ok(shape):
+    """The single-tile kernel needs ~3 field-sized f32 buffers in VMEM."""
+    return shape[0] * shape[1] * 4 * 3 <= 12 * 1024 * 1024
+
+
 @functools.partial(jax.jit, static_argnames=("kr", "r"))
 def dilated_rim_pallas(mask, kr, r):
     """Grayscale rim mask (equivalent to nowcasts.utils.compute_dilated_mask)
