@@ -22,6 +22,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# set True (tests) to run the kernels in the Pallas interpreter on CPU
+INTERPRET = False
+
 _BIG = 1e9
 
 
@@ -89,6 +92,7 @@ def dilated_rim_from_field_pallas(field, thr, kr, r):
         ],
         out_specs=pl.BlockSpec((m, n), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+        interpret=INTERPRET,
     )(jnp.asarray(thr, jnp.float32).reshape(1, 1), field.astype(jnp.float32))
 
 
@@ -119,4 +123,5 @@ def dilated_rim_pallas(mask, kr, r):
             (tile_m, n), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+        interpret=INTERPRET,
     )(padded)

@@ -36,6 +36,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# set True (tests) to run the kernels in the Pallas interpreter on CPU
+INTERPRET = False
+
 K = 128  # PWL edges / CDF measurement points
 B_T = 16384  # target CDF bins (value resolution: range / B_T)
 _TILE = 2048  # sublane rows of the (rows, 128) field view per grid step
@@ -99,6 +102,7 @@ def cdf_counts(field, edges):
             (1, K, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((rows // tr, K, 1), jnp.float32),
+        interpret=INTERPRET,
     )(x, edges.reshape(K, 1))
     return jnp.sum(parts, axis=0).reshape(K)
 
@@ -123,6 +127,7 @@ def pwl_apply(field, edges, w, q0):
             (tr, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((rows, 128), jnp.float32),
+        interpret=INTERPRET,
     )(x, edges.reshape(K, 1), w, q0.reshape(1, 1))
     return out.reshape(field.shape)
 
