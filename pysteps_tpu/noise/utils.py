@@ -13,7 +13,11 @@ import jax
 import jax.numpy as jnp
 
 from pysteps_tpu.cascade.decomposition import decompose_core
-from pysteps_tpu.noise.fftgenerators import _generate_fft_noise
+from pysteps_tpu.noise.fftgenerators import (
+    _generate_fft_noise,
+    _generate_ssft_noise,
+    _ssft_gen_masks,
+)
 
 
 @functools.partial(
@@ -22,7 +26,7 @@ from pysteps_tpu.noise.fftgenerators import _generate_fft_noise
 )
 def _stddev_adjs_core(
     precip, precip_thr, precip_min, weights_2d, noise_filt, input_shape,
-    key, num_iter, conditional, use_full_fft,
+    key, num_iter, conditional, use_full_fft, ssft_masks=None,
 ):
     mask = precip >= precip_thr
     R = jnp.where(jnp.isfinite(precip), precip, precip_min)
@@ -39,7 +43,10 @@ def _stddev_adjs_core(
     )
 
     def one_realization(k):
-        N = _generate_fft_noise(k, noise_filt, input_shape, use_full_fft)
+        if ssft_masks is not None:
+            N = _generate_ssft_noise(k, noise_filt, ssft_masks, input_shape)
+        else:
+            N = _generate_fft_noise(k, noise_filt, input_shape, use_full_fft)
         N = N / jnp.std(N) * sigma + mu
         N = jnp.where(mask, N, precip_min) - mu
         _, _, stds = decompose_core(
@@ -74,15 +81,29 @@ def compute_noise_stddev_adjs(
     del decomp_method, noise_generator, num_workers
     if key is None:
         key = jax.random.PRNGKey(seed if seed is not None else 0)
+    filt = noise_filter["field"]
+    input_shape = tuple(noise_filter["input_shape"])
+    ssft_masks = None
+    if filt.ndim == 4:  # ssft / nested (wy, wx, m, n) filter stack
+        ssft_masks = jnp.asarray(
+            _ssft_gen_masks(
+                filt.shape,
+                input_shape,
+                noise_filter.get("overlap_gen", 0.2),
+                noise_filter.get("win_fun", "tukey"),
+            ),
+            jnp.float32,
+        )
     return _stddev_adjs_core(
         jnp.asarray(R, jnp.float32),
         jnp.float32(R_thr_1),
         jnp.float32(R_thr_2),
         F["weights_2d"],
-        noise_filter["field"],
-        tuple(noise_filter["input_shape"]),
+        filt,
+        input_shape,
         key,
         int(num_iter),
         bool(conditional),
         bool(noise_filter.get("use_full_fft", False)),
+        ssft_masks=ssft_masks,
     )

@@ -42,7 +42,11 @@ from pysteps_tpu.extrapolation.semilagrangian import (
     model_warp,
     upsample_displacement,
 )
-from pysteps_tpu.noise.fftgenerators import _generate_fft_noise
+from pysteps_tpu.noise.fftgenerators import (
+    _generate_fft_noise,
+    _generate_ssft_noise,
+    _ssft_gen_masks,
+)
 from pysteps_tpu.noise.motion import (
     _laplace,
     get_default_params_bps_par,
@@ -182,8 +186,24 @@ def _member_update(
     has_noise = cfg_flags["noise"]
     spectral = cfg_flags.get("spectral", False)
     shape = cfg_flags.get("shape", noise_filt_shape)
+    ssft_masks = cfg_flags.get("ssft_masks", None)
     if has_noise:
-        if spectral:
+        if ssft_masks is not None:
+            # SSFT / nested localized noise (reference: steps.py accepts any
+            # registered noise_method; fftgenerators.py:735-850): spatial
+            # composite of per-window filtered noise, then decompose
+            eps = _generate_ssft_noise(
+                key, noise_filt, ssft_masks, noise_filt_shape
+            )
+            if spectral:
+                eps_levels, _, _ = decompose_spectral_core(
+                    jnp.fft.rfft2(eps), weights_2d, shape, normalize=True
+                )
+            else:
+                eps_levels, _, _ = decompose_core(
+                    eps, weights_2d, normalize=True
+                )
+        elif spectral:
             eps_fft = _generate_fft_noise(
                 key, noise_filt, noise_filt_shape, use_full_fft,
                 domain="spectral",
@@ -446,14 +466,13 @@ def _steps_forecast(precip, velocity, timesteps, cfg, domain_mask):
         max_disp_scan = None
 
     # nonparametric noise filter is computed inside the init jit (no host
-    # round-trip of the aligned fields); parametric needs host curve_fit
+    # round-trip of the aligned fields); parametric needs host curve_fit;
+    # ssft/nested build their per-window filter stacks host-side at init
+    # and generate in-scan via _generate_ssft_noise
     if cfg.noise_method is not None and cfg.noise_method not in (
-        "nonparametric", "parametric"
+        "nonparametric", "parametric", "ssft", "nested"
     ):
-        raise NotImplementedError(
-            f"noise_method={cfg.noise_method} not yet supported in the "
-            "STEPS core (use SSEPS for localized SSFT noise)"
-        )
+        raise ValueError(f"unknown noise_method {cfg.noise_method}")
     noise_in_graph = cfg.noise_method == "nonparametric"
     if noise_in_graph:
         win_fun = cfg.noise_kwargs.get("win_fun", "tukey")
@@ -481,6 +500,7 @@ def _steps_forecast(precip, velocity, timesteps, cfg, domain_mask):
 
     use_full_fft = False
     noise_filt = None
+    ssft_masks = None
     noise_std_coeffs = jnp.ones(k_levels, jnp.float32)
     if cfg.noise_method is not None:
         if noise_in_graph:
@@ -495,6 +515,16 @@ def _steps_forecast(precip, velocity, timesteps, cfg, domain_mask):
             pert_gen = init_noise(np.asarray(precip_aligned), **cfg.noise_kwargs)
             noise_filt = jnp.asarray(pert_gen["field"], jnp.float32)
             use_full_fft = bool(pert_gen.get("use_full_fft", False))
+            if noise_filt.ndim == 4:  # ssft / nested (wy, wx, m, n) stack
+                ssft_masks = jnp.asarray(
+                    _ssft_gen_masks(
+                        noise_filt.shape,
+                        (m, n),
+                        pert_gen.get("overlap_gen", 0.2),
+                        pert_gen.get("win_fun", "tukey"),
+                    ),
+                    jnp.float32,
+                )
         if cfg.noise_stddev_adj == "auto":
             noise_std_coeffs = noise.utils.compute_noise_stddev_adjs(
                 precip[-1],
@@ -559,6 +589,7 @@ def _steps_forecast(precip, velocity, timesteps, cfg, domain_mask):
         velocity,
         params.phi,
         noise_filt,
+        ssft_masks,
         (m, n),
         use_full_fft,
         weights_2d,
@@ -708,7 +739,8 @@ def _steps_init(
 )
 def _steps_scan(
     window, mask_prec_init, member_keys, velocity, phi,
-    noise_filt, noise_filt_shape, use_full_fft, weights_2d, noise_std_coeffs,
+    noise_filt, ssft_masks, noise_filt_shape, use_full_fft, weights_2d,
+    noise_std_coeffs,
     means_last, stds_last, precip_last, precip_min, precip_thr, war, mu_0,
     domain_mask, eps_par, eps_perp, V_n, V_perp, vsf, p_par, p_perp,
     int_steps, noise, mask_method, probmatching, domain, vel_pert,
@@ -717,7 +749,10 @@ def _steps_scan(
 ):
     m, n = precip_last.shape
     spectral = domain == "spectral"
-    cfg_flags = {"noise": noise, "spectral": spectral, "shape": (m, n)}
+    cfg_flags = {
+        "noise": noise, "spectral": spectral, "shape": (m, n),
+        "ssft_masks": ssft_masks,
+    }
 
     if spectral:
         # lift the normalized spatial window into rfft2 half-planes once;

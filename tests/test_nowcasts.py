@@ -167,6 +167,43 @@ def test_steps_spectral_domain(sequence_db, velocity_field):
     assert abs(crps_spatial - crps_spectral) < 0.2
 
 
+@pytest.mark.parametrize("noise_method", ["ssft", "nested"])
+def test_steps_localized_noise(sequence_db, velocity_field, noise_method):
+    # reference STEPS accepts any registered noise generator
+    # (pysteps/nowcasts/steps.py noise_method docstring)
+    db, meta = sequence_db
+    noise_kwargs = (
+        {"win_size": 128} if noise_method == "ssft" else {"max_level": 2}
+    )
+    fc = np.asarray(
+        nowcasts.get_method("steps")(
+            db[:3], velocity_field, 3,
+            n_ens_members=4, n_cascade_levels=6,
+            precip_thr=meta["threshold"], kmperpixel=1.0, timestep=5,
+            noise_method=noise_method, noise_kwargs=noise_kwargs, seed=42,
+        )
+    )
+    assert fc.shape == (4, 3, 256, 256)
+    assert np.all(np.isfinite(fc))
+    crps = probscores.CRPS(fc[:, -1], db[5])
+    assert crps < 2.0, f"CRPS {crps} too high"
+
+
+def test_steps_localized_noise_stddev_adj(sequence_db, velocity_field):
+    db, meta = sequence_db
+    fc = np.asarray(
+        nowcasts.get_method("steps")(
+            db[:3], velocity_field, 2,
+            n_ens_members=2, n_cascade_levels=6,
+            precip_thr=meta["threshold"], kmperpixel=1.0, timestep=5,
+            noise_method="ssft", noise_stddev_adj="auto",
+            noise_kwargs={"win_size": 128}, seed=42,
+        )
+    )
+    assert fc.shape == (2, 2, 256, 256)
+    assert np.all(np.isfinite(fc))
+
+
 def test_nowcast_main_loop_generic(sequence_db, velocity_field):
     """The generic host main loop (reference parity API) drives a custom
     Eulerian-decay model with fractional timesteps."""
