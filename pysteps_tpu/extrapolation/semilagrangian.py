@@ -21,6 +21,7 @@ from pysteps_tpu.ops.warp import (
     sample_velocity_shifted,
     warp,
     warp_shifted,
+    warp_shifted_multi,
 )
 
 
@@ -101,13 +102,7 @@ def integrate_displacement_coarse(
     Dc = max(int(-(-(max_disp or coarse) // coarse)), 1)
 
     def sample(d):
-        dc = d / coarse
-        return jnp.stack(
-            [
-                warp_shifted(vel_c[0], dc, Dc, mode="nearest"),
-                warp_shifted(vel_c[1], dc, Dc, mode="nearest"),
-            ]
-        )
+        return warp_shifted_multi(vel_c, d / coarse, Dc, mode="nearest")
 
     scale = td / vel_timestep
     if n_iter > 0:
@@ -120,11 +115,42 @@ def integrate_displacement_coarse(
     return disp_c
 
 
+_upsample_mats = {}
+
+
+def _bilinear_upsample_matrix(n_out, n_in):
+    """2-banded interpolation matrix reproducing jax.image.resize's
+    "bilinear" upscale (triangle kernel, half-pixel centres, edge clamp)."""
+    scale = n_out / n_in
+    i = np.arange(n_out)
+    src = (i + 0.5) / scale - 0.5
+    lo = np.floor(src).astype(int)
+    w = (src - lo).astype(np.float32)
+    U = np.zeros((n_out, n_in), np.float32)
+    np.add.at(U, (i, np.clip(lo, 0, n_in - 1)), 1.0 - w)
+    np.add.at(U, (i, np.clip(lo + 1, 0, n_in - 1)), w)
+    return U
+
+
 def upsample_displacement(disp_c, shape, coarse=4):
-    """Bilinearly upsample a coarse displacement field to (2, m, n)."""
+    """Bilinearly upsample a coarse displacement field to (2, m, n).
+
+    Implemented as two small dense matmuls (MXU work) rather than
+    jax.image.resize's gather path; the interpolation matrices are host
+    numpy constants (axon: eager device constants embedded in jit closures
+    trigger D2H readbacks, see CLAUDE.md)."""
     if coarse <= 1:
         return disp_c
-    return jax.image.resize(disp_c, (2,) + tuple(shape), method="bilinear")
+    m, n = shape
+    mc, nc = disp_c.shape[1:]
+    key = (m, mc, n, nc)
+    if key not in _upsample_mats:
+        _upsample_mats[key] = (
+            _bilinear_upsample_matrix(m, mc),
+            _bilinear_upsample_matrix(n, nc),
+        )
+    Uy, Ux = _upsample_mats[key]
+    return jnp.einsum("ya,cab,xb->cyx", Uy, disp_c, Ux)
 
 
 def model_warp(field, displacement, max_disp=None, interp_order=1, cval=jnp.nan):

@@ -8,9 +8,10 @@ call.  Here the match is a monotone piecewise-linear quantile map evaluated
 with comparison matrices and one small stationary matmul — no sorts, no
 gathers (XLA gathers are scalar on TPU):
 
-1. ``cdf_counts``: the forecast CDF measured at 128 uniform value edges
-   spanning [min, max] — one >=-comparison cube per tile, reduced on the
-   VPU.  Counts are exact integers (f32 accumulation < 2^24).
+1. The forecast CDF at 128 value edges, measured on a sorted 4096-element
+   systematic subsample (rank error <= stride, ~2.4e-4 of the mass) with
+   the extreme-tail edges counted exactly (``cdf_counts`` remains the
+   exact-count kernel for full-field counting needs).
 2. A tiny LUT build in plain XLA: the target quantile at each edge's rank
    comes from merging the edge ranks into the pre-binned target CDF (one
    16.5k-element ``sort_key_val`` pair); the target value is affine in the
@@ -22,11 +23,12 @@ gathers (XLA gathers are scalar on TPU):
    (d0, d1) are double-bfloat16 delta rows of a stationary (128, 128)
    weight tile — one MXU matmul per row chunk, f32-accurate.
 
-Value knots sit exactly on the forecast quantiles at the 128 edges, so the
-matched output interpolates the exact sort-based match at those quantiles;
-in between, the map is linear (the same approximation the reference's PMM
-interpolator makes, probmatching.py:144-192).  The exact sort path remains
-the public matcher's default.
+Value knots sit on the forecast quantiles at the 128 edges (up to the
+subsample rank resolution; exact in the upper tail), so the matched output
+tracks the exact sort-based match at those quantiles; in between, the map
+is linear (the same approximation the reference's PMM interpolator makes,
+probmatching.py:144-192).  The exact sort path remains the public
+matcher's default.
 """
 
 import functools
@@ -219,8 +221,24 @@ def match_cdf_pwl(initial, tstate):
     cliff = jnp.stack([e_c - span * 1e-8, e_c])
     edges = jnp.sort(jnp.concatenate([uniform, quant, tail, outk, cliff]))
 
-    # forecast CDF at the edges: r_j = #(x < e_j)
-    r = (size - cdf_counts(init, edges)).astype(jnp.int32)
+    # forecast CDF at the edges: r_j = #(x < e_j).  Ranks come from the
+    # already-sorted subsample (systematic sample: error <= stride ranks,
+    # ~2.4e-4 of the field mass at 512^2), which removes one of the two
+    # 128-comparison sweeps over the full field (the former cdf_counts
+    # pass).  The extreme upper tail is the exception — there a few ranks
+    # of error is many dB of value — so the top edges are counted exactly
+    # with one fused (size, n_tail_exact) compare-reduce.
+    n_tail_exact = 16
+    r_sub = stride * jnp.sum(
+        (sub[None, :] < edges[:, None]).astype(jnp.float32), axis=1
+    )
+    e_tail = edges[K - n_tail_exact :]
+    r_tail = size - jnp.sum(
+        (init[:, None] >= e_tail[None, :]).astype(jnp.float32), axis=0
+    )
+    r = jnp.concatenate(
+        [r_sub[: K - n_tail_exact], r_tail]
+    ).astype(jnp.int32)
 
     # target quantile at each edge rank: q_j = value of first target bin v
     # with C_t(v) > r_j, i.e. v_j = #(C_t <= r_j).  A broadcast-compare

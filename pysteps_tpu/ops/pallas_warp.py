@@ -21,19 +21,24 @@ _TILE = 8  # f32 sublane count — also the max vreg-gather span
 
 
 def _resample0_kernel(D, m, n, field_ref, idx_ref, frac_ref, out_ref):
-    i0 = pl.program_id(0) * _TILE
+    del D
     # edge-clamp the absolute row indices (same semantics as the padded
     # XLA shift path); the clamped values always fall inside some chunk
     idx0 = jnp.clip(idx_ref[:], 0, m - 1)
     idx1 = jnp.clip(idx_ref[:] + 1, 0, m - 1)
     frac = frac_ref[:]
+
+    # dynamic chunk bounds: the displacement field is smooth, so the rows a
+    # tile actually touches span ~1-3 chunks — far fewer than the static
+    # worst case (2D+8)/8.  A data-dependent fori_loop visits only those.
+    c_lo = jnp.min(idx0) // _TILE
+    c_hi = jnp.max(idx1) // _TILE
     acc0 = jnp.zeros((_TILE, n), jnp.float32)
     acc1 = jnp.zeros((_TILE, n), jnp.float32)
 
-    n_chunks = (2 * D + _TILE) // _TILE + 2
-    for c in range(n_chunks):
-        start = i0 - D + c * _TILE
-        start_c = pl.multiple_of(jnp.clip(start, 0, m - _TILE), _TILE)
+    def body(c, carry):
+        acc0, acc1 = carry
+        start_c = pl.multiple_of(c * _TILE, _TILE)
         chunk = field_ref[pl.ds(start_c, _TILE), :]  # (TILE, n)
         rel0 = idx0 - start_c
         g0 = jnp.take_along_axis(chunk, jnp.clip(rel0, 0, _TILE - 1), axis=0)
@@ -41,7 +46,9 @@ def _resample0_kernel(D, m, n, field_ref, idx_ref, frac_ref, out_ref):
         rel1 = idx1 - start_c
         g1 = jnp.take_along_axis(chunk, jnp.clip(rel1, 0, _TILE - 1), axis=0)
         acc1 = jnp.where((rel1 >= 0) & (rel1 < _TILE), g1, acc1)
+        return acc0, acc1
 
+    acc0, acc1 = jax.lax.fori_loop(c_lo, c_hi + 1, body, (acc0, acc1))
     out_ref[:] = acc0 * (1.0 - frac) + acc1 * frac
 
 
@@ -75,3 +82,112 @@ def axis_resample_pallas(field, idx0, frac, D, axis):
     i_grid = jax.lax.broadcasted_iota(jnp.int32, field.shape, 0)
     idx0c = jnp.clip(idx0, i_grid - D, i_grid + D)
     return pallas_resample0(field, idx0c, frac, D)
+
+
+def _chunk_lerp(field_ref, idx0, idx1, frac, n):
+    """Shared accumulation loop: gather rows idx0/idx1 from the VMEM field
+    by visiting only the row chunks the tile actually touches."""
+    c_lo = jnp.min(idx0) // _TILE
+    c_hi = jnp.max(idx1) // _TILE
+
+    def body(c, carry):
+        acc0, acc1 = carry
+        start_c = pl.multiple_of(c * _TILE, _TILE)
+        chunk = field_ref[pl.ds(start_c, _TILE), :]
+        rel0 = idx0 - start_c
+        g0 = jnp.take_along_axis(chunk, jnp.clip(rel0, 0, _TILE - 1), axis=0)
+        acc0 = jnp.where((rel0 >= 0) & (rel0 < _TILE), g0, acc0)
+        rel1 = idx1 - start_c
+        g1 = jnp.take_along_axis(chunk, jnp.clip(rel1, 0, _TILE - 1), axis=0)
+        acc1 = jnp.where((rel1 >= 0) & (rel1 < _TILE), g1, acc1)
+        return acc0, acc1
+
+    acc0 = jnp.zeros((_TILE, n), jnp.float32)
+    acc1 = jnp.zeros((_TILE, n), jnp.float32)
+    acc0, acc1 = jax.lax.fori_loop(c_lo, c_hi + 1, body, (acc0, acc1))
+    return acc0 * (1.0 - frac) + acc1 * frac
+
+
+def _warp_v_kernel(D, m, n, field_ref, dy_ref, out_ref):
+    """Vertical resample with in-kernel coordinates: out(i,j) =
+    lerp(field[floor(i+dy), j], field[floor(i+dy)+1, j])."""
+    i0 = pl.program_id(0) * _TILE
+    row = i0 + jax.lax.broadcasted_iota(jnp.int32, (_TILE, n), 0)
+    cy = row.astype(jnp.float32) + dy_ref[:]
+    y0 = jnp.floor(cy)
+    frac = cy - y0
+    y0i = jnp.clip(y0.astype(jnp.int32), row - D, row + D)
+    idx0 = jnp.clip(y0i, 0, m - 1)
+    idx1 = jnp.clip(y0i + 1, 0, m - 1)
+    out_ref[:] = _chunk_lerp(field_ref, idx0, idx1, frac, n)
+
+
+def _warp_h_kernel(D, m, n, masked, ct_ref, dxt_ref, dyt_ref, cval_ref, out_ref):
+    """Horizontal resample on the TRANSPOSED intermediate (n, m): sublane
+    index = original column j, lanes = original row i.  When ``masked``,
+    applies the constant-mode out-of-domain fill using both displacement
+    components (the mask is evaluated at the original (i, j) position,
+    matching ops.warp.warp_shifted)."""
+    j0 = pl.program_id(0) * _TILE
+    colj = j0 + jax.lax.broadcasted_iota(jnp.int32, (_TILE, m), 0)
+    cx = colj.astype(jnp.float32) + dxt_ref[:]
+    x0 = jnp.floor(cx)
+    frac = cx - x0
+    x0i = jnp.clip(x0.astype(jnp.int32), colj - D, colj + D)
+    idx0 = jnp.clip(x0i, 0, n - 1)
+    idx1 = jnp.clip(x0i + 1, 0, n - 1)
+    out = _chunk_lerp(ct_ref, idx0, idx1, frac, m)
+    if masked:
+        rowi = jax.lax.broadcasted_iota(jnp.int32, (_TILE, m), 1).astype(
+            jnp.float32
+        )
+        cy = rowi + dyt_ref[:]
+        inside = (cy >= 0) & (cy <= m - 1) & (cx >= 0) & (cx <= n - 1)
+        out = jnp.where(inside, out, cval_ref[0, 0])
+    out_ref[:] = out
+
+
+@functools.partial(jax.jit, static_argnames=("D", "masked"))
+def warp_fused_pallas(field, disp, disp_t, D, cval, masked=True):
+    """Bilinear shift-decomposition warp with in-kernel coordinate math.
+
+    ``disp`` is the (2, m, n) displacement; ``disp_t`` its (2, n, m)
+    transpose (models that carry coarse displacement produce it for free
+    from the matmul upsample).  Equivalent to ops.warp.warp_shifted
+    (mode="constant" when masked, "nearest" otherwise) but without
+    materializing index/fraction planes in HBM."""
+    m, n = field.shape
+    assert m % _TILE == 0 and n % _TILE == 0
+    D = int(-(-D // _TILE) * _TILE)
+    C = pl.pallas_call(
+        functools.partial(_warp_v_kernel, D, m, n),
+        grid=(m // _TILE,),
+        in_specs=[
+            pl.BlockSpec((m, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TILE, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (_TILE, n), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+    )(field.astype(jnp.float32), disp[1].astype(jnp.float32))
+    out_t = pl.pallas_call(
+        functools.partial(_warp_h_kernel, D, m, n, bool(masked)),
+        grid=(n // _TILE,),
+        in_specs=[
+            pl.BlockSpec((n, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TILE, m), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TILE, m), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (_TILE, m), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, m), jnp.float32),
+    )(
+        C.T,
+        disp_t[0].astype(jnp.float32),
+        disp_t[1].astype(jnp.float32),
+        jnp.asarray(cval, jnp.float32).reshape(1, 1),
+    )
+    return out_t.T

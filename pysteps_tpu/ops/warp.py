@@ -179,6 +179,32 @@ def warp_shifted(field, displacement, max_disp, mode="constant", cval=jnp.nan):
     return out
 
 
+def warp_shifted_multi(fields, displacement, max_disp, mode="constant", cval=jnp.nan):
+    """Shift-decomposition warp of C fields (C, m, n) sharing ONE
+    displacement: the sampling coordinates are computed once and each
+    resample pass batches the channel axis into the kernel grid — C
+    channels cost ~one dispatch per pass instead of 2C."""
+    m, n = fields.shape[1:]
+    dtype = displacement.dtype
+    dx = displacement[0]
+    dy = displacement[1]
+    cy = jax.lax.broadcasted_iota(jnp.int32, (m, n), 0).astype(dtype) + dy
+    cx = jax.lax.broadcasted_iota(jnp.int32, (m, n), 1).astype(dtype) + dx
+    y0 = jnp.floor(cy)
+    x0 = jnp.floor(cx)
+    wy = cy - y0
+    wx = cx - x0
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+    D = int(max_disp)
+    C = jax.vmap(lambda f: _resample(f, y0i, wy, D, 0))(fields)
+    out = jax.vmap(lambda f: _resample(f, x0i, wx, D, 1))(C)
+    if mode == "constant":
+        inside = (cy >= 0) & (cy <= m - 1) & (cx >= 0) & (cx <= n - 1)
+        out = jnp.where(inside[None], out, cval)
+    return out
+
+
 def sample_velocity_shifted(velocity, displacement, max_disp, coarse=4):
     """Edge-clamped bilinear sampling of a (2, m, n) velocity field at
     displaced positions using the shift-decomposition warp.
@@ -201,12 +227,9 @@ def sample_velocity_shifted(velocity, displacement, max_disp, coarse=4):
             / coarse
         )
         Dc = max(int(-(-max_disp // coarse)), 1)
-        sx = warp_shifted(vel_c[0], disp_c, Dc, mode="nearest")
-        sy = warp_shifted(vel_c[1], disp_c, Dc, mode="nearest")
-        return _jax.image.resize(jnp.stack([sx, sy]), (2, m, n), method="bilinear")
-    vx = warp_shifted(velocity[0], displacement, max_disp, mode="nearest")
-    vy = warp_shifted(velocity[1], displacement, max_disp, mode="nearest")
-    return jnp.stack([vx, vy])
+        s = warp_shifted_multi(vel_c, disp_c, Dc, mode="nearest")
+        return _jax.image.resize(s, (2, m, n), method="bilinear")
+    return warp_shifted_multi(velocity, displacement, max_disp, mode="nearest")
 
 
 def _catmull_rom_weights(t):
