@@ -161,6 +161,54 @@ def model_warp(field, displacement, max_disp=None, interp_order=1, cval=jnp.nan)
     return warp(field, displacement, order=interp_order, cval=cval)
 
 
+def model_warp_coarse(
+    field, disp_c, shape, coarse, max_disp=None, interp_order=1, cval=jnp.nan
+):
+    """Upsample a coarse displacement and warp in one fused TPU path.
+
+    On TPU the bilinear upsample runs as the same two small matmuls as
+    :func:`upsample_displacement` but emits only the three displacement
+    planes the fused Pallas warp consumes (dy at (m, n); dx, dy at the
+    transposed (n, m) layout), and the warp itself
+    (ops/pallas_warp.py::warp_fused_pallas) computes sampling coordinates
+    in-kernel — no index/fraction planes ever reach HBM.  Elsewhere (or
+    for non-bilinear orders) falls back to upsample + model_warp."""
+    from pysteps_tpu.ops.warp import _use_pallas
+
+    m, n = shape
+    if (
+        max_disp is not None
+        and interp_order == 1
+        and coarse > 1
+        and m % 8 == 0
+        and n % 8 == 0
+        and _use_pallas()
+    ):
+        try:
+            from pysteps_tpu.ops.pallas_warp import warp_fused_pallas
+
+            mc, nc = disp_c.shape[1:]
+            key = (m, mc, n, nc)
+            if key not in _upsample_mats:
+                _upsample_mats[key] = (
+                    _bilinear_upsample_matrix(m, mc),
+                    _bilinear_upsample_matrix(n, nc),
+                )
+            Uy, Ux = _upsample_mats[key]
+            dy = jnp.einsum("ya,ab,xb->yx", Uy, disp_c[1], Ux)
+            disp_t = jnp.einsum("ya,cab,xb->cxy", Uy, disp_c, Ux)
+            return warp_fused_pallas(field, dy, disp_t, int(max_disp), cval)
+        except Exception:  # noqa: BLE001 — Mosaic unavailable: XLA fallback
+            pass
+    return model_warp(
+        field,
+        upsample_displacement(disp_c, shape, coarse),
+        max_disp=max_disp,
+        interp_order=interp_order,
+        cval=cval,
+    )
+
+
 def semilag_step(
     field,
     velocity,

@@ -40,7 +40,7 @@ from pysteps_tpu.extrapolation.semilagrangian import (
     integrate_displacement,
     integrate_displacement_coarse,
     model_warp,
-    upsample_displacement,
+    model_warp_coarse,
 )
 from pysteps_tpu.noise.fftgenerators import (
     _generate_fft_noise,
@@ -853,9 +853,8 @@ def _steps_scan(
                 vel_j, disp_j, 1.0, n_iter=n_iter, max_disp=max_disp,
                 coarse=coarse,
             )
-            out_field = model_warp(
-                field,
-                upsample_displacement(disp_j, (m, n), coarse),
+            out_field = model_warp_coarse(
+                field, disp_j, (m, n), coarse,
                 max_disp=max_disp, interp_order=interp_order,
                 cval=precip_min,
             )

@@ -148,14 +148,15 @@ def _warp_h_kernel(D, m, n, masked, ct_ref, dxt_ref, dyt_ref, cval_ref, out_ref)
 
 
 @functools.partial(jax.jit, static_argnames=("D", "masked"))
-def warp_fused_pallas(field, disp, disp_t, D, cval, masked=True):
+def warp_fused_pallas(field, dy, disp_t, D, cval, masked=True):
     """Bilinear shift-decomposition warp with in-kernel coordinate math.
 
-    ``disp`` is the (2, m, n) displacement; ``disp_t`` its (2, n, m)
-    transpose (models that carry coarse displacement produce it for free
-    from the matmul upsample).  Equivalent to ops.warp.warp_shifted
-    (mode="constant" when masked, "nearest" otherwise) but without
-    materializing index/fraction planes in HBM."""
+    ``dy`` is the (m, n) vertical displacement component; ``disp_t`` the
+    (2, n, m) transposed displacement (models that carry coarse
+    displacement produce both for free from the matmul upsample).
+    Equivalent to ops.warp.warp_shifted (mode="constant" when masked,
+    "nearest" otherwise) but without materializing index/fraction planes
+    in HBM."""
     m, n = field.shape
     assert m % _TILE == 0 and n % _TILE == 0
     D = int(-(-D // _TILE) * _TILE)
@@ -170,7 +171,7 @@ def warp_fused_pallas(field, disp, disp_t, D, cval, masked=True):
             (_TILE, n), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
-    )(field.astype(jnp.float32), disp[1].astype(jnp.float32))
+    )(field.astype(jnp.float32), dy.astype(jnp.float32))
     out_t = pl.pallas_call(
         functools.partial(_warp_h_kernel, D, m, n, bool(masked)),
         grid=(n // _TILE,),
