@@ -35,11 +35,19 @@ from pysteps_tpu import cascade, noise
 from pysteps_tpu.blending import skill_scores
 from pysteps_tpu.blending.utils import compute_smooth_dilated_mask
 from pysteps_tpu.cascade.decomposition import decompose_core
-from pysteps_tpu.extrapolation.semilagrangian import integrate_displacement
+from pysteps_tpu.extrapolation.semilagrangian import (
+    integrate_displacement,
+    integrate_displacement_coarse,
+    upsample_displacement,
+)
 from pysteps_tpu.noise.fftgenerators import _generate_fft_noise
+from pysteps_tpu.noise.motion import (
+    get_default_params_bps_par,
+    get_default_params_bps_perp,
+)
 from pysteps_tpu.nowcasts import utils as nowcast_utils
 from pysteps_tpu.nowcasts.steps import _estimate_params, _lagrangian_alignment
-from pysteps_tpu.ops.warp import warp
+from pysteps_tpu.ops.warp import warp, warp_shifted_multi
 from pysteps_tpu.postprocessing.probmatching import _match_cdf_core
 from pysteps_tpu.timeseries import autoregression
 from pysteps_tpu.utils.check_norain import check_norain
@@ -279,6 +287,7 @@ def blend_means_sigmas(means, sigmas, weights):
     static_argnames=(
         "int_steps", "mask_method", "probmatching", "resample_distribution",
         "mask_rim", "struct_radius", "E", "noise_filt_shape", "external",
+        "max_disp", "vel_pert", "p_par", "p_perp", "use_noise",
     ),
 )
 def _blending_scan(
@@ -289,6 +298,9 @@ def _blending_scan(
     domain_mask, smooth_mask, int_steps, mask_method, probmatching,
     resample_distribution, mask_rim, struct_radius, E, noise_filt_shape,
     external=False, ext_cascades=None, ext_means=None, ext_sigmas=None,
+    max_disp=None, vel_pert=False, p_par=None, p_perp=None,
+    eps_par=None, eps_perp=None, vsf=1.0, timestep_min=1.0,
+    use_noise=True,
 ):
     """The blended forecast loop.
 
@@ -304,7 +316,24 @@ def _blending_scan(
     cascades0 = jnp.broadcast_to(window, (E,) + window.shape)
     noise0 = jnp.broadcast_to(noise_window, (E,) + noise_window.shape)
     mask_prec0 = jnp.broadcast_to(mask_prec_init, (E, m, n))
-    displacement0 = jnp.zeros((E, 2, m, n), jnp.float32)
+
+    # displacement carried on a coarse grid with shift-decomposition warps
+    # when a static displacement bound is known (see nowcasts/steps.py —
+    # the same design; XLA's dynamic gather is scalar on TPU)
+    coarse = 4 if (max_disp is not None and m % 4 == 0 and n % 4 == 0) else 1
+    if max_disp is not None and coarse > 1:
+        T_, nm_ = velocity_blend.shape[:2]
+        mc, nc = m // coarse, n // coarse
+        vel_all = velocity_blend.reshape(
+            T_, nm_, 2, mc, coarse, nc, coarse
+        ).mean(axis=(-3, -1))
+        displacement0 = jnp.zeros((E, 2, mc, nc), jnp.float32)
+    else:
+        vel_all = velocity_blend
+        displacement0 = jnp.zeros((E, 2, m, n), jnp.float32)
+    if eps_par is None:
+        eps_par = jnp.zeros(E, jnp.float32)
+        eps_perp = jnp.zeros(E, jnp.float32)
 
     def step(carry, t):
         cascades = carry.cascades
@@ -312,31 +341,91 @@ def _blending_scan(
         mask_prec = carry.precip_mask
         keys = carry.member_keys
         displacement = carry.displacement
+        t_total = (t + 1.0) * timestep_min
 
-        def member(key, casc_j, noise_j, mask_j, disp_j, model_j, ext_j):
+        def member(
+            key, casc_j, noise_j, mask_j, disp_j, model_j, ext_j,
+            eps_par_j, eps_perp_j,
+        ):
             key, k_noise = jax.random.split(key)
-            # --- noise generation + AR evolution (reference: :2259) ---
-            eps = _generate_fft_noise(k_noise, noise_filt, noise_filt_shape, False)
-            eps_levels, _, _ = decompose_core(eps, weights_2d, normalize=True)
-            eps_levels = eps_levels * noise_std_coeffs[:, None, None]
+            # --- noise generation + AR evolution (reference: :2259; with
+            # noise disabled the noise cascades stay zero, reference
+            # :2326-2340 guard) ---
             casc_j = autoregression.iterate_ar_model(casc_j, phi, eps=None)
-            noise_j = autoregression.iterate_ar_model(noise_j, phi, eps=eps_levels)
+            if use_noise:
+                eps = _generate_fft_noise(
+                    k_noise, noise_filt, noise_filt_shape, False
+                )
+                eps_levels, _, _ = decompose_core(
+                    eps, weights_2d, normalize=True
+                )
+                eps_levels = eps_levels * noise_std_coeffs[:, None, None]
+                noise_j = autoregression.iterate_ar_model(
+                    noise_j, phi, eps=eps_levels
+                )
+
+            # --- velocity perturbation (reference: :2349, noise/motion.py;
+            # direction fields come from the per-step blended flow, so they
+            # are recomputed in-scan — on the coarse grid this is cheap) ---
+            vel_j = vel_all[t, model_j]
+            if vel_pert:
+                a1, b1, c1 = p_par
+                a2, b2, c2 = p_perp
+                g_par = a1 * t_total**b1 + c1
+                g_perp = a2 * t_total**b2 + c2
+                nv = jnp.linalg.norm(vel_j, axis=0)
+                v_n = jnp.where(
+                    nv[None] > 1e-12, vel_j / jnp.maximum(nv[None], 1e-12), 0.0
+                )
+                v_perp = jnp.stack([-v_n[1], v_n[0]])
+                vel_j = vel_j + (
+                    eps_par_j * g_par * v_n + eps_perp_j * g_perp * v_perp
+                ) / vsf
 
             # --- advect both Lagrangian components (reference: :2349) ---
-            vel_j = velocity_blend[t, model_j]
-            disp_j = integrate_displacement(vel_j, disp_j, 1.0)
-            if external:
-                # externally supplied nowcast ensemble: already advected
-                # (reference: nowcasting_method="external_nowcast",
-                # blending/steps.py:113-121,676-700)
-                extrap_lvls = ext_j
+            if max_disp is not None:
+                disp_j = integrate_displacement_coarse(
+                    vel_j, disp_j, 1.0, max_disp=max_disp, coarse=coarse
+                )
+                disp_full = upsample_displacement(disp_j, (m, n), coarse)
+                # one coordinate computation for every level of both
+                # Lagrangian components
+                stack = [] if external else [casc_j[:, -1]]
+                if use_noise:
+                    stack.append(noise_j[:, -1])
+                if stack:
+                    warped = warp_shifted_multi(
+                        jnp.concatenate(stack), disp_full, max_disp, cval=0.0
+                    )
+                if external:
+                    # externally supplied nowcast ensemble: already advected
+                    # (reference: nowcasting_method="external_nowcast",
+                    # blending/steps.py:113-121,676-700)
+                    extrap_lvls = ext_j
+                    noise_lvls = (
+                        warped if use_noise else jnp.zeros((k_levels, m, n))
+                    )
+                else:
+                    extrap_lvls = warped[:k_levels]
+                    noise_lvls = (
+                        warped[k_levels:]
+                        if use_noise
+                        else jnp.zeros((k_levels, m, n))
+                    )
             else:
-                extrap_lvls = jax.vmap(
-                    lambda f: warp(f, disp_j, order=1, cval=0.0)
-                )(casc_j[:, -1])
-            noise_lvls = jax.vmap(
-                lambda f: warp(f, disp_j, order=1, cval=0.0)
-            )(noise_j[:, -1])
+                disp_j = integrate_displacement(vel_j, disp_j, 1.0)
+                if external:
+                    extrap_lvls = ext_j
+                else:
+                    extrap_lvls = jax.vmap(
+                        lambda f: warp(f, disp_j, order=1, cval=0.0)
+                    )(casc_j[:, -1])
+                if use_noise:
+                    noise_lvls = jax.vmap(
+                        lambda f: warp(f, disp_j, order=1, cval=0.0)
+                    )(noise_j[:, -1])
+                else:
+                    noise_lvls = jnp.zeros((k_levels, m, n))
 
             # --- blend cascades (reference: :2768) ---
             w = weights_t[t, model_j]  # (3, k): extrap, nwp, noise
@@ -417,7 +506,10 @@ def _blending_scan(
             ext_t = jnp.zeros((E, 1, 1, 1))
         keys, cascades, noise_casc, mask_prec, displacement, outs = jax.vmap(
             member
-        )(keys, cascades, noise_casc, mask_prec, displacement, member_model, ext_t)
+        )(
+            keys, cascades, noise_casc, mask_prec, displacement, member_model,
+            ext_t, eps_par, eps_perp,
+        )
         new_carry = StepsBlendingState(
             cascades=cascades, noise_cascades=noise_casc,
             precip_mask=mask_prec, member_keys=keys,
@@ -741,6 +833,54 @@ def forecast(
         )
     )(jnp.arange(n_ens_members))
 
+    # velocity perturbations (reference: blending/steps.py velocity
+    # perturbation init, same BPS machinery as nowcasts/steps.py)
+    vel_pert = vel_pert_method is not None
+    if vel_pert:
+        from pysteps_tpu.noise.motion import _laplace
+
+        vpk = dict(vel_pert_kwargs or {})
+        p_par = tuple(
+            float(v) for v in vpk.get("p_par", get_default_params_bps_par())
+        )
+        p_perp = tuple(
+            float(v) for v in vpk.get("p_perp", get_default_params_bps_perp())
+        )
+        vsf = (
+            60.0 / (timestep * (1.0 / kmperpixel))
+            if (timestep and kmperpixel)
+            else 1.0
+        )
+        vkeys = jax.random.split(
+            jax.random.PRNGKey((seed if seed is not None else 42) + 7),
+            2 * n_ens_members,
+        )
+        eps_par = jax.vmap(_laplace)(vkeys[:n_ens_members])
+        eps_perp = jax.vmap(_laplace)(vkeys[n_ens_members:])
+    else:
+        p_par = p_perp = None
+        vsf = 1.0
+        eps_par = eps_perp = None
+
+    # static displacement bound for the shift-decomposition warps (see
+    # nowcasts/steps.py — on CPU the exact gather is faster to compile)
+    on_cpu = jax.default_backend() == "cpu"
+    vmax = float(np.max(np.abs(velocity_blend))) if velocity_blend.size else 0.0
+    if vel_pert:
+        t_last = int_steps * (timestep or 1.0)
+        g_par_l = abs(p_par[0] * t_last ** p_par[1] + p_par[2])
+        g_perp_l = abs(p_perp[0] * t_last ** p_perp[1] + p_perp[2])
+        pert_margin = 4.0 * max(g_par_l, g_perp_l) / max(vsf, 1e-6)
+    else:
+        pert_margin = 0.0
+    max_disp = max(int(np.ceil(int_steps * (vmax + pert_margin))) + 2, 2)
+    max_disp = min(max_disp, 48)
+    if on_cpu or max_disp > min(m, n) // 3:
+        max_disp = None
+    # test hook / expert override (e.g. exercise the shift path on CPU)
+    if "max_disp" in extrap_kwargs:
+        max_disp = extrap_kwargs["max_disp"]
+
     # external nowcast: decompose the supplied ensemble per member/step
     external = precip_nowcast is not None
     if external:
@@ -819,6 +959,15 @@ def forecast(
         ext_cascades=ext_cascades,
         ext_means=ext_means,
         ext_sigmas=ext_sigmas,
+        max_disp=max_disp,
+        vel_pert=vel_pert,
+        p_par=p_par,
+        p_perp=p_perp,
+        eps_par=eps_par,
+        eps_perp=eps_perp,
+        vsf=jnp.float32(vsf),
+        timestep_min=jnp.float32(timestep if timestep else 1.0),
+        use_noise=noise_method is not None,
     )
     np.asarray(out)
     loop_time = time.time() - t1

@@ -374,3 +374,57 @@ def test_multivariate_autocorrelation_localized():
     assert gamma[0].shape == (32, 32, 2, 2)
     # lag-0 diagonal is a self-correlation: ~1 everywhere
     np.testing.assert_allclose(np.asarray(gamma[0])[..., 0, 0], 1.0, atol=1e-3)
+
+
+def test_steps_blending_shiftpath_equivalence(blending_data):
+    """The shift-decomposition / coarse-displacement fast path (enabled on
+    TPU by a static max_disp bound; forced here via extrap_kwargs) must
+    reproduce the exact-gather path: under the uniform test flow the two
+    warps are mathematically identical."""
+    from pysteps_tpu import blending
+
+    db, velocity, nwp = blending_data
+    common = dict(
+        n_ens_members=2, n_cascade_levels=5, precip_thr=-10.0,
+        kmperpixel=1.0, seed=11,
+    )
+    f = blending.get_method("steps")
+    fc_exact = np.asarray(
+        f(db[:3], nwp[None], velocity, velocity[None], 2, 5, **common)
+    )
+    fc_fast = np.asarray(
+        f(db[:3], nwp[None], velocity, velocity[None], 2, 5,
+          extrap_kwargs={"max_disp": 8}, **common)
+    )
+    assert fc_fast.shape == fc_exact.shape
+    # identical RNG streams: any difference comes from the warp scheme
+    assert np.nanmean(np.abs(fc_fast - fc_exact)) < 0.05
+    assert np.nanmax(np.abs(fc_fast - fc_exact)) < 2.0
+
+
+def test_steps_blending_velocity_perturbation(blending_data):
+    """vel_pert_method='bps' perturbs each member's advection field
+    (reference: blending/steps.py velocity perturbation via noise/motion)."""
+    from pysteps_tpu import blending
+
+    db, velocity, nwp = blending_data
+    common = dict(
+        n_ens_members=3, n_cascade_levels=5, precip_thr=-10.0,
+        kmperpixel=1.0, seed=5, noise_method=None,
+        mask_method=None, probmatching_method=None,
+    )
+    f = blending.get_method("steps")
+    fc = np.asarray(
+        f(db[:3], nwp[None], velocity, velocity[None], 3, 5,
+          vel_pert_method="bps", **common)
+    )
+    assert fc.shape == (3, 3, 128, 128)
+    assert np.all(np.isfinite(fc))
+    fc_nopert = np.asarray(
+        f(db[:3], nwp[None], velocity, velocity[None], 3, 5,
+          vel_pert_method=None, **common)
+    )
+    # without noise, members differ only through the velocity perturbation
+    spread_pert = np.mean(np.std(fc, axis=0))
+    spread_nopert = np.mean(np.std(fc_nopert, axis=0))
+    assert spread_pert > spread_nopert + 1e-4
