@@ -80,6 +80,31 @@ def decompose_spectral_core(field_fft, weights_2d, shape, normalize=True):
     return levels_fft, means, stds
 
 
+def spectral_level_stds(field_fft, weights_2d, shape):
+    """Per-level spectral means/stds of ``w_k * field_fft`` WITHOUT
+    materializing the (k, m, n/2+1) level cube.
+
+    The Parseval power sum per level is a contraction of the squared
+    filter bank against the field's Hermitian-weighted power spectrum:
+    one (k, B) @ (B,) matmul (MXU) instead of a K-cube multiply + reduce
+    (XLA materializes that cube in HBM; at 512^2 x 8 levels the two extra
+    cube passes cost ~45 us/member-step on v5e).  Exactly equals
+    ``spectral_utils.mean/std`` of the materialized levels.
+    """
+    m, n = shape
+    rf = n // 2 + 1
+    size = m * n
+    k = weights_2d.shape[0]
+    # Hermitian dof weights: interior rfft2 columns count twice
+    col = jnp.arange(rf)
+    herm = jnp.where((col == 0) | ((n % 2 == 0) & (col == rf - 1)), 1.0, 2.0)
+    p2 = (jnp.real(field_fft) ** 2 + jnp.imag(field_fft) ** 2) * herm[None, :]
+    s2 = (weights_2d.reshape(k, -1) ** 2) @ p2.reshape(-1)  # (k,)
+    means = jnp.real(field_fft[0, 0]) * weights_2d[:, 0, 0] / size
+    stds = jnp.sqrt(jnp.maximum(s2 / float(size) ** 2 - means**2, 0.0))
+    return means, stds
+
+
 def recompose_core(levels, means, stds):
     """Invert normalization and sum levels: sum_k (level_k*sigma_k + mu_k)
     (reference: decomposition.py:264-305)."""

@@ -97,3 +97,30 @@ def test_compact_output_roundtrip():
         np.asarray(decomposition.recompose_fft(d_comp)), s=(64, 64)
     )
     np.testing.assert_allclose(recomposed, field, atol=1e-3)
+
+
+def test_spectral_level_stds_matches_materialized():
+    """The matmul Parseval contraction must equal the per-level statistics
+    of the materialized spectral cascade (decompose_spectral_core)."""
+    import jax.numpy as jnp
+
+    from pysteps_tpu.cascade.bandpass_filters import filter_gaussian
+    from pysteps_tpu.cascade.decomposition import (
+        decompose_spectral_core,
+        spectral_level_stds,
+    )
+
+    rng = np.random.RandomState(3)
+    shape = (64, 48)
+    field = rng.randn(*shape).astype(np.float32)
+    field_fft = jnp.asarray(np.fft.rfft2(field).astype(np.complex64))
+    weights = filter_gaussian(shape, 5)["weights_2d"].astype(np.float32)
+
+    _, means_ref, stds_ref = decompose_spectral_core(
+        field_fft, weights, shape, normalize=False
+    )
+    means, stds = spectral_level_stds(field_fft, weights, shape)
+    np.testing.assert_allclose(np.asarray(means), np.asarray(means_ref), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(stds), np.asarray(stds_ref), rtol=2e-4, atol=1e-6
+    )
