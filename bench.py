@@ -80,7 +80,15 @@ def run_child(n_members, side, member_chunk=None):
     kwargs = _steps_kwargs(n_members)
     if member_chunk:
         kwargs["member_chunk"] = member_chunk
+    import jax
     import jax.numpy as jnp
+
+    # device-resident inputs: this measures compute throughput (in a
+    # production pipeline the radar fields are uploaded once and feed the
+    # whole ensemble); over the axon tunnel (~18 MB/s) a per-call H2D of
+    # the 5 MB inputs would otherwise dominate the per-forecast fixed cost
+    precip_db = jax.device_put(jnp.asarray(precip_db))
+    velocity = jax.device_put(jnp.asarray(velocity))
 
     out = f(precip_db, velocity, N_TIMESTEPS, **kwargs)  # warmup/compile
     float(jnp.nanmean(out))

@@ -9,6 +9,8 @@ float64 numpy and handed to jitted kernels as constant jnp arrays.
 import numpy as np
 import jax.numpy as jnp
 
+from pysteps_tpu.utils.devconst import cached_constant
+
 
 def filter_uniform(shape, n):
     """Single all-pass band — degenerate cascade
@@ -92,9 +94,14 @@ def filter_gaussian(
     central_freqs[-1] = 0.5
     central_freqs = d * central_freqs
 
+    # cache the device copies: the (n, m, n/2+1) bank is a pure function of
+    # the arguments, and re-uploading ~4 MB per forecast call dominates the
+    # per-call fixed cost on slow host-device links (utils/devconst.py)
+    ckey = ("filter_gaussian", height, width, n, gauss_scale, d, normalize,
+            include_mean)
     out = {
-        "weights_1d": jnp.asarray(weights_1d),
-        "weights_2d": jnp.asarray(weights_2d),
+        "weights_1d": cached_constant(ckey + ("w1",), lambda: weights_1d),
+        "weights_2d": cached_constant(ckey + ("w2",), lambda: weights_2d),
         "central_wavenumbers": jnp.asarray(central_wavenumbers),
         "central_freqs": jnp.asarray(central_freqs),
         "shape": (height, width),

@@ -59,6 +59,7 @@ from pysteps_tpu.postprocessing.probmatching import (
 from pysteps_tpu.timeseries import autoregression, correlation
 from pysteps_tpu.utils import tapering as tapering_utils
 from pysteps_tpu.utils.check_norain import check_norain
+from pysteps_tpu.utils.devconst import cached_constant
 
 
 @dataclasses.dataclass(frozen=True)
@@ -293,8 +294,14 @@ class StepsNowcaster:
     (reference: steps.py:287)."""
 
     def __init__(self, precip, velocity, timesteps, steps_config):
-        self.precip = np.asarray(precip)
-        self.velocity = np.asarray(velocity)
+        # device-resident inputs stay on device: the radar fields feed the
+        # jitted pipeline directly, and the host-side gating scalars are
+        # computed by one tiny jit (_device_input_stats) instead of
+        # round-tripping megabytes through np.asarray (the axon tunnel
+        # moves ~18 MB/s, so a 512^2 sequence costs ~0.3 s per bounce)
+        self._device_input = isinstance(precip, jax.Array)
+        self.precip = precip if self._device_input else np.asarray(precip)
+        self.velocity = velocity if isinstance(velocity, jax.Array) else np.asarray(velocity)
         self.timesteps = timesteps
         self.config = steps_config
 
@@ -302,36 +309,76 @@ class StepsNowcaster:
         cfg = self.config
         t0 = time.time()
         self._check_inputs()
+        win_fun = cfg.noise_kwargs.get("win_fun", "tukey")
 
-        # norain early exit (reference: steps.py:360-382)
-        if check_norain(
-            self.precip,
-            cfg.precip_threshold,
-            cfg.norain_threshold,
-            cfg.noise_kwargs.get("win_fun", "tukey"),
-            printmsg=True,
-        ):
+        if self._device_input:
+            m, n = self.precip.shape[-2:]
+            taper = cached_constant(
+                ("norain_taper", m, n, win_fun),
+                lambda: np.asarray(
+                    tapering_utils.compute_window_function(m, n, win_fun)
+                    if win_fun is not None
+                    else np.ones((m, n)),
+                    np.float32,
+                ),
+            )
+            thr = np.float32(
+                cfg.precip_threshold
+                if cfg.precip_threshold is not None
+                else np.nan
+            )
+            rain_frac_d, precip, domain_mask, vmax_d = _device_input_stats(
+                self.precip,
+                jnp.asarray(self.velocity, jnp.float32),
+                taper,
+                thr,
+                ar_order=cfg.ar_order,
+            )
+            rain_frac, vmax = jax.device_get((rain_frac_d, vmax_d))
+            print(
+                f"Rain fraction is: {rain_frac}, while minimum fraction is "
+                f"{cfg.norain_threshold}"
+            )
+            norain = bool(rain_frac <= cfg.norain_threshold)
+        else:
+            # norain early exit (reference: steps.py:360-382)
+            norain = check_norain(
+                self.precip,
+                cfg.precip_threshold,
+                cfg.norain_threshold,
+                win_fun,
+                printmsg=True,
+            )
+        if norain:
             return nowcast_utils.zero_precipitation_forecast(
                 cfg.n_ens_members,
                 self.timesteps,
-                self.precip,
+                np.asarray(self.precip),
                 cfg.callback,
                 cfg.return_output,
                 cfg.measure_time,
                 t0,
             )
 
-        precip = self.precip[-(cfg.ar_order + 1) :].astype(np.float32)
-        domain_mask = ~np.isfinite(precip[-1])
-        precip_min = float(np.nanmin(precip))
-        precip = np.where(np.isfinite(precip), precip, precip_min)
+        if self._device_input:
+            velocity = jnp.asarray(self.velocity, jnp.float32)
+        else:
+            precip_np = self.precip[-(cfg.ar_order + 1) :].astype(np.float32)
+            domain_mask = ~np.isfinite(precip_np[-1])
+            precip_min = float(np.nanmin(precip_np))
+            precip_np = np.where(np.isfinite(precip_np), precip_np, precip_min)
+            precip = jnp.asarray(precip_np)
+            velocity = jnp.asarray(self.velocity, jnp.float32)
+            domain_mask = jnp.asarray(domain_mask)
+            vmax = None
 
         out, init_time, loop_time = _steps_forecast(
-            jnp.asarray(precip),
-            jnp.asarray(self.velocity, jnp.float32),
+            precip,
+            velocity,
             self.timesteps,
             cfg,
-            jnp.asarray(domain_mask),
+            domain_mask,
+            vmax=vmax,
         )
 
         if cfg.callback is not None:
@@ -380,7 +427,24 @@ class StepsNowcaster:
                 raise ValueError("vel_pert_method is set but timestep=None")
 
 
-def _steps_forecast(precip, velocity, timesteps, cfg, domain_mask):
+@functools.partial(jax.jit, static_argnames=("ar_order",))
+def _device_input_stats(precip_all, velocity, taper, thr_or_nan, ar_order):
+    """Host-gating scalars + input sanitization for device-resident inputs,
+    fused into one dispatch: tapered rain fraction (the check_norain gate,
+    utils/check_norain.py), the sanitized (ar_order+1)-frame window, the
+    NaN domain mask, and max |velocity| (static displacement bound)."""
+    masked = jnp.where(taper == 0.0, jnp.nanmin(precip_all), precip_all)
+    thr = jnp.where(jnp.isnan(thr_or_nan), jnp.nanmin(masked), thr_or_nan)
+    rain_frac = jnp.mean(masked > thr)
+    precip = precip_all[-(ar_order + 1) :].astype(jnp.float32)
+    precip_min = jnp.nanmin(precip)
+    domain_mask = ~jnp.isfinite(precip[-1])
+    precip = jnp.where(jnp.isfinite(precip), precip, precip_min)
+    vmax = jnp.max(jnp.abs(velocity))
+    return rain_frac, precip, domain_mask, vmax
+
+
+def _steps_forecast(precip, velocity, timesteps, cfg, domain_mask, vmax=None):
     """Initialization + scan loop.  Returns (out (E,T,m,n), init_s, loop_s)."""
     t_init0 = time.time()
     m, n = precip.shape[1:]
@@ -441,7 +505,12 @@ def _steps_forecast(precip, velocity, timesteps, cfg, domain_mask):
     # place of XLA's scalar gather (the dominant cost of the scan on TPU;
     # on CPU the gather is fast and the unrolled shifts only slow compile)
     on_cpu = jax.default_backend() == "cpu"
-    vmax = float(np.max(np.abs(np.asarray(velocity)))) if velocity.size else 0.0
+    if vmax is None:
+        vmax = (
+            float(np.max(np.abs(np.asarray(velocity)))) if velocity.size else 0.0
+        )
+    else:
+        vmax = float(vmax)
     if vel_pert:
         # 4-sigma Laplace margin on the BPS perturbation at the last lead time
         t_last = int_steps * (cfg.timestep or 1.0)
@@ -476,14 +545,19 @@ def _steps_forecast(precip, velocity, timesteps, cfg, domain_mask):
     noise_in_graph = cfg.noise_method == "nonparametric"
     if noise_in_graph:
         win_fun = cfg.noise_kwargs.get("win_fun", "tukey")
-        taper = jnp.asarray(
-            tapering_utils.compute_window_function(m, n, win_fun)
-            if win_fun is not None
-            else np.ones((m, n)),
-            jnp.float32,
+        taper = cached_constant(
+            ("steps_taper", m, n, win_fun),
+            lambda: np.asarray(
+                tapering_utils.compute_window_function(m, n, win_fun)
+                if win_fun is not None
+                else np.ones((m, n)),
+                np.float32,
+            ),
         )
     else:
-        taper = jnp.ones((m, n), jnp.float32)
+        taper = cached_constant(
+            ("steps_taper", m, n, None), lambda: np.ones((m, n), np.float32)
+        )
 
     # one fused init program: Lagrangian alignment, cascade decomposition,
     # AR estimation, masks, velocity-perturbation draws, member keys,

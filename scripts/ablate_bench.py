@@ -22,6 +22,13 @@ ABLATIONS = {
     "no_noise": {"noise_method": None, "noise_stddev_adj": None},
     "no_velpert": {"vel_pert_method": None},
     "spatial_domain": {"domain": "spatial"},
+    "floor": {"noise_method": None, "noise_stddev_adj": None,
+              "probmatching_method": None, "mask_method": None,
+              "vel_pert_method": None},
+    "floor_probmatch": {"noise_method": None, "noise_stddev_adj": None,
+                        "mask_method": None, "vel_pert_method": None},
+    "floor_mask": {"noise_method": None, "noise_stddev_adj": None,
+                   "probmatching_method": None, "vel_pert_method": None},
 }
 
 
@@ -35,8 +42,12 @@ def run_child(name):
     bench = importlib.import_module("bench")
     from pysteps_tpu import nowcasts
 
+    E = int(os.environ.get("ABL_E", "96"))
+    T = int(os.environ.get("ABL_T", "0"))
+    if T:
+        bench.N_TIMESTEPS = T
     precip_db, velocity = bench._make_inputs(512)
-    kwargs = bench._steps_kwargs(96)
+    kwargs = bench._steps_kwargs(E)
     kwargs.update(ABLATIONS[name])
     import jax.numpy as jnp
 

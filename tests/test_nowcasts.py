@@ -222,3 +222,36 @@ def test_nowcast_main_loop_generic(sequence_db, velocity_field):
     )
     assert out.shape == (3, 256, 256)
     assert np.all(np.isfinite(out[:, 64:-64, 64:-64]))
+
+
+def test_steps_device_input_equivalence():
+    """Device-resident inputs (jax arrays) must produce the same forecast
+    as numpy inputs: the wrapper's gating scalars move into one jit but the
+    pipeline math is identical."""
+    import jax.numpy as jnp
+
+    from helpers import make_synthetic_sequence
+
+    frames = make_synthetic_sequence(
+        n_frames=3, shape=(64, 64), velocity=(2.0, 1.0), seed=4
+    )
+    db = np.where(
+        frames >= 0.1, 10 * np.log10(np.maximum(frames, 0.1)), -15.0
+    ).astype(np.float32)
+    db += 0.1 * np.random.RandomState(7).randn(*db.shape).astype(np.float32)
+    velocity = np.zeros((2, 64, 64), np.float32)
+    velocity[0], velocity[1] = 2.0, 1.0
+    kwargs = dict(
+        n_ens_members=2, n_cascade_levels=5, precip_thr=-10.0,
+        kmperpixel=1.0, timestep=5, noise_method="nonparametric", seed=9,
+    )
+    f = nowcasts.get_method("steps")
+    fc_np = np.asarray(f(db, velocity, 3, **kwargs))
+    fc_dev = np.asarray(f(jnp.asarray(db), jnp.asarray(velocity), 3, **kwargs))
+    np.testing.assert_allclose(fc_dev, fc_np, atol=1e-4)
+
+    # norain early exit works for device inputs too
+    zero = np.full((3, 64, 64), -15.0, np.float32)
+    fc0 = np.asarray(f(jnp.asarray(zero), jnp.asarray(velocity), 2, **kwargs))
+    assert fc0.shape == (2, 2, 64, 64)
+    assert np.all(fc0 == -15.0)
