@@ -40,7 +40,10 @@ from pysteps_tpu.extrapolation.semilagrangian import (
     integrate_displacement_coarse,
     upsample_displacement,
 )
-from pysteps_tpu.noise.fftgenerators import _generate_fft_noise
+from pysteps_tpu.noise.fftgenerators import (
+    _generate_fft_noise,
+    nonparam_filter_core,
+)
 from pysteps_tpu.noise.motion import (
     get_default_params_bps_par,
     get_default_params_bps_perp,
@@ -50,7 +53,9 @@ from pysteps_tpu.nowcasts.steps import _estimate_params, _lagrangian_alignment
 from pysteps_tpu.ops.warp import warp, warp_shifted_multi
 from pysteps_tpu.postprocessing.probmatching import _match_cdf_core
 from pysteps_tpu.timeseries import autoregression
+from pysteps_tpu.utils import tapering
 from pysteps_tpu.utils.check_norain import check_norain
+from pysteps_tpu.utils.devconst import cached_constant
 
 
 @functools.partial(
@@ -763,7 +768,26 @@ def forecast(
     ) / tot[..., None, None, None]
 
     # noise filter (reference: :1421)
-    if noise_method is not None:
+    if noise_method == "nonparametric" and set(noise_kwargs) <= {"win_fun"}:
+        # in-graph filter: the aligned fields stay on device instead of
+        # bouncing through the host generator (slow host-device links)
+        win_fun = noise_kwargs.get("win_fun", "tukey")
+        taper = cached_constant(
+            ("steps_taper", m, n, win_fun),
+            lambda: np.asarray(
+                tapering.compute_window_function(m, n, win_fun)
+                if win_fun is not None
+                else np.ones((m, n)),
+                np.float32,
+            ),
+        )
+        noise_filt = nonparam_filter_core(
+            jnp.asarray(precip_aligned), taper
+        ).astype(jnp.float32)
+        pert_gen = {
+            "field": noise_filt, "input_shape": (m, n), "use_full_fft": False,
+        }
+    elif noise_method is not None:
         init_noise, _ = noise.get_method(noise_method)
         pert_gen = init_noise(np.asarray(precip_aligned), **noise_kwargs)
         noise_filt = jnp.asarray(pert_gen["field"], jnp.float32)

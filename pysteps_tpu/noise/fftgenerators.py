@@ -175,6 +175,28 @@ def generate_noise_2d_fft_filter(
     )
 
 
+@jax.jit
+def nonparam_filter_core(fields, taper):
+    """In-graph nonparametric filter: |mean rfft2(tapered field)| over a
+    (p, m, n) stack, after closing each field's rain/no-rain gap and
+    zeroing its minimum — the device-array path used by the model init
+    jits (STEPS, blending) so device-resident inputs never bounce through
+    the host generator (initialize_nonparam_2d_fft_filter; the gap
+    closing there is per-stack rather than per-field, an immaterial
+    difference for consecutive radar frames)."""
+
+    def prep(field):
+        zerovalue = jnp.min(field)
+        wet = field > zerovalue
+        shift = jnp.min(jnp.where(wet, field, jnp.inf)) - zerovalue
+        f = jnp.where(wet, field - shift, field)
+        return f - jnp.min(f)
+
+    fields = jax.vmap(prep)(fields)
+    F = jnp.mean(jax.vmap(lambda f: jnp.fft.rfft2(f * taper))(fields), axis=0)
+    return jnp.abs(F)
+
+
 def _spectral_white(key, input_shape):
     """Draw rfft2(white N(0,1)) directly in the half-plane — exact in law,
     skipping the forward FFT of the hot loop.

@@ -46,6 +46,7 @@ from pysteps_tpu.noise.fftgenerators import (
     _generate_fft_noise,
     _generate_ssft_noise,
     _ssft_gen_masks,
+    nonparam_filter_core as _nonparam_filter_core,
 )
 from pysteps_tpu.noise.motion import (
     _laplace,
@@ -334,6 +335,35 @@ class StepsNowcaster:
                 thr,
                 ar_order=cfg.ar_order,
             )
+            # when the displacement bounds are data-independent (TPU,
+            # large grid — see _steps_forecast), the whole pipeline can be
+            # dispatched before the gate value arrives: the norain branch
+            # is resolved after the (speculative) forecast, hiding the
+            # stats round trip behind useful work
+            speculate = (
+                jax.default_backend() != "cpu" and min(m, n) >= 3 * 48
+            )
+            if speculate:
+                velocity = jnp.asarray(self.velocity, jnp.float32)
+                out, init_time, loop_time = _steps_forecast(
+                    precip, velocity, self.timesteps, cfg, domain_mask
+                )
+                rain_frac = float(rain_frac_d)
+                print(
+                    f"Rain fraction is: {rain_frac}, while minimum "
+                    f"fraction is {cfg.norain_threshold}"
+                )
+                if rain_frac <= cfg.norain_threshold:
+                    return nowcast_utils.zero_precipitation_forecast(
+                        cfg.n_ens_members,
+                        self.timesteps,
+                        np.asarray(self.precip),
+                        cfg.callback,
+                        cfg.return_output,
+                        cfg.measure_time,
+                        t0,
+                    )
+                return self._finalize(out, init_time, loop_time)
             rain_frac, vmax = jax.device_get((rain_frac_d, vmax_d))
             print(
                 f"Rain fraction is: {rain_frac}, while minimum fraction is "
@@ -380,7 +410,10 @@ class StepsNowcaster:
             domain_mask,
             vmax=vmax,
         )
+        return self._finalize(out, init_time, loop_time)
 
+    def _finalize(self, out, init_time, loop_time):
+        cfg = self.config
         if cfg.callback is not None:
             arr = np.asarray(out)
             for t in range(arr.shape[1]):
@@ -505,34 +538,47 @@ def _steps_forecast(precip, velocity, timesteps, cfg, domain_mask, vmax=None):
     # place of XLA's scalar gather (the dominant cost of the scan on TPU;
     # on CPU the gather is fast and the unrolled shifts only slow compile)
     on_cpu = jax.default_backend() == "cpu"
-    if vmax is None:
-        vmax = (
-            float(np.max(np.abs(np.asarray(velocity)))) if velocity.size else 0.0
+    if not on_cpu and min(m, n) >= 3 * 48:
+        # grids where the 48-px cap always beats the exact-gather rule: the
+        # bounds are data-INDEPENDENT (for any vmax the old formula lands on
+        # min(vmax-derived, 48) and the Pallas resample's data-dependent
+        # chunk loop makes an over-sized static bound cost nothing), so one
+        # executable serves every storm and the caller never has to fetch
+        # max|velocity| before dispatching
+        max_disp_align = 48
+        max_disp_scan = 48
+    else:
+        if vmax is None:
+            vmax = (
+                float(np.max(np.abs(np.asarray(velocity))))
+                if velocity.size
+                else 0.0
+            )
+        else:
+            vmax = float(vmax)
+        if vel_pert:
+            # 4-sigma Laplace margin on the BPS perturbation at the last
+            # lead time
+            t_last = int_steps * (cfg.timestep or 1.0)
+            g_par = abs(p_par[0] * t_last ** p_par[1] + p_par[2])
+            g_perp = abs(p_perp[0] * t_last ** p_perp[1] + p_perp[2])
+            pert_margin = 4.0 * max(g_par, g_perp) / max(vsf, 1e-6)
+        else:
+            pert_margin = 0.0
+        max_disp_align = max(int(np.ceil(p * (vmax + 1.0))) + 1, 2)
+        max_disp_scan = max(
+            int(np.ceil(int_steps * (vmax + pert_margin))) + 2, max_disp_align
         )
-    else:
-        vmax = float(vmax)
-    if vel_pert:
-        # 4-sigma Laplace margin on the BPS perturbation at the last lead time
-        t_last = int_steps * (cfg.timestep or 1.0)
-        g_par = abs(p_par[0] * t_last ** p_par[1] + p_par[2])
-        g_perp = abs(p_perp[0] * t_last ** p_perp[1] + p_perp[2])
-        pert_margin = 4.0 * max(g_par, g_perp) / max(vsf, 1e-6)
-    else:
-        pert_margin = 0.0
-    max_disp_align = max(int(np.ceil(p * (vmax + 1.0))) + 1, 2)
-    max_disp_scan = max(
-        int(np.ceil(int_steps * (vmax + pert_margin))) + 2, max_disp_align
-    )
-    # the in-graph index clip makes larger displacements clamp gracefully,
-    # so cap the shift window at a cost-effective bound
-    max_disp_scan = min(max_disp_scan, 48)
-    # the shift decomposition costs O(max_disp) fused ops; beyond ~a third
-    # of the domain the exact gather is no slower
-    if max_disp_scan > min(m, n) // 3:
-        max_disp_scan = None
-    if on_cpu:
-        max_disp_align = None
-        max_disp_scan = None
+        # the in-graph index clip makes larger displacements clamp
+        # gracefully, so cap the shift window at a cost-effective bound
+        max_disp_scan = min(max_disp_scan, 48)
+        # the shift decomposition costs O(max_disp) fused ops; beyond ~a
+        # third of the domain the exact gather is no slower
+        if max_disp_scan > min(m, n) // 3:
+            max_disp_scan = None
+        if on_cpu:
+            max_disp_align = None
+            max_disp_scan = None
 
     # nonparametric noise filter is computed inside the init jit (no host
     # round-trip of the aligned fields); parametric needs host curve_fit;
@@ -774,19 +820,9 @@ def _steps_init(
         V_perp = jnp.zeros_like(velocity)
 
     if noise_in_graph:
-        # nonparametric noise filter: |mean rfft2(tapered field)| over the
-        # aligned inputs, after closing the rain/no-rain gap and zeroing the
-        # per-field minimum (reference: noise/fftgenerators.py:221-328)
-        def prep(field):
-            zerovalue = jnp.min(field)
-            wet = field > zerovalue
-            shift = jnp.min(jnp.where(wet, field, jnp.inf)) - zerovalue
-            f = jnp.where(wet, field - shift, field)
-            return f - jnp.min(f)
-
-        fields = jax.vmap(prep)(precip_aligned)
-        F = jnp.mean(jax.vmap(lambda f: jnp.fft.rfft2(f * taper))(fields), axis=0)
-        noise_filt = jnp.abs(F)
+        # nonparametric noise filter over the aligned inputs
+        # (reference: noise/fftgenerators.py:221-328)
+        noise_filt = _nonparam_filter_core(precip_aligned, taper)
     else:
         noise_filt = jnp.zeros((m, n // 2 + 1), jnp.float32)
 

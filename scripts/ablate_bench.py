@@ -49,7 +49,12 @@ def run_child(name):
     precip_db, velocity = bench._make_inputs(512)
     kwargs = bench._steps_kwargs(E)
     kwargs.update(ABLATIONS[name])
+    import jax
     import jax.numpy as jnp
+
+    # match bench.py: device-resident inputs (compute throughput)
+    precip_db = jax.device_put(jnp.asarray(precip_db))
+    velocity = jax.device_put(jnp.asarray(velocity))
 
     f = nowcasts.get_method("steps")
     out = f(precip_db, velocity, bench.N_TIMESTEPS, **kwargs)
