@@ -153,3 +153,63 @@ def test_sseps_velocity_perturbation(sequence_db, velocity_field, synthetic_meta
     # perturbing the advection field must change the members' trajectories
     assert np.nanmax(np.abs(fc_pert - fc_nopert)) > 0.05
     assert np.isfinite(fc_pert).any()
+
+
+def _small_steps_inputs():
+    frames = make_synthetic_sequence(
+        n_frames=3, shape=(64, 64), velocity=VELOCITY, seed=5
+    )
+    db = np.where(
+        frames >= 0.1, 10 * np.log10(np.maximum(frames, 0.1)), -15.0
+    ).astype(np.float32)
+    db += 0.1 * np.random.RandomState(11).randn(*db.shape).astype(np.float32)
+    velocity = np.zeros((2, 64, 64), np.float32)
+    velocity[0], velocity[1] = VELOCITY
+    kwargs = dict(
+        n_ens_members=2, n_cascade_levels=5, precip_thr=-10.0,
+        kmperpixel=1.0, timestep=5, seed=8,
+    )
+    return db, velocity, kwargs
+
+
+def test_steps_callback_and_return_output():
+    """callback receives each lead time as (E, m, n); return_output=False
+    returns None (reference: nowcasts/steps.py:196-206 memory-saving
+    incremental-export mode)."""
+    db, velocity, kwargs = _small_steps_inputs()
+    got = []
+    out = nowcasts.get_method("steps")(
+        db, velocity, 3, callback=lambda f: got.append(np.asarray(f)),
+        return_output=False, **kwargs,
+    )
+    assert out is None
+    assert len(got) == 3
+    assert all(f.shape == (2, 64, 64) for f in got)
+
+
+def test_steps_measure_time():
+    db, velocity, kwargs = _small_steps_inputs()
+    out, init_s, loop_s = nowcasts.get_method("steps")(
+        db, velocity, 2, measure_time=True, **kwargs
+    )
+    assert np.asarray(out).shape == (2, 2, 64, 64)
+    assert init_s >= 0.0 and loop_s >= 0.0
+
+
+def test_steps_fractional_timesteps():
+    """List timesteps with fractional entries interpolate between the
+    integer grid (reference: nowcasts/utils.py:34 binned_timesteps +
+    temporal interpolation)."""
+    db, velocity, kwargs = _small_steps_inputs()
+    f = nowcasts.get_method("steps")
+    out_int = np.asarray(f(db, velocity, 3, **kwargs))
+    out_list = np.asarray(f(db, velocity, [1, 2, 3], **kwargs))
+    np.testing.assert_allclose(out_list, out_int, atol=1e-5)
+
+    out_frac = np.asarray(f(db, velocity, [1, 1.5, 2], **kwargs))
+    assert out_frac.shape == (2, 3, 64, 64)
+    # the fractional frame lies between its neighbours (linear interp)
+    lo = np.minimum(out_frac[:, 0], out_frac[:, 2])
+    hi = np.maximum(out_frac[:, 0], out_frac[:, 2])
+    mid = out_frac[:, 1]
+    assert np.all(mid >= lo - 1e-4) and np.all(mid <= hi + 1e-4)
