@@ -359,7 +359,8 @@ def _blending_scan(
             casc_j = autoregression.iterate_ar_model(casc_j, phi, eps=None)
             if use_noise:
                 eps = _generate_fft_noise(
-                    k_noise, noise_filt, noise_filt_shape, False
+                    k_noise, noise_filt, noise_filt_shape, False,
+                    standardize=False,
                 )
                 eps_levels, _, _ = decompose_core(
                     eps, weights_2d, normalize=True

@@ -225,12 +225,19 @@ def _spectral_white(key, input_shape):
     return W
 
 
-def _generate_fft_noise(key, filt, input_shape, use_full_fft, domain="spatial"):
+def _generate_fft_noise(
+    key, filt, input_shape, use_full_fft, domain="spatial", standardize=True
+):
     """Jittable core: white noise -> filter -> standardized noise.
 
     vmap over keys for members.  The rfft2 path draws the white spectrum
     directly (see _spectral_white): one FFT per noise field in the spatial
     domain, zero in the spectral domain.
+
+    ``standardize=False`` skips the output standardization (DC bin still
+    zeroed): when the consumer feeds the noise into a NORMALIZED cascade
+    decomposition, any linear pre-scaling cancels in the per-level
+    statistics, so the extra passes over the field are pure waste.
     """
     m, n = input_shape
     if use_full_fft:
@@ -238,15 +245,23 @@ def _generate_fft_noise(key, filt, input_shape, use_full_fft, domain="spatial"):
         fN = jnp.fft.fft2(white) * filt
         if domain == "spatial":
             N = jnp.real(jnp.fft.ifft2(fN))
+            if not standardize:
+                return N
             return (N - jnp.mean(N)) / jnp.std(N)
         # spectral output: zero the DC bin, unit spectral std
         fN = fN.at[0, 0].set(0.0)
+        if not standardize:
+            return fN
         return fN / spectral_utils.std(fN, input_shape, use_full_fft=True)
     fN = _spectral_white(key, input_shape) * filt
     if domain == "spatial":
         N = jnp.fft.irfft2(fN, s=input_shape)
+        if not standardize:
+            return N
         return (N - jnp.mean(N)) / jnp.std(N)
     fN = fN.at[0, 0].set(0.0)
+    if not standardize:
+        return fN
     return fN / spectral_utils.std(fN, input_shape, use_full_fft=False)
 
 

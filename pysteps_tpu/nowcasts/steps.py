@@ -206,16 +206,19 @@ def _member_update(
                     eps, weights_2d, normalize=True
                 )
         elif spectral:
+            # standardize=False: the per-level normalization right below
+            # cancels any linear pre-scaling (fftgenerators.py)
             eps_fft = _generate_fft_noise(
                 key, noise_filt, noise_filt_shape, use_full_fft,
-                domain="spectral",
+                domain="spectral", standardize=False,
             )
             eps_levels, _, _ = decompose_spectral_core(
                 eps_fft, weights_2d, shape, normalize=True
             )
         else:
             eps = _generate_fft_noise(
-                key, noise_filt, noise_filt_shape, use_full_fft
+                key, noise_filt, noise_filt_shape, use_full_fft,
+                standardize=False,
             )
             eps_levels, _, _ = decompose_core(eps, weights_2d, normalize=True)
         eps_levels = eps_levels * noise_std_coeffs[:, None, None]

@@ -62,13 +62,16 @@ def _cdf_kernel(nrows, x_ref, e_ref, out_ref):
 
 def _pwl_kernel(nrows, x_ref, e_ref, w_ref, q0_ref, out_ref):
     e = e_ref[...]  # (K, 1)
-    w = jnp.broadcast_to(w_ref[...].astype(jnp.bfloat16)[None], (_RC, K, K))
+    # only the 6 delta rows (bf16x3 splits of d0 and d1) are nonzero, so
+    # the weight block is (8, K), not (K, K): 16x fewer MXU flops than a
+    # square stationary matrix
+    w = jnp.broadcast_to(w_ref[...].astype(jnp.bfloat16)[None], (_RC, 8, K))
     q0 = q0_ref[0, 0]
 
     def chunk(i, _):
         x = x_ref[pl.ds(i * _RC, _RC), :]
         cum = (x[:, None, :] >= e[None, :, :]).astype(jnp.bfloat16)
-        # (r, Kw, Ke) @ (r, Ke, p) -> (r, Kw, p): stationary weights on MXU
+        # (r, 8, Ke) @ (r, Ke, p) -> (r, 8, p): stationary weights on MXU
         t = jax.lax.dot_general(
             w, cum, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
@@ -112,7 +115,8 @@ def cdf_counts(field, edges):
 @jax.jit
 def pwl_apply(field, edges, w, q0):
     """Evaluate the K-segment monotone piecewise-linear map
-    out = q0 + cum@w[0:2] + x*(cum@w[2:4]) with cum_j = 1[x >= e_j]."""
+    out = q0 + cum@w[0:3] + x*(cum@w[3:6]) with cum_j = 1[x >= e_j];
+    ``w`` is the (8, K) delta-row block (rows 6-7 zero padding)."""
     rows = field.size // 128
     x = field.reshape(rows, 128)
     tr = _tile_rows(rows)
@@ -122,7 +126,7 @@ def pwl_apply(field, edges, w, q0):
         in_specs=[
             pl.BlockSpec((tr, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((K, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -289,7 +293,7 @@ def match_cdf_pwl(initial, tstate):
         b = bf16_trunc(r1)
         return a, b, r1 - b
 
-    w = jnp.zeros((K, K), jnp.float32)
+    w = jnp.zeros((8, K), jnp.float32)
     for i, row in enumerate(split3(d0) + split3(d1)):
         w = w.at[i].set(row)
 
