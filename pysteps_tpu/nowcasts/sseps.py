@@ -22,7 +22,11 @@ import numpy as np
 
 from pysteps_tpu import cascade
 from pysteps_tpu.cascade.decomposition import decompose_core
-from pysteps_tpu.extrapolation.semilagrangian import integrate_displacement, model_warp
+from pysteps_tpu.extrapolation.semilagrangian import (
+    coarsen_velocity,
+    integrate_displacement_coarse,
+    model_warp_coarse,
+)
 from pysteps_tpu.noise.motion import (
     _laplace,
     get_default_params_bps_par,
@@ -103,7 +107,15 @@ def _sseps_scan(
     )
     pm_match, pm_state = prepare_cdf_matcher(precip_last)
     mask_prec0 = jnp.broadcast_to(mask_prec_init, (E, m, n))
-    displacement0 = jnp.zeros((E, 2, m, n), jnp.float32)
+    # coarse displacement carry + fused upsample/warp, as in the STEPS
+    # scan (nowcasts/steps.py)
+    coarse = 4 if (max_disp is not None and m % 4 == 0 and n % 4 == 0) else 1
+    vel_c = coarsen_velocity(velocity, coarse)
+    V_n_c = coarsen_velocity(V_n, coarse) if vel_pert else V_n
+    V_perp_c = coarsen_velocity(V_perp, coarse) if vel_pert else V_perp
+    displacement0 = jnp.zeros(
+        (E, 2, m // coarse, n // coarse), jnp.float32
+    )
 
     def step(carry, t):
         cascades, mask_prec, keys, displacement = carry
@@ -142,15 +154,18 @@ def _sseps_scan(
                 a2, b2, c2 = p_perp
                 g_par = a1 * t_total**b1 + c1
                 g_perp = a2 * t_total**b2 + c2
-                vel_j = velocity + (
-                    eps_par_j * g_par * V_n + eps_perp_j * g_perp * V_perp
+                vel_j = vel_c + (
+                    eps_par_j * g_par * V_n_c + eps_perp_j * g_perp * V_perp_c
                 ) / vsf
             else:
-                vel_j = velocity
-            disp_j = integrate_displacement(
-                vel_j, disp_j, 1.0, max_disp=max_disp
+                vel_j = vel_c
+            disp_j = integrate_displacement_coarse(
+                vel_j, disp_j, 1.0, max_disp=max_disp, coarse=coarse
             )
-            out = model_warp(field, disp_j, max_disp=max_disp, cval=precip_min)
+            out = model_warp_coarse(
+                field, disp_j, (m, n), coarse,
+                max_disp=max_disp, cval=precip_min,
+            )
             out = jnp.where(domain_mask, jnp.nan, out)
             return key, casc_j, mask_j, disp_j, out
 
