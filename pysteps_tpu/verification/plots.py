@@ -7,9 +7,20 @@ import numpy as np
 
 
 def plot_intensityscale(intscale, fig=None, vminmax=None, kmperpixel=None, unit=None):
-    """Intensity-scale skill-score matrix plot (reference: plots.py:24)."""
+    """Intensity-scale skill-score matrix plot (reference: plots.py:24).
+
+    ``intscale`` is either the streaming state dict from
+    ``spatialscores.intensity_scale_init`` (reference contract) or a raw
+    (scales, thresholds) score matrix."""
     import matplotlib.pyplot as plt
 
+    thrs = scales = None
+    if isinstance(intscale, dict):
+        from pysteps_tpu.verification.spatialscores import intensity_scale_compute
+
+        thrs, scales = intscale.get("thrs"), intscale.get("scales")
+        intscale = intensity_scale_compute(intscale)
+    intscale = np.asarray(intscale, float)
     if fig is None:
         fig = plt.figure()
     ax = fig.gca()
@@ -21,15 +32,31 @@ def plot_intensityscale(intscale, fig=None, vminmax=None, kmperpixel=None, unit=
     fig.colorbar(im, ax=ax, label="skill")
     ax.set_xlabel("intensity threshold" + (f" [{unit}]" if unit else ""))
     ax.set_ylabel("scale" + (" [km]" if kmperpixel else " [px]"))
+    if thrs is not None:
+        ax.set_xticks(np.arange(intscale.shape[1]))
+        ax.set_xticklabels(np.asarray(thrs))
+    if scales is not None:
+        scales = np.asarray(scales, float)
+        if kmperpixel is not None:
+            scales = scales * kmperpixel
+        ax.set_yticks(np.arange(intscale.shape[0]))
+        ax.set_yticklabels(scales)
     return ax
 
 
 def plot_rankhist(rankhist, ax=None):
-    """Rank-histogram bar plot (reference: plots.py:80)."""
+    """Rank-histogram bar plot (reference: plots.py:80).
+
+    Accepts the state dict from ``ensscores.rankhist_init`` (reference
+    contract) or an already-computed relative-frequency array."""
     import matplotlib.pyplot as plt
 
     if ax is None:
         ax = plt.figure().gca()
+    if isinstance(rankhist, dict):
+        from pysteps_tpu.verification.ensscores import rankhist_compute
+
+        rankhist = rankhist_compute(rankhist)
     n = np.asarray(rankhist, float)
     x = np.arange(len(n))
     ax.bar(x, n, width=0.9, color="#1f77b4", edgecolor="none")
