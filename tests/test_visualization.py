@@ -13,6 +13,10 @@ import pytest
 
 @pytest.fixture(autouse=True)
 def _close_figs():
+    # close both before and after: earlier test FILES (e.g. verification
+    # plot tests) may leave figures open, and plot_precip_field draws onto
+    # plt.gca() like the reference does
+    plt.close("all")
     yield
     plt.close("all")
 
