@@ -319,18 +319,59 @@ def _geotiff_filename(exporter, i):
 
 def initialize_forecast_exporter_kineros(
     outpath, outfnprefix, startdate, timestep, n_timesteps, shape, metadata,
-    n_ens_members=1, **kwargs,
+    n_ens_members=1, incremental=None, **kwargs,
 ):
-    """Kineros2 rainfall-input text exporter (reference: io/exporters.py:241)."""
+    """Kineros2 rainfall-input text exporter (reference: io/exporters.py:241).
+
+    Every grid point becomes an individual rain gauge ("RG") element; one
+    ``<prefix>_N<member>.pre`` file is written per ensemble member, each
+    containing a per-element TIME/INTENSITY (mm/h) or TIME/DEPTH (mm,
+    cumulative) series — reference ``_export_kineros``
+    (io/exporters.py:832-863).
+    """
+    if incremental is not None:
+        raise ValueError("kineros: incremental writing is not supported")
     os.makedirs(outpath, exist_ok=True)
+    n_ens_members = int(min(99, n_ens_members))
+    h, w = shape
+
+    unit = metadata.get("unit", "mm/h")
+    if unit == "mm/h":
+        var_name, var_unit = "Intensity", "mm/hr"
+    elif unit == "mm":
+        var_name, var_unit = "Depth", "mm"
+    else:
+        raise ValueError(f"kineros: unsupported unit {unit}")
+
+    # gauge coordinates: cell centres on the metadata grid
+    xr = np.linspace(metadata["x1"], metadata["x2"], w + 1)[:-1]
+    xr += 0.5 * (xr[1] - xr[0])
+    yr = np.linspace(metadata["y1"], metadata["y2"], h + 1)[:-1]
+    yr += 0.5 * (yr[1] - yr[0])
+    xy_coords = np.stack(np.meshgrid(xr, yr))
+
+    fns = []
+    for i in range(n_ens_members):
+        fn = os.path.join(outpath, f"{outfnprefix}_N{i:02d}.pre")
+        with open(fn, "w") as fd:
+            fd.write("! pysteps_tpu-generated nowcast.\n")
+            fd.write(f"! Member = {i:02d}.\n")
+            fd.write(f"! Startdate = {startdate.strftime('%c')}.\n")
+        fns.append(fn)
+
     return {
         "method": "kineros",
         "outpath": outpath,
         "outfnprefix": outfnprefix,
+        "ncfile": fns,
+        "XY_coords": xy_coords,
+        "var_name": var_name,
+        "var_unit": var_unit,
         "num_timesteps": n_timesteps,
         "num_ens_members": n_ens_members,
         "shape": tuple(shape),
         "metadata": metadata,
+        "startdate": startdate,
         "timestep": timestep,
         "fields": [],
         "incremental": None,
@@ -441,19 +482,25 @@ def close_forecast_files(exporter):
             timestep=exporter["timestep"],
         )
     elif exporter["method"] == "kineros":
-        # per-element average rate time series
-        fields = np.concatenate(exporter["fields"], axis=1)
-        path = os.path.join(
-            exporter["outpath"], exporter["outfnprefix"] + ".pre"
-        )
-        with open(path, "w") as f:
-            mean_series = np.nanmean(fields, axis=(0, 2, 3))
-            f.write("! Kineros2 rainfall input generated by pysteps_tpu\n")
-            f.write("BEGIN RG1\n")
-            f.write(f"  N = {len(mean_series)}\n")
-            f.write("  TIME        DEPTH\n")
-            depth = 0.0
-            for i, rate in enumerate(mean_series):
-                depth += rate * exporter["timestep"] / 60.0
-                f.write(f"  {i * exporter['timestep']:8.1f}  {depth:10.3f}\n")
-            f.write("END\n")
+        # per-element (gauge) series, one file per member
+        # (reference: io/exporters.py:832-863)
+        fields = np.concatenate(exporter["fields"], axis=1)  # (ens, t, h, w)
+        n_t = exporter["num_timesteps"]
+        timestep = exporter["timestep"]
+        xgrid = exporter["XY_coords"][0].flatten()
+        ygrid = exporter["XY_coords"][1].flatten()
+        timemin = [(t + 1) * timestep for t in range(n_t)]
+        for n in range(exporter["num_ens_members"]):
+            series = fields[n].reshape((n_t, -1))
+            if exporter["var_name"] == "Depth":
+                series = np.cumsum(series, axis=0)
+            with open(exporter["ncfile"][n], "a") as fd:
+                for m in range(series.shape[1]):
+                    fd.write("BEGIN RG%03d\n" % (m + 1))
+                    fd.write("  X = %.2f, Y = %.2f\n" % (xgrid[m], ygrid[m]))
+                    fd.write("  N = %i\n" % n_t)
+                    fd.write("  TIME        %s\n" % exporter["var_name"].upper())
+                    fd.write("! (min)        (%s)\n" % exporter["var_unit"])
+                    for t in range(n_t):
+                        fd.write("{:6.1f}  {:11.2f}\n".format(timemin[t], series[t, m]))
+                    fd.write("END\n\n")

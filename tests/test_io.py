@@ -4,6 +4,7 @@ test_exporters.py) using synthetic files written to tmp_path."""
 import datetime
 import gzip
 import os
+import re
 
 import numpy as np
 import pytest
@@ -365,6 +366,42 @@ def test_netcdf_exporter_roundtrip(tmp_path, incremental):
     assert "+proj=stere" in meta["projection"]
     assert meta["x1"] == pytest.approx(0.0)
     assert meta["x2"] == pytest.approx(512000.0)
+
+
+def test_kineros_exporter_per_element(tmp_path):
+    start = datetime.datetime(2026, 8, 18, 12, 0)
+    F = np.random.RandomState(3).gamma(1.0, 2.0, (2, 3, 4, 4)).astype(np.float32)
+    exp = exporters.initialize_forecast_exporter_kineros(
+        str(tmp_path), "kin", start, 5, 3, (4, 4), _NC_META, n_ens_members=2
+    )
+    exporters.export_forecast_dataset(F, exp)
+    exporters.close_forecast_files(exp)
+
+    # one file per member, one RG block per grid point, one line per lead
+    for n in range(2):
+        text = (tmp_path / f"kin_N{n:02d}.pre").read_text()
+        assert text.count("BEGIN RG") == 16
+        assert "BEGIN RG016" in text
+        assert "TIME        INTENSITY" in text
+        # first gauge of member n carries the raw series at (0, 0)
+        block = text.split("BEGIN RG001\n")[1].split("END")[0]
+        lines = [ln for ln in block.splitlines() if re.match(r"\s*\d", ln)]
+        vals = [float(ln.split()[1]) for ln in lines]
+        np.testing.assert_allclose(vals, F[n, :, 0, 0], atol=0.01)
+
+    # unit mm -> cumulative DEPTH series
+    exp = exporters.initialize_forecast_exporter_kineros(
+        str(tmp_path), "kin_mm", start, 5, 3, (4, 4), _NC_META | {"unit": "mm"},
+        n_ens_members=1,
+    )
+    exporters.export_forecast_dataset(F[:1], exp)
+    exporters.close_forecast_files(exp)
+    text = (tmp_path / "kin_mm_N00.pre").read_text()
+    assert "TIME        DEPTH" in text
+    block = text.split("BEGIN RG001\n")[1].split("END")[0]
+    lines = [ln for ln in block.splitlines() if re.match(r"\s*\d", ln)]
+    vals = [float(ln.split()[1]) for ln in lines]
+    np.testing.assert_allclose(vals, np.cumsum(F[0, :, 0, 0]), atol=0.01)
 
 
 def test_netcdf_exporter_packing(tmp_path):

@@ -229,6 +229,19 @@ def test_tapering_matches():
         np.testing.assert_allclose(mine, ref, atol=1e-5)
 
 
+def test_masked_tapering_matches():
+    from pysteps_tpu.utils.tapering import compute_mask_window_function
+
+    # circular radar coverage on a rectangular grid
+    yy, xx = np.mgrid[0:64, 0:80]
+    mask = (yy - 32.0) ** 2 + (xx - 40.0) ** 2 < 30.0**2
+    ref = pysteps.utils.tapering.compute_mask_window_function(
+        mask, "tukey", r_max=8.0
+    )
+    mine = np.asarray(compute_mask_window_function(mask, "tukey", r_max=8.0))
+    np.testing.assert_allclose(mine, ref, atol=1e-5)
+
+
 def test_idw_interpolation_matches():
     from pysteps_tpu.utils.interpolate import idwinterp2d
 
