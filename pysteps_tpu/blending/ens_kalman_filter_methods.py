@@ -86,19 +86,57 @@ class EnsembleKalmanFilter:
                 )
         return window
 
-    def get_precipitation_mask(self, forecast_array, precip_thr=0.1):
+    def get_precipitation_mask(self, forecast_array):
         """Grid boxes where >= n_ens_prec members forecast precipitation
-        (reference: :278)."""
-        fa = jnp.asarray(forecast_array)
-        counts = jnp.sum(fa > precip_thr, axis=0)
+        (reference: :252-300); with non_precip_mask disabled every box
+        passes."""
+        fa = jnp.asarray(forecast_array).reshape(forecast_array.shape[0], -1)
+        counts = jnp.sum(fa >= self._config.precip_threshold, axis=0)
+        if not self._non_precip_mask:
+            return np.ones(fa.shape[1], dtype=bool)
         return np.asarray(counts >= self._n_ens_prec)
 
-    def get_lien_mask(self, background, observation, precip_thr=0.1):
-        """Grid boxes satisfying the Lien et al. criterion: at least n_lien
-        members of both ensembles show precipitation (reference: :330)."""
-        bg_counts = jnp.sum(jnp.asarray(background) > precip_thr, axis=0)
-        obs_counts = jnp.sum(jnp.asarray(observation) > precip_thr, axis=0)
-        return np.asarray((bg_counts >= self._n_lien) & (obs_counts >= self._n_lien))
+    def get_lien_criterion(self, nwc_ensemble, nwp_ensemble):
+        """Grid boxes satisfying the Lien et al. (2013) criterion: at least
+        n_lien members of both ensembles forecast precipitation
+        (reference: :302-357); with lien_criterion disabled every box
+        passes."""
+        nwc = jnp.asarray(nwc_ensemble).reshape(nwc_ensemble.shape[0], -1)
+        nwp = jnp.asarray(nwp_ensemble).reshape(nwp_ensemble.shape[0], -1)
+        nwc_counts = jnp.sum(nwc >= self._config.precip_threshold, axis=0)
+        nwp_counts = jnp.sum(nwp >= self._config.precip_threshold, axis=0)
+        if not self._lien_criterion:
+            return np.ones(nwc.shape[1], dtype=bool)
+        return np.asarray(
+            (nwc_counts >= self._n_lien) & (nwp_counts >= self._n_lien)
+        )
+
+    def get_weighting_for_probability_matching(
+        self, background_ensemble, analysis_ensemble, observation_ensemble
+    ):
+        """Effective NWP weight implied by the analysis update — Nerini
+        (2019) eq. 17 (reference: :359-400).  0 = all nowcast, 1 = all
+        NWP."""
+        w1 = np.sum(
+            np.asarray(analysis_ensemble) - np.asarray(background_ensemble),
+            axis=0,
+        )
+        w2 = np.sum(
+            np.asarray(observation_ensemble) - np.asarray(background_ensemble),
+            axis=0,
+        )
+        w_close = np.isclose(w1, w2)
+        w_zero = w_close & np.isclose(w2, 0.0)
+        weight = np.zeros_like(w1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            weight[~w_zero] = w1[~w_zero] / w2[~w_zero]
+        weight[w_close] = 1.0
+        valid = (weight >= 0.0) & (weight <= 1.0)
+        with np.errstate(invalid="ignore"):
+            weight = float(np.nanmean(weight[valid])) if np.any(valid) else np.nan
+        if not np.isfinite(weight):
+            weight = 1.0
+        return weight
 
 
 class MaskedEnKF(EnsembleKalmanFilter):
@@ -113,45 +151,133 @@ class MaskedEnKF(EnsembleKalmanFilter):
         self._inflation_factor_obs = kwargs.get("inflation_factor_obs", 1.0)
         self._offset_bg = kwargs.get("offset_bg", 0.0)
         self._offset_obs = kwargs.get("offset_obs", 0.0)
-        self._n_components = kwargs.get("n_components", None)
+        self._sampling_prob_source = kwargs.get("sampling_prob_source", "ensemble")
+        self._use_accum_sampling_prob = kwargs.get("use_accum_sampling_prob", False)
+        self._ensure_full_nwp_weight = kwargs.get("ensure_full_nwp_weight", True)
+        self.sampling_probability = 0.0
+        self._accumulated_sampling_prob = 0.0
+        self._degradation_timestep = 0.2
+        self._inflation_factor_obs_tmp = 1.0
 
-    def correct_step(self, background_ensemble, observation_ensemble, resampled_forecast):
-        """PCA-reduce, Kalman-update, back-transform, rank-match
-        (reference: :452; Nerini 2019).
+    def correct_step(self, background_ensemble, observation_ensemble,
+                     resampled_forecast=None, rng_key=None):
+        """Rainy-pixel selection + Lien criterion + PCA-reduced Kalman
+        update (reference: :452-628; Nerini 2019).
 
-        All arrays: (n_ens, m, n).  Returns the analysis ensemble (n_ens, m, n).
-        """
-        from pysteps_tpu.postprocessing.probmatching import _match_cdf_core
+        All arrays: (n_ens, m, n).  Returns ``(analysis, resampled)``: the
+        nowcast ensemble with the analysis patched into the rainy-pixel
+        set, and the sampling-probability-resampled matching target (None
+        when iterative probability matching is off)."""
+        from pysteps_tpu.postprocessing.probmatching import (
+            resample_distributions,
+        )
         from pysteps_tpu.utils.pca import pca_backtransform, pca_transform
 
-        n_ens, m, n = background_ensemble.shape
-        bg_flat = jnp.asarray(background_ensemble).reshape(n_ens, -1)
-        obs_flat = jnp.asarray(observation_ensemble).reshape(n_ens, -1)
+        background_ensemble = np.asarray(background_ensemble, np.float32)
+        observation_ensemble = np.asarray(observation_ensemble, np.float32)
+        n_ens = background_ensemble.shape[0]
+        shape2d = background_ensemble.shape[1:]
+        bg_flat = background_ensemble.reshape(n_ens, -1)
+        obs_flat = observation_ensemble.reshape(n_ens, -1)
 
-        # fit PCA on the combined ensembles (reduced space dim <= 2*n_ens)
-        combined = jnp.concatenate([bg_flat, obs_flat], axis=0)
-        n_comp = self._n_components or max(n_ens - 1, 1)
-        _, pca_params = pca_transform(combined, n_components=n_comp, get_params=True)
-        bg_pc = pca_transform(bg_flat, pca_params=pca_params)
-        obs_pc = pca_transform(obs_flat, pca_params=pca_params)
+        # rainy-pixel selection: grid boxes where either ensemble rains
+        # (reference: :484-487)
+        idx_prec = self.get_precipitation_mask(
+            bg_flat
+        ) | self.get_precipitation_mask(obs_flat)
+        # Lien-criterion subset, truncated onto the rainy area (:489-493)
+        idx_lien = self.get_lien_criterion(bg_flat, obs_flat)[idx_prec]
+
+        stacked = np.vstack([bg_flat, obs_flat])[:, idx_prec]
+        stacked[~np.isfinite(stacked)] = self._config.norain_threshold
+
+        # too few rainy boxes: fall back to the NWP ensemble (:506-510)
+        if np.sum(idx_prec) <= stacked.shape[0]:
+            return observation_ensemble, resampled_forecast
+
+        # PCA on the stacked rainy-pixel ensembles; the Lien-masked
+        # projection feeds the covariance estimates (:512-527)
+        stacked_pc, pca_params = pca_transform(
+            stacked, get_params=True, n_components=stacked.shape[0]
+        )
+        stacked_lien_pc = pca_transform(
+            stacked, mask=jnp.asarray(idx_lien), pca_params=pca_params
+        )
+
+        # full-NWP-weight assurance near total NWP trust (:529-537)
+        if not np.isclose(self._accumulated_sampling_prob, 1.0, rtol=1e-2):
+            self._inflation_factor_obs_tmp = (
+                self._inflation_factor_obs
+                - self._accumulated_sampling_prob
+                * (self._inflation_factor_obs - 1.0)
+            )
+        else:
+            self._inflation_factor_obs_tmp = np.cos(self._degradation_timestep)
+            self._degradation_timestep += 0.2
 
         analysis_pc = self.update(
-            bg_pc, obs_pc,
+            stacked_pc[:n_ens], stacked_pc[n_ens:],
             inflation_factor_bg=self._inflation_factor_bg,
-            inflation_factor_obs=self._inflation_factor_obs,
+            inflation_factor_obs=self._inflation_factor_obs_tmp,
             offset_bg=self._offset_bg,
             offset_obs=self._offset_obs,
-        ).T  # (n_ens, n_pc)
+            background_ensemble_valid_lien=stacked_lien_pc[:n_ens],
+            observation_ensemble_valid_lien=stacked_lien_pc[n_ens:],
+        )
+        analysis = np.asarray(pca_backtransform(analysis_pc.T, pca_params))
 
-        analysis = pca_backtransform(analysis_pc, pca_params).reshape(n_ens, m, n)
-
-        if self._iterative_prob_matching and resampled_forecast is not None:
-            matched = []
-            for j in range(n_ens):
-                matched.append(
-                    _match_cdf_core(
-                        analysis[j], jnp.asarray(resampled_forecast[j])
-                    )
+        # sampling probability: effective NWP weight over the Lien subset
+        # or the explained-variance-weighted Kalman gain (:555-577)
+        if self._sampling_prob_source == "ensemble":
+            prob = self.get_weighting_for_probability_matching(
+                stacked[:n_ens][:, idx_lien],
+                analysis[:, idx_lien],
+                stacked[n_ens:][:, idx_lien],
+            )
+        elif self._sampling_prob_source == "explained_var":
+            prob = float(
+                np.sum(
+                    np.diag(np.asarray(self.K))
+                    * np.asarray(pca_params["explained_variance"])[
+                        : self.K.shape[0]
+                    ]
                 )
-            analysis = jnp.stack(matched)
-        return analysis
+            )
+        else:
+            raise ValueError(
+                "sampling_prob_source must be 'ensemble' or 'explained_var', "
+                f"got {self._sampling_prob_source}"
+            )
+
+        if self._use_accum_sampling_prob:
+            self.sampling_probability = (
+                1.0 - prob
+            ) * self.sampling_probability + prob
+        else:
+            self.sampling_probability = prob
+        if self._ensure_full_nwp_weight:
+            self._accumulated_sampling_prob = (
+                1.0 - prob
+            ) * self._accumulated_sampling_prob + prob
+
+        # resample the matching target with the dynamic weight (:598-621)
+        if self._iterative_prob_matching and resampled_forecast is not None:
+            import jax
+
+            key = rng_key if rng_key is not None else jax.random.PRNGKey(0)
+            resampled_forecast = np.stack(
+                [
+                    np.asarray(
+                        resample_distributions(
+                            bg_flat[j], obs_flat[j],
+                            1.0 - self.sampling_probability,
+                            key=jax.random.fold_in(key, j),
+                        )
+                    ).reshape(shape2d)
+                    for j in range(n_ens)
+                ]
+            )
+
+        out = background_ensemble.copy().reshape(n_ens, -1)
+        out[:, idx_prec] = analysis
+        return out.reshape(background_ensemble.shape), resampled_forecast

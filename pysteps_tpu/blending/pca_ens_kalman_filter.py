@@ -144,24 +144,45 @@ class ForecastModel:
             [nwp_t[j % n_nwp] for j in range(E)]
         )
         obs_ens = np.nan_to_num(obs_ens, nan=self.params.zerovalue)
-        w_nwp = self.nwp_weight(state.timestep, horizon)
         key, sub = jax.random.split(state.rng_key)
-        resampled = np.stack(
-            [
-                np.asarray(
-                    resample_distributions(
-                        background_t[j], obs_ens[j], 1.0 - w_nwp,
-                        key=jax.random.fold_in(sub, j),
-                    )
-                ).reshape(background_t[j].shape)
-                for j in range(E)
-            ]
-        )
         if isinstance(self.enkf, MaskedEnKF):
-            analysis = np.asarray(
-                self.enkf.correct_step(background_t, obs_ens, resampled)
+            # rainy-pixel + Lien-criterion EnKF with a dynamic sampling
+            # probability (reference: ens_kalman_filter_methods.py:452-628);
+            # the analysis is rank-matched against the resampled target as
+            # the reference's subsequent nowcast step does
+            # (pca_ens_kalman_filter.py:876-883)
+            from pysteps_tpu.postprocessing.probmatching import _match_cdf_core
+
+            analysis, resampled = self.enkf.correct_step(
+                background_t, obs_ens,
+                resampled_forecast=background_t.copy(), rng_key=sub,
             )
+            if resampled is not None:
+                analysis = np.stack(
+                    [
+                        np.asarray(
+                            _match_cdf_core(
+                                jnp.asarray(analysis[j]),
+                                jnp.asarray(resampled[j]),
+                            )
+                        )
+                        for j in range(E)
+                    ]
+                )
         else:
+            # plain EnKF: fixed linear trust ramp toward NWP
+            w_nwp = self.nwp_weight(state.timestep, horizon)
+            resampled = np.stack(
+                [
+                    np.asarray(
+                        resample_distributions(
+                            background_t[j], obs_ens[j], 1.0 - w_nwp,
+                            key=jax.random.fold_in(sub, j),
+                        )
+                    ).reshape(background_t[j].shape)
+                    for j in range(E)
+                ]
+            )
             bg_flat = background_t.reshape(E, -1)
             obs_flat = obs_ens.reshape(E, -1)
             analysis = np.asarray(

@@ -305,7 +305,7 @@ def _blending_scan(
     external=False, ext_cascades=None, ext_means=None, ext_sigmas=None,
     max_disp=None, vel_pert=False, p_par=None, p_perp=None,
     eps_par=None, eps_perp=None, vsf=1.0, timestep_min=1.0,
-    use_noise=True,
+    use_noise=True, t_offset=0, carry_init=None,
 ):
     """The blended forecast loop.
 
@@ -523,12 +523,17 @@ def _blending_scan(
         )
         return new_carry, outs
 
-    carry0 = StepsBlendingState(
-        cascades=cascades0, noise_cascades=noise0, precip_mask=mask_prec0,
-        member_keys=member_keys, displacement=displacement0,
+    if carry_init is not None:
+        carry0 = carry_init
+    else:
+        carry0 = StepsBlendingState(
+            cascades=cascades0, noise_cascades=noise0, precip_mask=mask_prec0,
+            member_keys=member_keys, displacement=displacement0,
+        )
+    carry_out, outputs = jax.lax.scan(
+        step, carry0, jnp.arange(int_steps) + t_offset
     )
-    _, outputs = jax.lax.scan(step, carry0, jnp.arange(int_steps))
-    return jnp.swapaxes(outputs, 0, 1)
+    return carry_out, outputs  # outputs time-major (T, E, m, n)
 
 
 def forecast(
@@ -759,13 +764,22 @@ def forecast(
             weights_t[t, im] = w
 
     # blended advection per step: weighted by the second cascade level's
-    # weights (reference: blending/utils.py:185 note)
+    # weights (reference: blending/utils.py:185 note).  velocity_models may
+    # be static (n_models, 2, m, n) or time-varying (n_models, T+1, 2, m, n)
+    # as the reference requires (reference: blending/steps.py:795-797,1856)
     vel_w_extrap = weights_t[:, :, 0, 1]  # (T, n_models)
     vel_w_nwp = weights_t[:, :, 1, 1]
     tot = np.maximum(vel_w_extrap + vel_w_nwp, 1e-12)
+    if velocity_models.ndim == 5:
+        idx = np.clip(
+            np.arange(1, int_steps + 1), 0, velocity_models.shape[1] - 1
+        )
+        vm_t = np.swapaxes(velocity_models[:, idx], 0, 1)  # (T, n_models, 2, m, n)
+    else:
+        vm_t = velocity_models[None, :, :2]
     velocity_blend = (
         vel_w_extrap[..., None, None, None] * velocity[None, None]
-        + vel_w_nwp[..., None, None, None] * velocity_models[None, :, :2]
+        + vel_w_nwp[..., None, None, None] * vm_t
     ) / tot[..., None, None, None]
 
     # noise filter (reference: :1421)
@@ -946,7 +960,7 @@ def forecast(
 
     init_time = time.time() - t0
     t1 = time.time()
-    out = _blending_scan(
+    scan_args = (
         window.astype(jnp.float32),
         jnp.zeros_like(window),
         mask_prec_init,
@@ -972,14 +986,15 @@ def forecast(
         jnp.float32(precip_thr),
         jnp.asarray(domain_mask),
         smooth_mask.astype(jnp.float32),
-        int_steps,
-        mask_method,
-        probmatching_method,
-        bool(resample_distribution),
-        mask_rim,
-        struct_radius,
-        n_ens_members,
-        (m, n),
+    )
+    scan_kwargs = dict(
+        mask_method=mask_method,
+        probmatching=probmatching_method,
+        resample_distribution=bool(resample_distribution),
+        mask_rim=mask_rim,
+        struct_radius=struct_radius,
+        E=n_ens_members,
+        noise_filt_shape=(m, n),
         external=external,
         ext_cascades=ext_cascades,
         ext_means=ext_means,
@@ -994,6 +1009,31 @@ def forecast(
         timestep_min=jnp.float32(timestep if timestep else 1.0),
         use_noise=noise_method is not None,
     )
+
+    if callback is not None and not return_output and subsel is None:
+        # incremental memory contract: chunked scan + per-chunk host fetch
+        # (reference: blending/steps.py callback/return_output modes)
+        t_chunk = min(4, int_steps)
+        carry = None
+        t_done = 0
+        while t_done < int_steps:
+            tc = min(t_chunk, int_steps - t_done)
+            carry, out_c = _blending_scan(
+                *scan_args, tc, t_offset=t_done, carry_init=carry,
+                **scan_kwargs,
+            )
+            arr = np.asarray(out_c)
+            del out_c
+            for ti in range(tc):
+                callback(arr[ti])
+            t_done += tc
+        loop_time = time.time() - t1
+        if measure_time:
+            return None, init_time, loop_time
+        return None
+
+    _, out = _blending_scan(*scan_args, int_steps, **scan_kwargs)
+    out = jnp.swapaxes(out, 0, 1)
     np.asarray(out)
     loop_time = time.time() - t1
 

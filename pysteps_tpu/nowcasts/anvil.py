@@ -96,6 +96,27 @@ def _r_vil_regression(vil, r, window_radius):
     return a, b
 
 
+def _alignment_validity(velocity, p1, n_iter=1, max_disp=None):
+    """Validity masks of the Lagrangian alignment: the reference extrapolates
+    with ``outval=np.nan`` (reference: extrapolation/semilagrangian.py:25),
+    so pixels advected from outside the domain are NaN and excluded from the
+    ANVIL mask (reference: anvil.py:232-235).  Warping a ones-field with
+    cval=0 through the same displacement chain reproduces that boundary
+    strip without putting NaNs through the FFT decomposition."""
+    ones = jnp.ones(velocity.shape[1:], jnp.float32)
+    outs = []
+    for i in range(p1):
+        disp = jnp.zeros_like(velocity)
+        for _ in range(p1 - 1 - i):
+            disp = integrate_displacement(
+                velocity, disp, 1.0, n_iter=n_iter, max_disp=max_disp
+            )
+        outs.append(
+            model_warp(ones, disp, max_disp=max_disp, interp_order=1, cval=0.0)
+        )
+    return jnp.stack(outs)
+
+
 def _iterate_ari_localized(window, phi):
     """One ARI step with per-pixel parameters.
 
@@ -200,7 +221,13 @@ def forecast(
         n_iter=extrap_kwargs.get("n_iter", 1),
         interp_order=extrap_kwargs.get("interp_order", 1),
     )
-    mask = jnp.all(jnp.isfinite(jnp.asarray(vil_filled)), axis=0)
+    valid = _alignment_validity(
+        velocity_j, vil.shape[0],
+        n_iter=extrap_kwargs.get("n_iter", 1),
+    )
+    mask = jnp.all(jnp.isfinite(jnp.asarray(vil_filled)), axis=0) & jnp.all(
+        valid > 0.9999, axis=0
+    )
     if rainrate is None and apply_rainrate_mask:
         rainrate_mask0 = rainrate_mask0 & mask
 

@@ -32,9 +32,11 @@ import numpy as np
 
 from pysteps_tpu.extrapolation.semilagrangian import integrate_displacement
 from pysteps_tpu.feature import shitomasi
-from pysteps_tpu.noise.fftgenerators import (
-    _generate_fft_noise,
-    initialize_nonparam_2d_fft_filter,
+from pysteps_tpu.noise.fftgenerators import _spectral_white
+from pysteps_tpu.noise.motion import (
+    _laplace,
+    get_default_params_bps_par,
+    get_default_params_bps_perp,
 )
 from pysteps_tpu.nowcasts.steps import _lagrangian_alignment
 from pysteps_tpu.ops.warp import warp
@@ -75,13 +77,16 @@ def _render_kernel(params):
         jnp.arange(-half, half + 1, dtype=jnp.float32),
         indexing="ij",
     )
-    sigma1 = jnp.exp(params[0])
-    sigma2 = jnp.exp(params[1])
+    # sigma bounds mirror the reference's optimizer box (linda.py:713:
+    # sigma1 in [0.1, 10], sigma2 in [0.2, 5] for exp(-x^2/sigma^2), i.e.
+    # /sqrt(2) in this exp(-0.5 (x/sigma)^2) convention)
+    sigma1 = jnp.clip(jnp.exp(params[0]), 0.1, 7.07)
+    sigma2 = jnp.clip(jnp.exp(params[1]), 0.15, 3.54)
     phi = params[2]
     c, s = jnp.cos(phi), jnp.sin(phi)
     u = c * x + s * y
     v = -s * x + c * y
-    k = jnp.exp(-0.5 * ((u / jnp.maximum(sigma1, 0.3)) ** 2 + (v / jnp.maximum(sigma2, 0.3)) ** 2))
+    k = jnp.exp(-0.5 * ((u / sigma1) ** 2 + (v / sigma2) ** 2))
     return k / jnp.maximum(jnp.sum(k), 1e-12)
 
 
@@ -150,7 +155,11 @@ def _fit_psi(src, dst, weights, mask):
         wm = w * maskf
         num = jnp.sum(wm * src * dst)
         den = jnp.maximum(jnp.sum(wm * src * src), 1e-12)
-        return jnp.clip(num / den, -1.2, 1.2)
+        # the reference solves a *bounded* scalar minimization with
+        # psi in [-0.98, 0.98] (reference: linda.py:604) — the bound is
+        # load-bearing: the unconstrained LSQ often exceeds 1, which makes
+        # the integrated ARI explosive
+        return jnp.clip(num / den, -0.98, 0.98)
 
     return jax.vmap(one)(weights)  # (F,)
 
@@ -172,28 +181,227 @@ def _fit_psi2(src1, src2, dst, weights, mask):
         det = jnp.maximum(a11 * a22 - a12 * a12, 1e-12)
         psi1 = (a22 * b1 - a12 * b2) / det
         psi2 = (a11 * b2 - a12 * b1) / det
-        return jnp.clip(jnp.stack([psi1, psi2]), -1.5, 1.5)
+        # project onto the reference's stationarity polygon
+        # (reference: linda.py:633-641): psi1+psi2 <= 0.98,
+        # psi2-psi1 <= 0.98, |psi1| <= 1.98, |psi2| <= 0.98
+        psi2 = jnp.clip(psi2, -0.98, 0.98)
+        psi1 = jnp.clip(
+            psi1, jnp.maximum(-1.98, psi2 - 0.98), jnp.minimum(1.98, 0.98 - psi2)
+        )
+        return jnp.stack([psi1, psi2])
 
     return jax.vmap(one)(weights)  # (F, 2)
 
 
+def _fit_lognorm_constrained(err, mask):
+    """MLE of the shape parameter of a mean-one-constrained lognormal
+    (reference: _fit_dist, linda.py:889-897): maximize the likelihood of
+    ``lognorm(s, loc=-0.5 s^2)`` over the masked error samples."""
+    from scipy import optimize, stats
+
+    vals = err[mask]
+
+    def negll(s):
+        p = stats.lognorm.pdf(vals, s, -0.5 * s**2)
+        p = np.where(p > 1e-300, p, 1e-300)
+        return -np.sum(np.log(p))
+
+    s_opt = optimize.minimize_scalar(
+        negll, bounds=(1e-3, 20.0), method="Bounded"
+    ).x
+    return float(s_opt), float(-0.5 * s_opt**2)
+
+
+def _weighted_err_std(f, w):
+    """Weighted std of multiplicative errors around 1, omitting near-one
+    values (reference: _weighted_std, linda.py:1455-1465)."""
+    mask = np.abs(f - 1.0) > 1e-4
+    n_nz = np.count_nonzero(mask)
+    if n_nz == 0:
+        return np.nan
+    c = (f[mask].size - 1.0) / n_nz
+    return float(
+        np.sqrt(np.sum(w[mask] * (f[mask] - 1.0) ** 2) / (c * np.sum(w[mask])))
+    )
+
+
+def _sample_acf(field):
+    """Sample spatial ACF via the Wiener-Khinchin relation
+    (reference: _compute_sample_acf, linda.py:555-561)."""
+    f = np.fft.rfft2((field - np.mean(field)) / np.std(field))
+    return np.fft.irfft2(np.abs(f * np.conj(f)), s=field.shape) / field.size
+
+
+def _acf_to_gaussian(r, s):
+    """Map a lognormal-space correlation to the Gaussian copula space.
+
+    The reference computes this mapping by numerical double integration
+    (_compute_inverse_acf_mapping, linda.py:436-460); for the lognormal
+    marginal the mapping is the classical closed form
+    rho = log(1 + r (e^{s^2} - 1)) / s^2."""
+    e = np.expm1(s**2)
+    return np.log(np.maximum(1.0 + r * e, 1e-6)) / max(s**2, 1e-12)
+
+
+def _fit_parametric_acf(acf):
+    """Fit the anisotropic exponential ACF c*exp(-sqrt(r'^2)) to the sample
+    estimate (reference: _fit_acf + _compute_parametric_acf,
+    linda.py:527-553,864-887)."""
+    from scipy import optimize
+
+    m, n = acf.shape
+    x = np.fft.ifftshift(np.arange(-(n // 2), n - n // 2))
+    y = np.fft.ifftshift(np.arange(-(m // 2), m - m // 2))
+    gx, gy = np.meshgrid(x, y)
+
+    def parametric(p):
+        c, phi, sigma1, ratio = p
+        sigma2 = ratio * sigma1
+        phi_r = phi / 180.0 * np.pi
+        u = (np.cos(phi_r) * gx + np.sin(phi_r) * gy) / sigma1
+        v = (-np.sin(phi_r) * gx + np.cos(phi_r) * gy) / sigma2
+        return c * np.exp(-np.sqrt(u * u + v * v))
+
+    def resid(p):
+        return (acf - parametric(p)).ravel()
+
+    p_opt = optimize.least_squares(
+        resid, np.array((1.0, 0.0, 1.0, 1.0)),
+        bounds=((0.01, -np.inf, 0.1, 0.2), (10.0, np.inf, 10.0, 5.0)),
+        method="trf", ftol=1e-6, xtol=1e-4, gtol=1e-6,
+    )
+    return parametric(p_opt.x)
+
+
+def _tukey_feature_window(m, n, ci, cj, r, alpha=0.5):
+    """Separable Tukey window centred on a feature
+    (reference: _window_tukey, linda.py:1468-1496)."""
+    j, i = np.meshgrid(np.arange(n), np.arange(m))
+    out = np.ones((m, n))
+    for d, rr in ((np.abs(i - ci), r), (np.abs(j - cj), r)):
+        w = np.zeros((m, n))
+        inside = d <= rr
+        flat = d <= alpha * rr
+        ramp = inside & ~flat
+        w[ramp] = 0.5 * (
+            1.0 + np.cos(np.pi * (d[ramp] - alpha * rr) / ((1.0 - alpha) * rr))
+        )
+        w[flat] = 1.0
+        out *= w
+    return out
+
+
+def _estimate_error_model(
+    err, feature_coords, shape, errdist_window_radius, acf_window_radius,
+    localization_window_radius,
+):
+    """Per-feature forecast-error marginals + correlation structure
+    (reference: _estimate_perturbation_params, linda.py:749-862).
+
+    err: multiplicative one-step hindcast errors with NaN outside the
+    validity mask.  Returns the pytree consumed by
+    _generate_error_perturbations."""
+    m, n = shape
+    n_feat = feature_coords.shape[0]
+    mask_finite = np.isfinite(err)
+    err = np.where(mask_finite, err, 1.0)
+
+    weights_dist = _compute_window_weights(
+        feature_coords, m, n, errdist_window_radius
+    )
+
+    s_list, loc_list, std_list, ampl_list = [], [], [], []
+    for i in range(n_feat):
+        if n_feat > 1:
+            weights_acf = _tukey_feature_window(
+                m, n, feature_coords[i, 0], feature_coords[i, 1],
+                acf_window_radius,
+            )
+        else:
+            weights_acf = np.ones((m, n))
+        mask = mask_finite & (weights_dist[i] > 0.1)
+        valid = (
+            np.sum(mask) > 10
+            and np.sum(np.abs(err[mask] - 1.0) >= 1e-3) > 10
+        )
+        if valid:
+            s, loc = _fit_lognorm_constrained(err, mask)
+            mask_acf = weights_acf > 1e-4
+            std = _weighted_err_std(err[mask_acf], weights_dist[i][mask_acf])
+            valid = np.isfinite(std)
+        if valid:
+            acf = _acf_to_gaussian(
+                _sample_acf(weights_acf * (err - 1.0) / std), s
+            )
+            acf = _fit_parametric_acf(acf)
+            ampl = np.sqrt(np.abs(np.fft.rfft2(acf)))
+        else:
+            s, loc, std = 1e-10, 1e-10, 0.0
+            ampl = np.full((m, n // 2 + 1), 1e-10)
+        s_list.append(s)
+        loc_list.append(loc)
+        std_list.append(std)
+        ampl_list.append(ampl)
+
+    weights = _compute_window_weights(
+        feature_coords, m, n, localization_window_radius
+    )
+    weights /= np.sum(weights, axis=0)
+    return {
+        "s": jnp.asarray(s_list, jnp.float32),
+        "loc": jnp.asarray(loc_list, jnp.float32),
+        "std": jnp.asarray(std_list, jnp.float32),
+        "ampl": jnp.asarray(np.stack(ampl_list), jnp.float32),
+        "weights": jnp.asarray(weights, jnp.float32),
+    }
+
+
+def _generate_error_perturbations(key, pert_params, shape):
+    """Per-feature lognormal, ACF-filtered multiplicative perturbation field
+    (reference: _generate_perturbations, linda.py:903-941).
+
+    One white spectrum is drawn and filtered by each feature's fitted ACF
+    amplitude spectrum; the standardized Gaussian field maps to the
+    feature's constrained lognormal via exp(s*x) + loc (the closed form of
+    ``lognorm.ppf(norm.cdf(x), s, loc)``), and the fields composite with
+    the interpolation weights."""
+    m, n = shape
+    white = _spectral_white(key, shape)
+
+    def per_feature(ampl, s_i, loc_i, std_i):
+        x = jnp.fft.irfft2(ampl * white, s=shape)
+        x = x / jnp.maximum(jnp.std(x), 1e-12)
+        pert = jnp.exp(s_i * x) + loc_i
+        return jnp.where(std_i > 0.0, pert, 1.0)
+
+    perts = jax.vmap(per_feature)(
+        pert_params["ampl"], pert_params["s"], pert_params["loc"],
+        pert_params["std"],
+    )
+    return jnp.sum(pert_params["weights"] * perts, axis=0)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("int_steps", "add_perturbations", "E", "shape")
+    jax.jit,
+    static_argnames=("int_steps", "add_perturbations", "E", "shape", "vel_pert"),
 )
 def _linda_scan(
     diff_window, forecast0, velocity, kernels_1, kernels_2, interp_weights,
-    psi_field, mask_adv, member_keys, noise_filt, pert_std, int_steps,
-    add_perturbations, E, shape,
+    psi_field, mask_adv, member_keys, pert_params, int_steps,
+    add_perturbations, E, shape, vel_pert=False, vp_coeffs=None,
+    eps_par=None, eps_perp=None, V_n=None, V_perp=None, vsf=1.0,
+    timestep_min=1.0,
 ):
     m, n = shape
     diffs0 = jnp.broadcast_to(diff_window, (E,) + diff_window.shape)
     fc0 = jnp.broadcast_to(forecast0, (E, m, n))
     disp0 = jnp.zeros((E, 2, m, n), jnp.float32)
 
-    def step(carry, _):
+    def step(carry, t):
         diffs, fc, keys, disp = carry
+        t_total = (t + 1.0) * timestep_min
 
-        def member(key, d_j, f_j, disp_j):
+        def member(key, d_j, f_j, disp_j, eps_par_j, eps_perp_j):
             key, k_pert = jax.random.split(key)
             # ARI iterate on the differenced fields with per-pixel psi maps:
             # d_new = sum_i psi_i * d[-(i+1)]
@@ -212,18 +420,36 @@ def _linda_scan(
             out = jnp.maximum(f_j, 0.0)
             out = jnp.where(mask_adv, out, jnp.nan)
             if add_perturbations:
-                eps = _generate_fft_noise(k_pert, noise_filt, shape, False)
-                out = out * jnp.exp(pert_std * eps)
+                out = out * _generate_error_perturbations(
+                    k_pert, pert_params, shape
+                )
+            # BPS velocity perturbation (reference: linda.py:1371-1389)
+            if vel_pert:
+                a1, b1, c1 = vp_coeffs[0]
+                a2, b2, c2 = vp_coeffs[1]
+                g_par = a1 * t_total**b1 + c1
+                g_perp = a2 * t_total**b2 + c2
+                vel_j = velocity + (
+                    eps_par_j * g_par * V_n + eps_perp_j * g_perp * V_perp
+                ) / vsf
+            else:
+                vel_j = velocity
             # advect to Eulerian coordinates
-            disp_j = integrate_displacement(velocity, disp_j, 1.0)
+            disp_j = integrate_displacement(vel_j, disp_j, 1.0)
             out_e = warp(out, disp_j, order=1, cval=jnp.nan)
             return key, d_j, f_j, disp_j, out_e
 
-        keys, diffs, fc, disp, outs = jax.vmap(member)(keys, diffs, fc, disp)
+        if vel_pert:
+            args = (keys, diffs, fc, disp, eps_par, eps_perp)
+            fn = member
+        else:
+            fn = lambda k, d, f, dp: member(k, d, f, dp, None, None)  # noqa: E731
+            args = (keys, diffs, fc, disp)
+        keys, diffs, fc, disp, outs = jax.vmap(fn)(*args)
         return (diffs, fc, keys, disp), outs
 
     carry0 = (diffs0, fc0, member_keys, disp0)
-    _, outputs = jax.lax.scan(step, carry0, None, length=int_steps)
+    _, outputs = jax.lax.scan(step, carry0, jnp.arange(int_steps))
     return jnp.swapaxes(outputs, 0, 1)
 
 
@@ -243,8 +469,8 @@ def forecast(
     extrap_kwargs=None,
     add_perturbations=True,
     pert_thrs=(0.5, 1.0),
-    n_ens_members=40,
-    vel_pert_method=None,
+    n_ens_members=10,
+    vel_pert_method="bps",
     vel_pert_kwargs=None,
     kmperpixel=None,
     timestep=None,
@@ -325,7 +551,8 @@ def forecast(
         precip_lagr_diff[-2], precip_lagr_diff[-1], weights_j, mask_adv
     )
 
-    # convolve older differences (reference: :1220)
+    # convolve older differences (reference: :1220); diff_c excludes the
+    # newest (raw) difference — it is the regression *source* set
     diff_c = [precip_lagr_diff[i] for i in range(precip_lagr_diff.shape[0] - 1)]
     for i in range(len(diff_c)):
         for _ in range(ari_order - i):
@@ -355,25 +582,87 @@ def forecast(
         precip_fct, jnp.asarray(precip_filled[-1]), weights_j, mask_adv
     )
 
+    # the main scan's AR state: the newest ari_order entries of the FULL
+    # convolved-difference list; the newest (raw, unconvolved) difference
+    # drives the first prediction (reference: _linda_forecast, :985-992)
+    diff_window = jnp.stack(
+        (diff_c + [precip_lagr_diff[-1]])[-ari_order:]
+    ).astype(jnp.float32)
+
+    degenerate_pert = {
+        "s": jnp.zeros(1, jnp.float32),
+        "loc": jnp.zeros(1, jnp.float32),
+        "std": jnp.zeros(1, jnp.float32),
+        "ampl": jnp.zeros((1, m, n // 2 + 1), jnp.float32),
+        "weights": jnp.ones((1, m, n), jnp.float32),
+    }
+
     # --- perturbation parameters (probabilistic mode) ---
     if add_perturbations:
-        pert_gen = initialize_nonparam_2d_fft_filter(
-            precip_filled, win_fun="tukey", rm_rdisc=True
+        if errdist_window_radius is None:
+            errdist_window_radius = 0.15 * min(m, n)
+        if acf_window_radius is None:
+            acf_window_radius = 0.25 * min(m, n)
+        # one-step deterministic hindcast from the inputs minus the last
+        # frame, scored against the last observation
+        # (reference: _linda_perturbation_init, :1325-1352)
+        hind = _linda_scan(
+            jnp.stack(diff_c).astype(jnp.float32),
+            jnp.asarray(precip_filled[-2], jnp.float32),
+            velocity_j, kernels_1.astype(jnp.float32),
+            kernels_2.astype(jnp.float32), interp_weights,
+            psi_field.astype(jnp.float32), mask_adv,
+            jax.random.PRNGKey(0)[None], degenerate_pert, 1, False, 1, (m, n),
         )
-        noise_filt = jnp.asarray(pert_gen["field"], jnp.float32)
-        # lognormal error scale from the one-step hindcast error
-        err = jnp.log(
-            jnp.maximum(precip_fct, 0.1) / jnp.maximum(jnp.asarray(precip_filled[-1]), 0.1)
+        fct = np.asarray(hind[0, 0])
+        obs = precip_filled[-1]
+        err = fct / np.where(obs != 0, obs, np.nan)
+        err_mask = ((fct >= pert_thrs[1]) & (obs >= pert_thrs[0])) | (
+            (fct >= pert_thrs[0]) & (obs >= pert_thrs[1])
         )
-        pert_std = jnp.clip(
-            jnp.sqrt(jnp.sum(mask_adv * err**2) / jnp.maximum(jnp.sum(mask_adv), 1)),
-            0.05, 0.5,
+        err = np.where(err_mask, err, np.nan)
+        pert_params = _estimate_error_model(
+            err, feature_coords, (m, n), errdist_window_radius,
+            acf_window_radius, localization_window_radius,
         )
         E = n_ens_members
     else:
-        noise_filt = jnp.ones((m, n // 2 + 1), jnp.float32)
-        pert_std = jnp.float32(0.0)
+        pert_params = degenerate_pert
         E = 1
+
+    # BPS velocity perturbations (reference: :1371-1389)
+    vel_pert = bool(add_perturbations) and vel_pert_method is not None
+    if vel_pert:
+        if kmperpixel is None or timestep is None:
+            raise ValueError(
+                "vel_pert_method is set but kmperpixel or timestep is None"
+            )
+        vpk = dict(vel_pert_kwargs or {})
+        p_par = tuple(
+            float(v) for v in vpk.get("vp_par", get_default_params_bps_par())
+        )
+        p_perp = tuple(
+            float(v) for v in vpk.get("vp_perp", get_default_params_bps_perp())
+        )
+        vsf = 60.0 / (timestep * (1.0 / kmperpixel))
+        vkeys = jax.random.split(
+            jax.random.PRNGKey((seed if seed is not None else 42) + 7),
+            2 * n_ens_members,
+        )
+        eps_par = jax.vmap(_laplace)(vkeys[:n_ens_members])
+        eps_perp = jax.vmap(_laplace)(vkeys[n_ens_members:])
+        Nv = jnp.linalg.norm(velocity_j, axis=0)
+        V_n = jnp.where(
+            Nv[None] > 1e-12, velocity_j / jnp.maximum(Nv[None], 1e-12), 0.0
+        )
+        V_perp = jnp.stack([-V_n[1], V_n[0]])
+        vp_coeffs = (p_par, p_perp)
+    else:
+        vp_coeffs = ((0.0,) * 3, (0.0,) * 3)
+        vsf = 1.0
+        eps_par = jnp.zeros(E)
+        eps_perp = jnp.zeros(E)
+        V_n = V_perp = jnp.zeros_like(velocity_j)
 
     member_keys = jax.vmap(
         lambda i: jax.random.fold_in(
@@ -388,11 +677,10 @@ def forecast(
         subsel = list(timesteps)
         int_steps = int(np.ceil(max(subsel)))
 
-    diff_window = jnp.stack(diff_c[-ari_order:])
     init_time = time.time() - t0
     t1 = time.time()
     out = _linda_scan(
-        diff_window.astype(jnp.float32),
+        diff_window,
         jnp.asarray(precip_lagr[-1], jnp.float32),
         velocity_j,
         kernels_1.astype(jnp.float32),
@@ -401,12 +689,19 @@ def forecast(
         psi_field.astype(jnp.float32),
         mask_adv,
         member_keys,
-        noise_filt,
-        pert_std,
+        pert_params,
         int_steps,
         bool(add_perturbations),
         E,
         (m, n),
+        vel_pert=vel_pert,
+        vp_coeffs=vp_coeffs,
+        eps_par=eps_par,
+        eps_perp=eps_perp,
+        V_n=V_n,
+        V_perp=V_perp,
+        vsf=jnp.float32(vsf),
+        timestep_min=jnp.float32(timestep if timestep else 1.0),
     )
     np.asarray(out)
     loop_time = time.time() - t1

@@ -40,10 +40,52 @@ from pysteps_tpu.noise.fftgenerators import (
 from pysteps_tpu.nowcasts import utils as nowcast_utils
 from pysteps_tpu.nowcasts.steps import _lagrangian_alignment
 from pysteps_tpu.postprocessing.probmatching import (
+    _match_cdf_presorted,
+    _prepare_cdf_target,
     prepare_cdf_matcher,
 )
 from pysteps_tpu.timeseries import autoregression, correlation
 from pysteps_tpu.utils.check_norain import check_norain
+
+
+def _window_bounds(shape, win_size, overlap):
+    """Static overlap-expanded window boxes (reference: sseps.py:512-518)."""
+    m, n = shape
+    n_wy = int(np.ceil(m / win_size[0]))
+    n_wx = int(np.ceil(n / win_size[1]))
+    bounds = []
+    for i in range(n_wy):
+        for j in range(n_wx):
+            y0 = int(max(i * win_size[0] - overlap * win_size[0], 0))
+            y1 = int(min(y0 + win_size[0] + overlap * win_size[0], m))
+            x0 = int(max(j * win_size[1] - overlap * win_size[1], 0))
+            x1 = int(min(x0 + win_size[1] + overlap * win_size[1], n))
+            bounds.append((y0, y1, x0, x1))
+    return (n_wy, n_wx), tuple(bounds)
+
+
+def _flat_hanning_1d(size):
+    T = size / 4.0
+    W = size / 2.0
+    B = np.linspace(-W, W, int(2 * W))
+    R = np.abs(B) - T
+    R[R < 0] = 0.0
+    A = 0.5 * (1.0 + np.cos(np.pi * R / T))
+    A[np.abs(B) > (2 * T)] = 0.0
+    return A
+
+
+def _flat_hanning_mask(shape, bounds):
+    """Flat-hanning composition mask on a window box
+    (reference: sseps.py:961-1036 _build_2D_tapering_function/_get_mask)."""
+    y0, y1, x0, x1 = bounds
+    w2d = np.outer(_flat_hanning_1d(y1 - y0), _flat_hanning_1d(x1 - x0))
+    if np.any(np.isnan(w2d)):
+        w2d[np.isnan(w2d)] = np.min(w2d[w2d > 0])
+    w2d[w2d < 1e-3] = 1e-3
+    mask = np.zeros(shape)
+    mask[y0:y1, x0:x1] = w2d
+    return mask
 
 
 @functools.partial(jax.jit, static_argnames=("ar_order",))
@@ -89,15 +131,17 @@ def _window_params(cascades, weights, war, war_thr, g_gamma, ar_order):
     static_argnames=(
         "int_steps", "mask_method", "probmatching", "mask_rim",
         "struct_radius", "E", "max_disp", "vel_pert", "p_par", "p_perp",
-        "vsf", "timestep_min",
+        "vsf", "timestep_min", "win_bounds",
     ),
 )
 def _sseps_scan(
     window, mask_prec_init, member_keys, velocity, phi_map, mu_map, sigma_map,
     ssft_filt, ssft_masks, weights_2d, precip_last, precip_min, precip_thr,
-    domain_mask, eps_par, eps_perp, V_n, V_perp, int_steps, mask_method,
+    domain_mask, eps_par, eps_perp, V_n, V_perp, fh_masks, inv_ms,
+    local_states, int_steps, mask_method,
     probmatching, mask_rim, struct_radius, E, max_disp=None, vel_pert=False,
-    p_par=None, p_perp=None, vsf=1.0, timestep_min=1.0,
+    p_par=None, p_perp=None, vsf=1.0, timestep_min=1.0, win_bounds=(),
+    t_offset=0, carry_init=None,
 ):
     k_levels, p, m, n = window.shape
     # AR window as a tuple of lags: the per-step shift is a carry
@@ -133,15 +177,35 @@ def _sseps_scan(
             # localized recomposition
             field = jnp.sum(x_new * sigma_map + mu_map, axis=0)
 
+            # per-window CDF matching against the LOCAL observation,
+            # composited with flat-hanning masks (reference:
+            # sseps.py:777-800).  Windows are a static partition, so the
+            # loop unrolls into static slice/update ops — no gathers.
+            if len(win_bounds) > 1:
+                comp = jnp.zeros_like(field)
+                for w, (y0, y1, x0, x1) in enumerate(win_bounds):
+                    sl = field[y0:y1, x0:x1]
+                    if probmatching == "cdf":
+                        sl = _match_cdf_presorted(
+                            sl, local_states[w][0], local_states[w][1]
+                        )
+                    comp = comp.at[y0:y1, x0:x1].add(
+                        sl * fh_masks[w, y0:y1, x0:x1]
+                    )
+                field = jnp.where(inv_ms > 0, comp * inv_ms, precip_min)
+
+            if probmatching == "cdf":
+                # global matching of the composited field against the full
+                # observation (reference: sseps.py:800-806)
+                field = jnp.where(field < precip_thr, precip_min, field)
+                field = pm_match(field, pm_state)
+
             fmin = jnp.min(field)
             if mask_method == "incremental":
                 field = fmin + (field - fmin) * mask_j
                 field = jnp.where(field > fmin, field, fmin)
             elif mask_method == "obs":
                 field = jnp.where(mask_j > 0, field, fmin)
-
-            if probmatching == "cdf":
-                field = pm_match(field, pm_state)
 
             if mask_method == "incremental":
                 mask_j = nowcast_utils.compute_dilated_mask_from_field(
@@ -180,9 +244,14 @@ def _sseps_scan(
         )
         return (cascades, mask_prec, keys, displacement), outs
 
-    carry0 = (cascades0, mask_prec0, member_keys, displacement0)
-    _, outputs = jax.lax.scan(step, carry0, jnp.arange(int_steps))
-    return jnp.swapaxes(outputs, 0, 1)
+    if carry_init is not None:
+        carry0 = carry_init
+    else:
+        carry0 = (cascades0, mask_prec0, member_keys, displacement0)
+    carry_out, outputs = jax.lax.scan(
+        step, carry0, jnp.arange(int_steps) + t_offset
+    )
+    return carry_out, outputs  # outputs time-major (T, E, m, n)
 
 
 def forecast(
@@ -273,32 +342,45 @@ def forecast(
         ]
     )
 
-    # window grid and tapered masks (reused for parameter blending)
-    num_w_y = int(np.ceil(m / win_size[0]))
-    num_w_x = int(np.ceil(n / win_size[1]))
-    masks = _ssft_gen_masks((num_w_y, num_w_x), (m, n), overlap, "tukey")
-    masks_j = jnp.asarray(masks, jnp.float32)
-    mask_norm = jnp.maximum(jnp.sum(masks_j, axis=(0, 1)), 1e-6)
+    # window grid: the reference's overlap-expanded boxes with flat-hanning
+    # composition masks (reference: sseps.py:484-545,777-800); the same
+    # masks blend the per-window parameters into per-pixel maps
+    (num_w_y, num_w_x), win_bounds = _window_bounds((m, n), win_size, overlap)
+    fh_masks = np.stack(
+        [_flat_hanning_mask((m, n), b) for b in win_bounds]
+    ).astype(np.float32)
+    m_s = fh_masks.sum(axis=0)
+    inv_ms = jnp.asarray(
+        np.where(m_s > 0, 1.0 / np.maximum(m_s, 1e-12), 0.0), jnp.float32
+    )
+    fh_masks_j = jnp.asarray(fh_masks)
+    mask_norm = jnp.maximum(jnp.sum(fh_masks_j, axis=0), 1e-6)
+
+    # per-window CDF-matching targets: the LOCAL slice of the latest
+    # observation (reference: sseps.py:781-790)
+    obs_j = jnp.asarray(precip[-1])
+    local_states = tuple(
+        _prepare_cdf_target(obs_j[y0:y1, x0:x1])
+        for (y0, y1, x0, x1) in win_bounds
+    )
 
     # per-window parameters blended into per-pixel maps
     phi_maps = jnp.zeros((n_cascade_levels, ar_order + 1, m, n))
     mu_maps = jnp.zeros((n_cascade_levels, m, n))
     sigma_maps = jnp.zeros((n_cascade_levels, m, n))
     wet = np.asarray(precip[-1] >= precip_thr, dtype=np.float64)
-    for i in range(num_w_y):
-        for j in range(num_w_x):
-            w_ij = masks_j[i, j]
-            war = float(
-                np.sum(wet * np.asarray(w_ij > 0)) / max(np.sum(np.asarray(w_ij) > 0), 1)
-            )
-            gamma_w, phi_w, mu_w, sigma_w = _window_params(
-                cascades, w_ij, jnp.float32(war), jnp.float32(war_thr),
-                g_gamma, ar_order,
-            )
-            blend = (w_ij / mask_norm)[None]
-            phi_maps = phi_maps + phi_w[:, :, None, None] * blend[None]
-            mu_maps = mu_maps + mu_w[:, None, None] * blend
-            sigma_maps = sigma_maps + sigma_w[:, None, None] * blend
+    for w, (y0, y1, x0, x1) in enumerate(win_bounds):
+        w_ij = fh_masks_j[w]
+        # wet-area ratio over the window box (reference: sseps.py:531)
+        war = float(wet[y0:y1, x0:x1].mean())
+        gamma_w, phi_w, mu_w, sigma_w = _window_params(
+            cascades, w_ij, jnp.float32(war), jnp.float32(war_thr),
+            g_gamma, ar_order,
+        )
+        blend = (w_ij / mask_norm)[None]
+        phi_maps = phi_maps + phi_w[:, :, None, None] * blend[None]
+        mu_maps = mu_maps + mu_w[:, None, None] * blend
+        sigma_maps = sigma_maps + sigma_w[:, None, None] * blend
 
     # normalize initial cascades per pixel with the blended stats
     window = (cascades[:, -ar_order:] - mu_maps[:, None]) / jnp.maximum(
@@ -388,18 +470,47 @@ def forecast(
     if on_cpu or max_disp > min(m, n) // 3:
         max_disp = None
     t1 = time.time()
-    out = _sseps_scan(
+    scan_args = (
         window.astype(jnp.float32), mask_prec_init, member_keys, velocity_j,
         phi_maps.astype(jnp.float32), mu_maps.astype(jnp.float32),
         sigma_maps.astype(jnp.float32),
         ssft_filter["field"].astype(jnp.float32),
         gen_masks, weights_2d, jnp.asarray(precip[-1]), jnp.float32(precip_min),
         jnp.float32(precip_thr), jnp.asarray(domain_mask),
-        eps_par, eps_perp, V_n, V_perp,
-        int_steps, mask_method, probmatching_method, mask_rim, struct_radius,
-        n_ens_members, max_disp=max_disp, vel_pert=vel_pert,
-        p_par=p_par, p_perp=p_perp, vsf=vsf, timestep_min=float(timestep),
+        eps_par, eps_perp, V_n, V_perp, fh_masks_j, inv_ms, local_states,
     )
+    scan_kwargs = dict(
+        mask_method=mask_method, probmatching=probmatching_method,
+        mask_rim=mask_rim, struct_radius=struct_radius, E=n_ens_members,
+        max_disp=max_disp, vel_pert=vel_pert,
+        p_par=p_par, p_perp=p_perp, vsf=vsf, timestep_min=float(timestep),
+        win_bounds=win_bounds,
+    )
+
+    if callback is not None and not return_output and subsel is None:
+        # incremental memory contract: chunked scan + per-chunk host fetch
+        # (reference: the callback/return_output modes of sseps.py:40)
+        t_chunk = min(4, int_steps)
+        carry = None
+        t_done = 0
+        while t_done < int_steps:
+            tc = min(t_chunk, int_steps - t_done)
+            carry, out_c = _sseps_scan(
+                *scan_args, int_steps=tc, t_offset=t_done,
+                carry_init=carry, **scan_kwargs,
+            )
+            arr = np.asarray(out_c)
+            del out_c
+            for ti in range(tc):
+                callback(arr[ti])
+            t_done += tc
+        loop_time = time.time() - t1
+        if measure_time:
+            return None, init_time, loop_time
+        return None
+
+    _, out = _sseps_scan(*scan_args, int_steps=int_steps, **scan_kwargs)
+    out = jnp.swapaxes(out, 0, 1)
     np.asarray(out)
     loop_time = time.time() - t1
 

@@ -417,7 +417,7 @@ class StepsNowcaster:
 
     def _finalize(self, out, init_time, loop_time):
         cfg = self.config
-        if cfg.callback is not None:
+        if cfg.callback is not None and out is not None:
             arr = np.asarray(out)
             for t in range(arr.shape[1]):
                 cfg.callback(arr[:, t])
@@ -705,7 +705,7 @@ def _steps_forecast(precip, velocity, timesteps, cfg, domain_mask, vmax=None):
     init_time = time.time() - t_init0
     t_loop0 = time.time()
 
-    out = _steps_scan(
+    scan_args = (
         state.window,
         state.precip_mask,
         state.member_keys,
@@ -729,9 +729,31 @@ def _steps_forecast(precip, velocity, timesteps, cfg, domain_mask, vmax=None):
         params.velocity_unit, params.velocity_perp,
         jnp.float32(vsf),
         p_par, p_perp,
-        int_steps,
-        **cfg_static,
     )
+
+    if cfg.callback is not None and not cfg.return_output and subsel is None:
+        # incremental memory contract (reference: steps.py:196-206 +
+        # nowcasts/utils.py:265-533): scan the lead times in chunks,
+        # stream each chunk to the host callback, and drop it — peak
+        # device memory stays O(E * t_chunk * m * n) instead of O(E*T*m*n)
+        t_chunk = min(4, int_steps)
+        carry = None
+        t_done = 0
+        while t_done < int_steps:
+            tc = min(t_chunk, int_steps - t_done)
+            carry, out_c = _steps_scan(
+                *scan_args, tc, t_offset=t_done, carry_init=carry,
+                **cfg_static,
+            )
+            arr = np.asarray(out_c)  # (tc, E, m, n), fetched then dropped
+            del out_c
+            for ti in range(tc):
+                cfg.callback(arr[ti])
+            t_done += tc
+        loop_time = time.time() - t_loop0
+        return None, init_time, loop_time
+
+    _, out = _steps_scan(*scan_args, int_steps, **cfg_static)
     out = jnp.swapaxes(out, 0, 1)  # (E, T, m, n), separate tiny program
     out.block_until_ready()
     loop_time = time.time() - t_loop0
@@ -858,7 +880,7 @@ def _steps_scan(
     domain_mask, eps_par, eps_perp, V_n, V_perp, vsf, p_par, p_perp,
     int_steps, noise, mask_method, probmatching, domain, vel_pert,
     timestep_min, mask_rim, struct_radius, n_iter, interp_order, need_det, E,
-    member_chunk=None, max_disp=None,
+    member_chunk=None, max_disp=None, t_offset=0, carry_init=None,
 ):
     m, n = precip_last.shape
     spectral = domain == "spectral"
@@ -1003,11 +1025,16 @@ def _steps_scan(
 
         return (cascades, det_window, mask_prec, keys, displacement), out_fields
 
-    carry0 = (cascades0, det_window0, mask_prec0, member_keys, displacement0)
-    _, outputs = jax.lax.scan(step, carry0, jnp.arange(int_steps))
+    if carry_init is not None:
+        carry0 = carry_init
+    else:
+        carry0 = (cascades0, det_window0, mask_prec0, member_keys, displacement0)
+    carry_out, outputs = jax.lax.scan(
+        step, carry0, jnp.arange(int_steps) + t_offset
+    )
     # returned time-major (T, E, m, n); the caller transposes outside this
     # program so the scan output and its transpose are never live together
-    return outputs
+    return carry_out, outputs
 
 
 def forecast(

@@ -203,6 +203,59 @@ def test_enkf_update_reduces_spread_toward_obs():
     assert abs(analysis.mean()) < abs(bg.mean())
 
 
+def test_masked_enkf_lien_criterion_changes_analysis():
+    """The Lien et al. (2013) member-validity selection: covariances are
+    estimated only from grid boxes where >= n_lien members of BOTH
+    ensembles rain, so a partly-dry ensemble yields a different analysis
+    with the criterion on vs off (reference:
+    ens_kalman_filter_methods.py:302-357,489-527)."""
+    import jax
+
+    from pysteps_tpu.blending.ens_kalman_filter_methods import MaskedEnKF
+
+    class Cfg:
+        n_ens_members = 6
+        precip_threshold = 0.5
+        norain_threshold = 0.0
+
+    rng = np.random.RandomState(7)
+    E, m, n = 6, 16, 16
+    bg = np.abs(rng.gamma(2.0, 2.0, (E, m, n))).astype(np.float32)
+    obs = np.abs(rng.gamma(2.0, 2.5, (E, m, n))).astype(np.float32)
+    # half the background members are dry over the right half of the
+    # domain -> the Lien criterion excludes those boxes from the
+    # covariance estimate
+    bg[: E // 2, :, n // 2:] = 0.0
+
+    def run(lien):
+        class Params:
+            combination_kwargs = {
+                "lien_criterion": lien, "n_lien": E - 1,
+                "iterative_prob_matching": False,
+            }
+
+        enkf = MaskedEnKF(Cfg(), Params())
+        analysis, _ = enkf.correct_step(
+            bg.copy(), obs.copy(), rng_key=jax.random.PRNGKey(0)
+        )
+        return np.asarray(analysis), enkf
+
+    with_lien, enkf_on = run(True)
+    without_lien, _ = run(False)
+    assert with_lien.shape == (E, m, n)
+    assert np.max(np.abs(with_lien - without_lien)) > 1e-3
+    assert 0.0 <= enkf_on.sampling_probability <= 1.0
+
+    # degenerate rainy area: falls back to the NWP ensemble
+    bg_dry = np.zeros((E, m, n), np.float32)
+    bg_dry[:, 0, 0] = 1.0
+    obs_dry = np.zeros((E, m, n), np.float32)
+    analysis, _ = MaskedEnKF(
+        Cfg(), type("P", (), {"combination_kwargs": {}})()
+    ).correct_step(bg_dry, obs_dry)
+    np.testing.assert_allclose(analysis, obs_dry)
+
+
 def test_pca_enkf_forecast(blending_data):
     from pysteps_tpu.blending import pca_ens_kalman_filter
 

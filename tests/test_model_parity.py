@@ -1,0 +1,288 @@
+"""Model-level head-to-head quality parity against the imported reference.
+
+Runs reference pysteps and pysteps_tpu end-to-end on the same synthetic
+sequences with the same configs and asserts the repo's skill score is
+within a tight delta of the *reference's own score* (relative bound, not
+an absolute one) — the quality bar the reference's CI defines via its
+skill-threshold suite (pysteps/tests/test_nowcasts_steps.py:115-116,
+test_blending_steps.py:31-80).  The measured delta table is emitted as
+MODEL_PARITY.json at module teardown.
+"""
+
+import datetime
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from helpers import make_synthetic_sequence
+
+pysteps = None
+RESULTS = {}
+
+SHAPE = (128, 128)
+VEL = (2.0, 1.0)
+N_LEADS = 4
+SCORE_LEAD = 3  # t=+4 steps, the hardest lead scored
+
+
+def setup_module():
+    global pysteps
+    import benchtools
+
+    pysteps = benchtools.import_reference_pysteps()
+    if pysteps is None:
+        pytest.skip("reference pysteps unavailable")
+
+
+def teardown_module():
+    if RESULTS:
+        path = os.path.join(os.path.dirname(__file__), "..", "MODEL_PARITY.json")
+        existing = {}
+        if os.path.exists(path):
+            try:
+                with open(path) as f:
+                    existing = json.load(f)
+            except Exception:  # noqa: BLE001
+                existing = {}
+        existing.update(RESULTS)
+        with open(path, "w") as f:
+            json.dump(existing, f, indent=2, sort_keys=True)
+
+
+def _record(model, metric, ref, mine, tol):
+    delta_rel = float((mine - ref) / abs(ref)) if ref != 0 else float(mine)
+    RESULTS[model] = {
+        "metric": metric,
+        "ref": float(ref),
+        "mine": float(mine),
+        "delta_rel": delta_rel,
+        "tol_rel": tol,
+    }
+    return delta_rel
+
+
+@pytest.fixture(scope="module")
+def sequence():
+    frames = make_synthetic_sequence(
+        n_frames=10, shape=SHAPE, velocity=VEL, seed=7
+    )
+    velocity = np.stack(
+        [np.full(SHAPE, VEL[0]), np.full(SHAPE, VEL[1])]
+    )
+    return frames, velocity
+
+
+def _to_db(x):
+    out = 10.0 * np.log10(np.maximum(x, 1e-6))
+    out[x < 0.1] = -15.0
+    return out
+
+
+def _from_db(x):
+    x = np.asarray(x)
+    return 10.0 ** (x / 10.0) * (x > -10)
+
+
+def _rmse(fc, obs):
+    return float(np.sqrt(np.nanmean((np.asarray(fc) - obs) ** 2)))
+
+
+def _csi(fc, obs, thr=0.1):
+    fc = np.asarray(fc)
+    hits = np.sum((fc >= thr) & (obs >= thr))
+    return float(hits / max(np.sum((fc >= thr) | (obs >= thr)), 1))
+
+
+def _crps(ens, obs):
+    return float(pysteps.verification.probscores.CRPS(np.asarray(ens), obs))
+
+
+def test_sprog_parity(sequence):
+    frames, velocity = sequence
+    db = _to_db(frames)
+    truth = frames[3 + SCORE_LEAD]
+    kw = dict(n_cascade_levels=6, precip_thr=-10.0)
+
+    ref_fc = pysteps.nowcasts.get_method("sprog")(db[:3], velocity, N_LEADS, **kw)
+    import pysteps_tpu
+
+    my_fc = pysteps_tpu.nowcasts.get_method("sprog")(db[:3], velocity, N_LEADS, **kw)
+
+    r_ref = _rmse(_from_db(ref_fc[SCORE_LEAD]), truth)
+    r_mine = _rmse(_from_db(np.asarray(my_fc)[SCORE_LEAD]), truth)
+    delta = _record("sprog", "rmse@t4", r_ref, r_mine, 0.05)
+    assert delta < 0.05, f"S-PROG RMSE {r_mine:.4f} vs ref {r_ref:.4f}"
+    c_ref = _csi(_from_db(ref_fc[SCORE_LEAD]), truth)
+    c_mine = _csi(_from_db(np.asarray(my_fc)[SCORE_LEAD]), truth)
+    assert c_mine >= c_ref - 0.02
+
+
+def test_anvil_parity(sequence):
+    frames, velocity = sequence
+    truth = frames[4 + SCORE_LEAD]
+    kw = dict(n_cascade_levels=8, ar_window_radius=25)
+
+    ref_fc = pysteps.nowcasts.get_method("anvil")(frames[:4], velocity, N_LEADS, **kw)
+    import pysteps_tpu
+
+    my_fc = pysteps_tpu.nowcasts.get_method("anvil")(frames[:4], velocity, N_LEADS, **kw)
+
+    r_ref = _rmse(ref_fc[SCORE_LEAD], truth)
+    r_mine = _rmse(np.asarray(my_fc)[SCORE_LEAD], truth)
+    delta = _record("anvil", "rmse@t4", r_ref, r_mine, 0.05)
+    assert delta < 0.05, f"ANVIL RMSE {r_mine:.4f} vs ref {r_ref:.4f}"
+
+
+def test_steps_parity(sequence):
+    frames, velocity = sequence
+    db = _to_db(frames)
+    truth = frames[3 + SCORE_LEAD]
+    kw = dict(
+        n_ens_members=6, n_cascade_levels=6, precip_thr=-10.0,
+        kmperpixel=1.0, timestep=5, noise_method="nonparametric",
+        vel_pert_method=None, mask_method="incremental",
+        probmatching_method="cdf",
+    )
+    import pysteps_tpu
+
+    refs, mins = [], []
+    for seed in (11, 22, 33):
+        fr = pysteps.nowcasts.get_method("steps")(db[:3], velocity, N_LEADS, seed=seed, **kw)
+        fm = pysteps_tpu.nowcasts.get_method("steps")(db[:3], velocity, N_LEADS, seed=seed, **kw)
+        refs.append(_crps(_from_db(fr)[:, SCORE_LEAD], truth))
+        mins.append(_crps(_from_db(fm)[:, SCORE_LEAD], truth))
+    c_ref, c_mine = float(np.mean(refs)), float(np.mean(mins))
+    delta = _record("steps", "crps@t4(mean3seeds)", c_ref, c_mine, 0.10)
+    assert delta < 0.10, f"STEPS CRPS {c_mine:.4f} vs ref {c_ref:.4f}"
+
+
+def test_sseps_parity(sequence):
+    frames, velocity = sequence
+    db = _to_db(frames)
+    truth = frames[3 + SCORE_LEAD]
+    meta = {
+        "accutime": 5, "unit": "dBZ", "transform": "dB", "zerovalue": -15.0,
+        "threshold": -10.0, "xpixelsize": 1000.0, "ypixelsize": 1000.0,
+    }
+    kw = dict(
+        n_ens_members=6, n_cascade_levels=6, win_size=64, overlap=0.3,
+        vel_pert_method=None,
+    )
+    import pysteps_tpu
+
+    refs, mins = [], []
+    for seed in (11, 22):
+        fr = pysteps.nowcasts.get_method("sseps")(
+            db[:3], dict(meta), velocity, N_LEADS, seed=seed, **kw
+        )
+        fm = pysteps_tpu.nowcasts.get_method("sseps")(
+            db[:3], dict(meta), velocity, N_LEADS, seed=seed, **kw
+        )
+        refs.append(_crps(_from_db(fr)[:, SCORE_LEAD], truth))
+        mins.append(_crps(_from_db(fm)[:, SCORE_LEAD], truth))
+    c_ref, c_mine = float(np.mean(refs)), float(np.mean(mins))
+    delta = _record("sseps", "crps@t4(mean2seeds)", c_ref, c_mine, 0.12)
+    assert delta < 0.12, f"SSEPS CRPS {c_mine:.4f} vs ref {c_ref:.4f}"
+
+
+def test_linda_deterministic_parity(sequence):
+    frames, velocity = sequence
+    truth = frames[3 + SCORE_LEAD]
+    kw = dict(feature_method="domain", add_perturbations=False)
+    import pysteps_tpu
+
+    ref_fc = pysteps.nowcasts.get_method("linda")(frames[:3], velocity, N_LEADS, **kw)
+    my_fc = pysteps_tpu.nowcasts.get_method("linda")(frames[:3], velocity, N_LEADS, **kw)
+
+    r_ref = _rmse(ref_fc[SCORE_LEAD], truth)
+    r_mine = _rmse(np.asarray(my_fc)[SCORE_LEAD], truth)
+    delta = _record("linda_det", "rmse@t4", r_ref, r_mine, 0.08)
+    assert delta < 0.08, f"LINDA det RMSE {r_mine:.4f} vs ref {r_ref:.4f}"
+
+
+def test_linda_probabilistic_parity(sequence):
+    frames, velocity = sequence
+    truth = frames[3 + SCORE_LEAD]
+    kw = dict(
+        feature_method="domain", add_perturbations=True, n_ens_members=6,
+        vel_pert_method=None, kmperpixel=1.0, timestep=5, seed=42,
+    )
+    import pysteps_tpu
+
+    ref_fc = pysteps.nowcasts.get_method("linda")(frames[:3], velocity, N_LEADS, **kw)
+    my_fc = pysteps_tpu.nowcasts.get_method("linda")(frames[:3], velocity, N_LEADS, **kw)
+
+    c_ref = _crps(np.asarray(ref_fc)[:, SCORE_LEAD], truth)
+    c_mine = _crps(np.asarray(my_fc)[:, SCORE_LEAD], truth)
+    delta = _record("linda_prob", "crps@t4", c_ref, c_mine, 0.15)
+    assert delta < 0.15, f"LINDA prob CRPS {c_mine:.4f} vs ref {c_ref:.4f}"
+
+
+def test_lagrangian_probability_parity(sequence):
+    frames, velocity = sequence
+    import pysteps_tpu
+
+    ref_fc = pysteps.nowcasts.get_method("lagrangian_probability")(
+        frames[2], velocity, N_LEADS, threshold=1.0, slope=2
+    )
+    my_fc = pysteps_tpu.nowcasts.get_method("lagrangian_probability")(
+        frames[2], velocity, N_LEADS, threshold=1.0, slope=2
+    )
+    # fully deterministic: probability fields must agree almost everywhere
+    diff = np.nanmean(np.abs(np.asarray(my_fc) - np.asarray(ref_fc)))
+    RESULTS["lagrangian_probability"] = {
+        "metric": "mean|P_mine - P_ref|", "ref": 0.0, "mine": float(diff),
+        "delta_rel": float(diff), "tol_rel": 0.02,
+    }
+    assert diff < 0.02
+
+
+def test_blending_parity(sequence):
+    frames, velocity = sequence
+    db = _to_db(frames)
+    truth = frames[3 + SCORE_LEAD]
+
+    # synthetic NWP: the future truth advected fields, smoothed + biased —
+    # a "useful but imperfect" model forecast, in dB units
+    from scipy.ndimage import gaussian_filter
+
+    nwp = np.stack([
+        gaussian_filter(frames[3 + t], 3.0) * 1.1 for t in range(N_LEADS + 1)
+    ])
+    nwp_db = _to_db(nwp)[None]  # (1 model, T+1, m, n)
+    nwp_vel = np.broadcast_to(
+        velocity[None, None], (1, N_LEADS + 1) + velocity.shape
+    ).copy()
+
+    kw = dict(
+        timesteps=N_LEADS, timestep=5.0,
+        issuetime=datetime.datetime(2021, 12, 1, 23, 55),
+        n_ens_members=6, n_cascade_levels=6, blend_nwp_members=False,
+        precip_thr=-10.0, kmperpixel=1.0, noise_method="nonparametric",
+        noise_stddev_adj="auto", ar_order=2, vel_pert_method=None,
+        weights_method="bps", probmatching_method="cdf",
+        mask_method="incremental", resample_distribution=True,
+        smooth_radar_mask_range=0, seed=42, fft_method="numpy",
+        outdir_path_skill=None,
+    )
+    import pysteps_tpu
+
+    ref_kw = dict(kw)
+    ref_kw["outdir_path_skill"] = "./tmp_skill_ref/"
+    fr = pysteps.blending.steps.forecast(
+        precip=db[:3], precip_models=nwp_db, velocity=velocity,
+        velocity_models=nwp_vel, **ref_kw
+    )
+    fm = pysteps_tpu.blending.steps.forecast(
+        precip=db[:3], precip_models=nwp_db, velocity=velocity,
+        velocity_models=nwp_vel, **kw
+    )
+    c_ref = _crps(_from_db(fr)[:, SCORE_LEAD], truth)
+    c_mine = _crps(_from_db(fm)[:, SCORE_LEAD], truth)
+    delta = _record("blending_steps", "crps@t4", c_ref, c_mine, 0.12)
+    assert delta < 0.12, f"blending CRPS {c_mine:.4f} vs ref {c_ref:.4f}"

@@ -99,6 +99,60 @@ def test_steps_norain(velocity_field):
     assert np.all(fc == 0.0)
 
 
+def test_steps_streaming_callback_matches_full_run(sequence_db, velocity_field):
+    """The callback/return_output=False memory contract (reference:
+    steps.py:196-206): the lead-time loop runs in chunks, each chunk is
+    streamed to the host callback and dropped, and the streamed frames
+    equal the full-materialization run exactly."""
+    db, meta = sequence_db
+    kwargs = dict(
+        n_ens_members=3, n_cascade_levels=6, precip_thr=meta["threshold"],
+        kmperpixel=1.0, timestep=5, seed=31,
+    )
+    full = np.asarray(
+        nowcasts.get_method("steps")(db[:3], velocity_field, 6, **kwargs)
+    )
+
+    streamed = []
+    result = nowcasts.get_method("steps")(
+        db[:3], velocity_field, 6, callback=lambda b: streamed.append(b.copy()),
+        return_output=False, **kwargs,
+    )
+    assert result is None
+    assert len(streamed) == 6
+    for t in range(6):
+        assert streamed[t].shape == (3, 256, 256)
+        np.testing.assert_allclose(streamed[t], full[:, t], atol=1e-5)
+
+
+def test_sseps_streaming_callback(synthetic_metadata_db, sequence_db, velocity_field):
+    db, meta = sequence_db
+    streamed = []
+    result = nowcasts.get_method("sseps")(
+        db[:3], dict(synthetic_metadata_db), velocity_field, 5,
+        n_ens_members=2, n_cascade_levels=6, win_size=128, seed=5,
+        callback=lambda b: streamed.append(b.copy()), return_output=False,
+    )
+    assert result is None
+    assert len(streamed) == 5
+    full = np.asarray(
+        nowcasts.get_method("sseps")(
+            db[:3], dict(synthetic_metadata_db), velocity_field, 5,
+            n_ens_members=2, n_cascade_levels=6, win_size=128, seed=5,
+        )
+    )
+    for t in range(5):
+        np.testing.assert_allclose(streamed[t], full[:, t], atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def synthetic_metadata_db():
+    return {
+        "accutime": 5, "unit": "dBZ", "transform": "dB", "zerovalue": -15.0,
+        "threshold": 0.1, "xpixelsize": 1000.0, "ypixelsize": 1000.0,
+    }
+
+
 def test_steps_members_differ(sequence_db, velocity_field):
     db, meta = sequence_db
     fc = np.asarray(

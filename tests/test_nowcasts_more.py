@@ -110,7 +110,7 @@ def test_linda_probabilistic(sequence, velocity_field):
         nowcasts.get_method("linda")(
             sequence[:3], velocity_field, 3,
             add_perturbations=True, n_ens_members=5, seed=42,
-            feature_method="blob",
+            feature_method="blob", kmperpixel=1.0, timestep=5,
         )
     )
     assert fc.shape == (5, 3, 256, 256)

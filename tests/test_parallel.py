@@ -122,3 +122,126 @@ def test_sharded_vet_matches_unsharded():
     # the psum reassociates the SSD sum, so the 120-step Adam trajectory
     # drifts slightly; agreement to ~0.1 px is sharded-vs-replicated parity
     np.testing.assert_allclose(uv_plain, uv_sharded, atol=0.1)
+
+
+def test_distributed_verification_matches_serial():
+    """psum-reduced accumulation over a case axis sharded on the mesh
+    equals the serial accum/merge chain (SURVEY §2.16 streaming merges)."""
+    from pysteps_tpu.verification import (
+        detcatscores, parallel as vparallel, probscores, spatialscores,
+    )
+
+    rng = np.random.RandomState(3)
+    C, m, n = 8, 32, 32
+    pred = rng.gamma(1.0, 2.0, (C, m, n)).astype(np.float32)
+    obs = rng.gamma(1.0, 2.0, (C, m, n)).astype(np.float32)
+    ens = rng.gamma(1.0, 2.0, (C, 5, m, n)).astype(np.float32)
+    mesh = make_mesh(ens=8)
+
+    # det_cat: serial chain of per-case accums + merges
+    serial = detcatscores.det_cat_fct_init(1.0)
+    detcatscores.det_cat_fct_accum(serial, pred[:4], obs[:4])
+    other = detcatscores.det_cat_fct_init(1.0)
+    detcatscores.det_cat_fct_accum(other, pred[4:], obs[4:])
+    serial = detcatscores.det_cat_fct_merge(serial, other)
+    dist = vparallel.sharded_det_cat_accum(pred, obs, 1.0, mesh)
+    for k in ("hits", "false_alarms", "misses", "correct_negatives"):
+        assert int(dist[k]) == int(serial[k])
+    s_csi = detcatscores.det_cat_fct_compute(serial, "CSI")
+    d_csi = detcatscores.det_cat_fct_compute(dist, "CSI")
+    np.testing.assert_allclose(d_csi, s_csi, rtol=1e-6)
+
+    # CRPS
+    serial_c = probscores.CRPS_init()
+    for i in range(C):
+        probscores.CRPS_accum(serial_c, ens[i], obs[i])
+    dist_c = vparallel.sharded_crps_accum(ens, obs, mesh)
+    np.testing.assert_allclose(
+        probscores.CRPS_compute(dist_c), probscores.CRPS_compute(serial_c),
+        rtol=1e-5,
+    )
+
+    # FSS at scale 4
+    serial_f = spatialscores.fss_init(1.0, 4)
+    for i in range(C):
+        spatialscores.fss_accum(serial_f, pred[i], obs[i])
+    dist_f = vparallel.sharded_fss_accum(pred, obs, 1.0, 4, mesh)
+    np.testing.assert_allclose(
+        spatialscores.fss_compute(dist_f), spatialscores.fss_compute(serial_f),
+        rtol=1e-5,
+    )
+
+
+def test_dist_fft_matches_jnp():
+    """Pencil-decomposed rfft2/irfft2 over y shards equals jnp.fft."""
+    import functools
+
+    from jax.sharding import PartitionSpec as P
+
+    from pysteps_tpu.parallel.dist_fft import irfft2_local, rfft2_local
+
+    mesh = make_mesh(ens=1, y=8)
+    m, n = 64, 96
+    f = np.random.RandomState(0).randn(m, n).astype(np.float32)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=P(None, "y", None),
+        out_specs=P(None, "y", None),
+    )
+    def roundtrip(x):
+        spec = rfft2_local(x[0], "y")
+        return irfft2_local(spec, (m, n), "y")[None]
+
+    out = np.asarray(roundtrip(f[None]))[0]
+    np.testing.assert_allclose(out, f, atol=1e-5)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=P(None, "y", None),
+        out_specs=P(None, None, "y"),
+    )
+    def fwd(x):
+        return rfft2_local(x[0], "y")[None]
+
+    spec = np.asarray(fwd(f[None]))[0]
+    ref = np.fft.rfft2(f)
+    np.testing.assert_allclose(spec[:, : n // 2 + 1], ref, atol=1e-3)
+
+
+def test_spatially_sharded_steps_matches_single_device():
+    """The fully y-sharded STEPS forecast (spectral column-sharded AR,
+    distributed inverse FFT, psum CDF matching, halo advection) gives the
+    same result on a (2 ens x 4 y) mesh as on one device."""
+    from helpers import make_synthetic_sequence
+
+    from pysteps_tpu.parallel import sharded_steps
+
+    frames = make_synthetic_sequence(
+        n_frames=6, shape=(128, 128), velocity=(2.0, 1.0), seed=3
+    )
+    db = 10.0 * np.log10(np.maximum(frames, 0.1))
+    velocity = np.zeros((2, 128, 128), np.float32)
+    velocity[0], velocity[1] = 2.0, 1.0
+
+    kwargs = dict(
+        n_ens_members=4, precip_thr=-10.0, kmperpixel=1.0, timestep=5, seed=7
+    )
+    out_multi = np.asarray(
+        sharded_steps.forecast(db[:3], velocity, 3, make_mesh(ens=2, y=4), **kwargs)
+    )
+    out_single = np.asarray(
+        sharded_steps.forecast(db[:3], velocity, 3, make_mesh(ens=1, y=1), **kwargs)
+    )
+    assert out_multi.shape == (4, 3, 128, 128)
+    assert np.isfinite(out_multi).all()
+    np.testing.assert_allclose(out_multi, out_single, atol=0.01)
+
+    # statistical sanity vs the standard (unsharded) STEPS model
+    from pysteps_tpu import nowcasts
+
+    std = np.asarray(
+        nowcasts.get_method("steps")(
+            db[:3], velocity, 3, n_cascade_levels=6, domain="spectral", **kwargs
+        )
+    )
+    corr = np.corrcoef(out_multi[0, 0].ravel(), std[0, 0].ravel())[0, 1]
+    assert corr > 0.9, f"sharded vs standard member correlation {corr}"
