@@ -522,6 +522,22 @@ def forecast(
             feature_coords = np.zeros((1, 2))
         else:
             feature_coords = np.fliplr(np.asarray(coords_xy)[:, :2])  # (y, x)
+    elif feature_method == "tstorm":
+        # thunderstorm-cell centroids as LINDA features — a superset of
+        # the reference, which restricts LINDA to {blob, shitomasi, domain}
+        # (reference: linda.py:1097,1125) even though its feature registry
+        # has tstorm; cells localize the kernels on convective objects
+        from pysteps_tpu.feature import tstorm as tstorm_mod
+
+        det_field = np.where(np.isfinite(precip[-1]), precip[-1], 0.0)
+        coords_xy = tstorm_mod.detection(
+            det_field, max_num_features=max_num_features, output_feat=True,
+            **feature_kwargs,
+        )
+        if len(coords_xy) == 0:
+            feature_coords = np.zeros((1, 2))
+        else:
+            feature_coords = np.fliplr(np.asarray(coords_xy)[:, :2])
     elif feature_method == "domain":
         feature_coords = np.zeros((1, 2))
     else:

@@ -168,7 +168,29 @@ def _sseps_scan(
         def member(key, casc_j, mask_j, disp_j, eps_par_j, eps_perp_j):
             key, k_noise = jax.random.split(key)
             eps = _generate_ssft_noise(k_noise, ssft_filt, ssft_masks, (m, n))
-            eps_levels, _, _ = decompose_core(eps, weights_2d, normalize=True)
+            eps_levels, _, _ = decompose_core(eps, weights_2d, normalize=False)
+            if len(win_bounds) > 1:
+                # window-localized noise standardization composited with
+                # the flat-hanning masks: the per-pixel analog of the
+                # reference's per-window noise mean/std over the window
+                # slice of the noise cascade (reference: sseps.py:728-734)
+                comp_e = jnp.zeros_like(eps_levels)
+                for w, (y0, y1, x0, x1) in enumerate(win_bounds):
+                    sl = eps_levels[:, y0:y1, x0:x1]
+                    mu_w = jnp.mean(sl, axis=(1, 2), keepdims=True)
+                    sd_w = jnp.maximum(
+                        jnp.std(sl, axis=(1, 2), keepdims=True), 1e-8
+                    )
+                    comp_e = comp_e.at[:, y0:y1, x0:x1].add(
+                        (sl - mu_w) / sd_w * fh_masks[w, y0:y1, x0:x1]
+                    )
+                eps_levels = comp_e * inv_ms
+            else:
+                mu_g = jnp.mean(eps_levels, axis=(1, 2), keepdims=True)
+                sd_g = jnp.maximum(
+                    jnp.std(eps_levels, axis=(1, 2), keepdims=True), 1e-8
+                )
+                eps_levels = (eps_levels - mu_g) / sd_g
             # localized AR update with per-pixel parameters + innovation
             x_new = phi_map[:, -1] * eps_levels
             for i in range(p):

@@ -638,6 +638,17 @@ def _steps_forecast(precip, velocity, timesteps, cfg, domain_mask, vmax=None):
             pert_gen = init_noise(np.asarray(precip_aligned), **cfg.noise_kwargs)
             noise_filt = jnp.asarray(pert_gen["field"], jnp.float32)
             use_full_fft = bool(pert_gen.get("use_full_fft", False))
+            if (
+                cfg.domain == "spectral"
+                and use_full_fft
+                and noise_filt.ndim == 2
+            ):
+                # the spectral AR path works in rfft2 half-planes; a
+                # full-fft filter magnitude is Hermitian-symmetric
+                # (parametric: radial power law; nonparametric: |FFT| of a
+                # real field), so its left half IS the rfft filter
+                noise_filt = noise_filt[:, : n // 2 + 1]
+                use_full_fft = False
             if noise_filt.ndim == 4:  # ssft / nested (wy, wx, m, n) stack
                 ssft_masks = jnp.asarray(
                     _ssft_gen_masks(

@@ -87,6 +87,22 @@ def test_steps_crps(
     assert crps < 2.0, f"CRPS {crps} too high"
 
 
+def test_steps_parametric_noise_spectral_domain(sequence_db, velocity_field):
+    """Parametric (full-fft, Hermitian) noise filters must work in the
+    spectral-domain scan: the left half-plane is sliced into the rfft2
+    filter."""
+    db, meta = sequence_db
+    fc = np.asarray(
+        nowcasts.get_method("steps")(
+            db[:3], velocity_field, 2, n_ens_members=2, n_cascade_levels=6,
+            precip_thr=meta["threshold"], kmperpixel=1.0, timestep=5,
+            noise_method="parametric", domain="spectral", seed=4,
+        )
+    )
+    assert fc.shape == (2, 2, 256, 256)
+    assert np.all(np.isfinite(fc))
+
+
 def test_steps_norain(velocity_field):
     zeros = np.zeros((3, 256, 256), np.float32)
     fc = nowcasts.get_method("steps")(

@@ -120,6 +120,19 @@ def test_linda_probabilistic(sequence, velocity_field):
     assert np.nanmax(np.abs(fc[0] - fc[1])) > 0.01
 
 
+def test_linda_tstorm_feature(sequence, velocity_field):
+    refl = (sequence[:3] + 35.0).astype(np.float32)
+    fc = np.asarray(
+        nowcasts.get_method("linda")(
+            refl, velocity_field, 2,
+            feature_method="tstorm", add_perturbations=False,
+            feature_kwargs={"minref": 38, "minmax": 40, "minsize": 20},
+        )
+    )
+    assert fc.shape == (2, 256, 256)
+    assert np.isfinite(fc[:, 30:-30, 30:-30]).all()
+
+
 def test_linda_domain_feature(sequence, velocity_field):
     fc = np.asarray(
         nowcasts.get_method("linda")(
