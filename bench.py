@@ -321,9 +321,32 @@ def _subprocess(args, timeout):
     )
 
 
+def run_child_preflight():
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.ones((128, 128))
+    print(f"RESULT {float(jnp.sum(x @ x)):.1f}")
+
+
 def main():
     detail = {}
     lines = []
+
+    # ---- preflight: bail out fast if the accelerator service hangs
+    # (a hung chip would otherwise burn the per-config timeouts 4x) ----
+    try:
+        proc = _subprocess(["--child-preflight"], 900)
+        ok = any(l.startswith("RESULT") for l in proc.stdout.splitlines())
+    except subprocess.TimeoutExpired:
+        ok = False
+    if not ok:
+        print("accelerator preflight failed/hung", file=sys.stderr)
+        print(json.dumps({"metric": "steps_throughput", "value": 0.0,
+                          "unit": "member-frames/s/chip",
+                          "vs_baseline": None,
+                          "note": "accelerator unresponsive"}))
+        return
 
     # ---- headline: STEPS 96-member throughput ----
     elapsed = None
@@ -332,7 +355,7 @@ def main():
         try:
             proc = _subprocess(
                 ["--child-steps", str(n_members), str(side), str(member_chunk)],
-                3000,
+                2400,
             )
         except subprocess.TimeoutExpired:
             continue
@@ -446,7 +469,9 @@ def main():
 
 
 if __name__ == "__main__":
-    if len(sys.argv) >= 2 and sys.argv[1] == "--child-steps":
+    if len(sys.argv) >= 2 and sys.argv[1] == "--child-preflight":
+        run_child_preflight()
+    elif len(sys.argv) >= 2 and sys.argv[1] == "--child-steps":
         chunk = None
         if len(sys.argv) > 4 and sys.argv[4] not in ("None", ""):
             chunk = int(sys.argv[4])

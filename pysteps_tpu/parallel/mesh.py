@@ -33,6 +33,37 @@ def make_mesh(ens=None, y=1, x=1, devices=None):
     return Mesh(dev_array, ("ens", "y", "x"))
 
 
+def make_mesh_multihost(y=1, x=1):
+    """DCN-aware mesh for a multi-host TPU slice.
+
+    Lays the ensemble axis across HOSTS (pure data parallelism — member
+    streams never communicate until the final gather, so the slow DCN link
+    only carries the per-host output shards) and the spatial y/x axes
+    within each host, so halo exchanges and the distributed-FFT
+    ``all_to_all`` ride ICI.  This is the scaling-book recipe: put the
+    communication-free axis on the slow interconnect.
+
+    On a single host this degenerates to :func:`make_mesh`.
+    """
+    n_proc = jax.process_count()
+    local = jax.local_device_count()
+    if y * x > local:
+        raise ValueError(
+            f"spatial axes y*x={y * x} exceed local device count {local}"
+        )
+    if n_proc == 1:
+        return make_mesh(ens=local // (y * x), y=y, x=x)
+    from jax.experimental import mesh_utils
+
+    ens = (n_proc * local) // (y * x)
+    dev_array = mesh_utils.create_hybrid_device_mesh(
+        (local // (y * x), y, x),
+        (n_proc, 1, 1),
+        devices=jax.devices(),
+    ).reshape(ens, y, x)
+    return Mesh(dev_array, ("ens", "y", "x"))
+
+
 def ens_sharding(mesh):
     """Sharding that splits the leading (member) axis over "ens"."""
     return NamedSharding(mesh, P("ens"))

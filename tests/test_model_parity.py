@@ -161,6 +161,45 @@ def test_steps_parity(sequence):
     assert delta < 0.10, f"STEPS CRPS {c_mine:.4f} vs ref {c_ref:.4f}"
 
 
+@pytest.mark.parametrize(
+    "mask_method,probmatching,domain",
+    [
+        (None, None, "spatial"),          # BASELINE row: no mask / no PM
+        ("sprog", None, "spatial"),       # BASELINE row: sprog mask
+        ("incremental", "mean", "spatial"),  # BASELINE row: mean PM
+        ("incremental", "cdf", "spectral"),  # BASELINE row: spectral domain
+    ],
+)
+def test_steps_config_parity(sequence, mask_method, probmatching, domain):
+    """Per-config STEPS quality deltas matching the reference CI's config
+    matrix (pysteps/tests/test_nowcasts_steps.py:21-30)."""
+    frames, velocity = sequence
+    db = _to_db(frames)
+    truth = frames[3 + SCORE_LEAD]
+    kw = dict(
+        n_ens_members=6, n_cascade_levels=6, precip_thr=-10.0,
+        kmperpixel=1.0, timestep=5, noise_method="nonparametric",
+        vel_pert_method=None, mask_method=mask_method,
+        probmatching_method=probmatching, domain=domain,
+    )
+    import pysteps_tpu
+
+    refs, mins = [], []
+    for seed in (11, 22):
+        fr = pysteps.nowcasts.get_method("steps")(
+            db[:3], velocity, N_LEADS, seed=seed, **kw
+        )
+        fm = pysteps_tpu.nowcasts.get_method("steps")(
+            db[:3], velocity, N_LEADS, seed=seed, **kw
+        )
+        refs.append(_crps(_from_db(fr)[:, SCORE_LEAD], truth))
+        mins.append(_crps(_from_db(fm)[:, SCORE_LEAD], truth))
+    c_ref, c_mine = float(np.mean(refs)), float(np.mean(mins))
+    name = f"steps[{mask_method}-{probmatching}-{domain}]"
+    delta = _record(name, "crps@t4(mean2seeds)", c_ref, c_mine, 0.12)
+    assert delta < 0.12, f"{name} CRPS {c_mine:.4f} vs ref {c_ref:.4f}"
+
+
 def test_sseps_parity(sequence):
     frames, velocity = sequence
     db = _to_db(frames)
