@@ -1010,7 +1010,12 @@ def forecast(
         use_noise=noise_method is not None,
     )
 
-    if callback is not None and not return_output and subsel is None:
+    # spatial sharding: a mesh with a non-trivial "y" axis routes the scan
+    # through the shard_map variant (grid rows over "y", members over
+    # "ens"; parallel/sharded_blending.py)
+    spatial = mesh is not None and int(mesh.shape["y"]) > 1
+
+    if callback is not None and not return_output and subsel is None and not spatial:
         # incremental memory contract: chunked scan + per-chunk host fetch
         # (reference: blending/steps.py callback/return_output modes)
         t_chunk = min(4, int_steps)
@@ -1032,7 +1037,15 @@ def forecast(
             return None, init_time, loop_time
         return None
 
-    _, out = _blending_scan(*scan_args, int_steps, **scan_kwargs)
+    if spatial:
+        from pysteps_tpu.parallel.sharded_blending import blending_scan_sharded
+
+        _, out = blending_scan_sharded(
+            *scan_args, int_steps, mesh=mesh,
+            vmax_bound=vmax + pert_margin, **scan_kwargs,
+        )
+    else:
+        _, out = _blending_scan(*scan_args, int_steps, **scan_kwargs)
     out = jnp.swapaxes(out, 0, 1)
     np.asarray(out)
     loop_time = time.time() - t1

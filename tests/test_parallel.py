@@ -102,6 +102,82 @@ def test_sharded_blending_matches_unsharded():
     np.testing.assert_allclose(fc_plain, fc_sharded, atol=5e-3)
 
 
+def test_spatially_sharded_blending_matches_unsharded():
+    """Blending with grid rows sharded over "y" (halo advection, sharded
+    noise, psum matching) vs the plain scan.  probmatching="mean" keeps
+    both paths exact (the cdf paths use different matchers: sort-based
+    vs PWL-histogram), so agreement is fp-tolerance tight."""
+    frames = make_synthetic_sequence(
+        n_frames=7, shape=(64, 64), velocity=(2.0, 1.0), seed=2
+    )
+    db = np.where(
+        frames >= 0.1, 10 * np.log10(np.maximum(frames, 0.1)), -15.0
+    ).astype(np.float32)
+    velocity = np.zeros((2, 64, 64), np.float32)
+    velocity[0], velocity[1] = 2.0, 1.0
+    rng = np.random.RandomState(5)
+    nwp = db[2:6] + 0.5 * rng.randn(4, 64, 64).astype(np.float32)
+
+    from pysteps_tpu import blending
+
+    kwargs = dict(
+        n_ens_members=4, n_cascade_levels=6, precip_thr=-10.0,
+        kmperpixel=1.0, seed=11, probmatching_method="mean",
+    )
+    fc_plain = np.asarray(
+        blending.get_method("steps")(
+            db[:3], nwp[None], velocity, velocity[None], 2, 5, **kwargs
+        )
+    )
+    mesh = make_mesh(ens=2, y=4)
+    fc_sharded = np.asarray(
+        blending.get_method("steps")(
+            db[:3], nwp[None], velocity, velocity[None], 2, 5,
+            mesh=mesh, **kwargs,
+        )
+    )
+    assert fc_sharded.shape == (4, 2, 64, 64)
+    np.testing.assert_allclose(fc_plain, fc_sharded, atol=5e-3)
+
+
+def test_spatially_sharded_blending_device_count_invariance():
+    """The default blending config (cdf matching + resampled target
+    distributions + BPS velocity perturbations) gives the same result on
+    a (4 ens x 2 y) mesh as on a (1 x 2) mesh — the psum/PWL path is
+    device-count invariant."""
+    frames = make_synthetic_sequence(
+        n_frames=7, shape=(64, 64), velocity=(2.0, 1.0), seed=9
+    )
+    db = np.where(
+        frames >= 0.1, 10 * np.log10(np.maximum(frames, 0.1)), -15.0
+    ).astype(np.float32)
+    velocity = np.zeros((2, 64, 64), np.float32)
+    velocity[0], velocity[1] = 2.0, 1.0
+    rng = np.random.RandomState(5)
+    nwp = db[2:6] + 0.5 * rng.randn(4, 64, 64).astype(np.float32)
+
+    from pysteps_tpu import blending
+
+    kwargs = dict(
+        n_ens_members=4, n_cascade_levels=6, precip_thr=-10.0,
+        kmperpixel=1.0, seed=3, vel_pert_method="bps",
+    )
+    out_small = np.asarray(
+        blending.get_method("steps")(
+            db[:3], nwp[None], velocity, velocity[None], 2, 5,
+            mesh=make_mesh(ens=1, y=2), **kwargs,
+        )
+    )
+    out_large = np.asarray(
+        blending.get_method("steps")(
+            db[:3], nwp[None], velocity, velocity[None], 2, 5,
+            mesh=make_mesh(ens=4, y=2), **kwargs,
+        )
+    )
+    assert np.isfinite(out_large).all()
+    np.testing.assert_allclose(out_small, out_large, atol=5e-3)
+
+
 def test_sharded_vet_matches_unsharded():
     frames = make_synthetic_sequence(
         n_frames=2, shape=(64, 64), velocity=(2.0, 1.0), seed=4
