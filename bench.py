@@ -229,7 +229,39 @@ def run_child_scaling():
     eff = {
         s: round(base / (results[s] * s), 4) for s in results
     }
-    print("SCALING " + json.dumps({"wall_s": results, "efficiency": eff}))
+
+    # spatial sweep: the fully y-sharded STEPS scan (halo advection,
+    # distributed inverse FFT, psum matching) at 1/2/4/8 row shards —
+    # fixed problem size, so ideal scaling halves the wall time per
+    # doubling (the CPU mesh is a correctness/partitioning proxy; real
+    # efficiency numbers need a multi-chip slice)
+    from pysteps_tpu.parallel import sharded_steps
+
+    spatial = {}
+    for shards in (1, 2, 4, 8):
+        mesh = make_mesh(ens=1, y=shards)
+        t, _ = _measure(
+            lambda seed: sharded_steps.forecast(
+                precip_db[:3], velocity, 6, mesh,
+                n_ens_members=8, n_cascade_levels=6,
+                precip_thr=-10.0, kmperpixel=1.0, timestep=5, seed=0,
+            ),
+            0,
+        )
+        spatial[shards] = t
+    base_sp = spatial[1]
+    eff_sp = {s: round(base_sp / (spatial[s] * s), 4) for s in spatial}
+    print(
+        "SCALING "
+        + json.dumps(
+            {
+                "wall_s": results,
+                "efficiency": eff,
+                "spatial_wall_s": spatial,
+                "spatial_efficiency": eff_sp,
+            }
+        )
+    )
 
 
 def run_reference(side, n_members, timesteps):
@@ -305,12 +337,17 @@ def run_reference_model(model, side, timesteps):
             issuetime=datetime.datetime(2021, 12, 1), n_ens_members=4,
             n_cascade_levels=8, precip_thr=-10.0, kmperpixel=1.0,
             noise_method="nonparametric", vel_pert_method=None, seed=1,
-            outdir_path_skill="./tmp_skill_bench/",
+            outdir_path_skill=_ensure_dir("./tmp_skill_bench/"),
         )
         frames = 4 * timesteps
     else:
         return None, 0
     return time.time() - t0, frames
+
+
+def _ensure_dir(path):
+    os.makedirs(path, exist_ok=True)
+    return path
 
 
 def _subprocess(args, timeout):

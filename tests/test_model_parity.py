@@ -312,6 +312,7 @@ def test_blending_parity(sequence):
     import pysteps_tpu
 
     ref_kw = dict(kw)
+    os.makedirs("./tmp_skill_ref/", exist_ok=True)
     ref_kw["outdir_path_skill"] = "./tmp_skill_ref/"
     fr = pysteps.blending.steps.forecast(
         precip=db[:3], precip_models=nwp_db, velocity=velocity,
