@@ -24,12 +24,16 @@ import time
 import numpy as np
 
 N_TIMESTEPS = 12
-# headline config + fallbacks: (n_members, grid side, member_chunk)
+# headline configs, climbed smallest-first: each success is banked, so a
+# config that wedges the accelerator service (observed on the axon
+# tunnel: a hang mid-execution poisons the service for ~30 min) still
+# leaves the largest completed config as the headline
 HEADLINE_CONFIGS = [
-    (96, 512, None),
-    (96, 512, 24),
-    (96, 256, None),
+    (8, 128, None),
     (24, 256, None),
+    (96, 256, None),
+    (96, 512, 24),
+    (96, 512, None),
 ]
 # secondary BASELINE configs (BASELINE.json "configs"): model, args
 SECONDARY = [
@@ -373,7 +377,7 @@ def main():
     # ---- preflight: bail out fast if the accelerator service hangs
     # (a hung chip would otherwise burn the per-config timeouts 4x) ----
     try:
-        proc = _subprocess(["--child-preflight"], 900)
+        proc = _subprocess(["--child-preflight"], 600)
         ok = any(l.startswith("RESULT") for l in proc.stdout.splitlines())
     except subprocess.TimeoutExpired:
         ok = False
@@ -385,28 +389,43 @@ def main():
                           "note": "accelerator unresponsive"}))
         return
 
-    # ---- headline: STEPS 96-member throughput ----
+    def _alive(timeout=300):
+        try:
+            proc = _subprocess(["--child-preflight"], timeout)
+            return any(
+                l.startswith("RESULT") for l in proc.stdout.splitlines()
+            )
+        except subprocess.TimeoutExpired:
+            return False
+
+    # ---- headline: STEPS 96-member throughput (climb smallest-first,
+    # keep the largest success; stop climbing the moment the accelerator
+    # goes dark so hung configs cannot burn the whole bench budget) ----
     elapsed = None
     used = None
+    accel_dead = False
     for n_members, side, member_chunk in HEADLINE_CONFIGS:
         try:
             proc = _subprocess(
                 ["--child-steps", str(n_members), str(side), str(member_chunk)],
-                2400,
+                1800,
             )
+            got = None
+            for line in proc.stdout.splitlines():
+                if line.startswith("RESULT "):
+                    got = float(line.split()[1])
+                    break
         except subprocess.TimeoutExpired:
+            got = None
+        if got is not None:
+            elapsed = got
+            used = (n_members, side)
             continue
-        for line in proc.stdout.splitlines():
-            if line.startswith("RESULT "):
-                elapsed = float(line.split()[1])
-                used = (n_members, side)
-                break
-        if elapsed is not None:
-            break
-        print(
-            f"config {n_members}x{side} failed:\n{proc.stderr[-500:]}",
-            file=sys.stderr,
-        )
+        print(f"config {n_members}x{side} failed/hung", file=sys.stderr)
+        if not _alive():
+            print("accelerator service wedged; stopping climb", file=sys.stderr)
+            accel_dead = True
+        break
 
     headline = {"metric": "steps_throughput", "value": 0.0,
                 "unit": "member-frames/s/chip", "vs_baseline": None}
@@ -434,6 +453,11 @@ def main():
 
     # ---- secondary BASELINE configs ----
     for model, cfg in SECONDARY:
+        if accel_dead:
+            print(f"{model} skipped: accelerator wedged", file=sys.stderr)
+            detail[model] = {"metric": f"{model}_skipped",
+                             "note": "accelerator service wedged"}
+            continue
         side = cfg["side"]
         members = cfg.get("members", 0)
         try:
@@ -448,6 +472,9 @@ def main():
                 )
         except subprocess.TimeoutExpired:
             print(f"{model} timed out", file=sys.stderr)
+            if not _alive():
+                print("accelerator service wedged", file=sys.stderr)
+                accel_dead = True
             continue
         res = None
         for line in proc.stdout.splitlines():

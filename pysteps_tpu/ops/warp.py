@@ -121,12 +121,21 @@ _use_pallas_cache = None
 
 def _use_pallas():
     """Use the Pallas resample kernel on TPU backends (4-5x faster than the
-    XLA shift path); fall back to pure XLA elsewhere/interpreted."""
+    XLA shift path); fall back to pure XLA elsewhere/interpreted.
+
+    ``PYSTEPS_TPU_NO_PALLAS=1`` forces the pure-XLA paths everywhere — an
+    escape hatch for runtime environments whose TPU service mishandles
+    Mosaic kernels."""
     global _use_pallas_cache
     if _use_pallas_cache is None:
-        import jax as _jax
+        import os
 
-        _use_pallas_cache = _jax.default_backend() not in ("cpu",)
+        if os.environ.get("PYSTEPS_TPU_NO_PALLAS"):
+            _use_pallas_cache = False
+        else:
+            import jax as _jax
+
+            _use_pallas_cache = _jax.default_backend() not in ("cpu",)
     return _use_pallas_cache
 
 
