@@ -222,13 +222,16 @@ def forecast(
     timestep=None,
     mask_kwargs=None,
     seed=None,
+    vel_pert_method=None,
+    vel_pert_kwargs=None,
 ):
     """Spatially-sharded STEPS ensemble forecast.
 
     Members shard over the mesh "ens" axis and grid rows over "y"; the
     scan runs entirely inside one ``shard_map``.  Fixed configuration
     (the STEPS defaults): nonparametric noise, AR(2), incremental mask,
-    CDF matching, no velocity perturbation.  Returns (E, T, m, n).
+    CDF matching; optional BPS velocity perturbations
+    (``vel_pert_method="bps"``).  Returns (E, T, m, n).
     """
     precip = np.asarray(precip, np.float32)[-3:]
     m, n = precip.shape[1:]
@@ -305,8 +308,60 @@ def forecast(
         1.0, 2.0,
     ) * (jnp.arange(c_pad) < c)
 
+    # BPS velocity perturbations (reference: noise/motion.py; the same
+    # static-flow formulation as nowcasts/steps.py — per-member Laplace
+    # draws scale time-growing parallel/perpendicular unit fields)
+    vel_pert = vel_pert_method is not None
+    timestep_min = float(timestep) if timestep else 1.0
+    if vel_pert:
+        from pysteps_tpu.noise.motion import (
+            _laplace,
+            get_default_params_bps_par,
+            get_default_params_bps_perp,
+        )
+
+        vpk = dict(vel_pert_kwargs or {})
+        p_par = tuple(
+            float(v) for v in vpk.get("p_par", get_default_params_bps_par())
+        )
+        p_perp = tuple(
+            float(v) for v in vpk.get("p_perp", get_default_params_bps_perp())
+        )
+        vsf = (
+            60.0 / (timestep * (1.0 / kmperpixel))
+            if (timestep and kmperpixel)
+            else 1.0
+        )
+        vkeys = jax.random.split(
+            jax.random.PRNGKey((seed if seed is not None else 42) + 7),
+            2 * n_ens_members,
+        )
+        eps_par = jax.vmap(_laplace)(vkeys[:n_ens_members]).astype(jnp.float32)
+        eps_perp = jax.vmap(_laplace)(vkeys[n_ens_members:]).astype(jnp.float32)
+        nv = jnp.linalg.norm(velocity_j, axis=0)
+        V_n = jnp.where(
+            nv[None] > 1e-12, velocity_j / jnp.maximum(nv[None], 1e-12), 0.0
+        ).astype(jnp.float32)
+        V_perp = jnp.stack([-V_n[1], V_n[0]])
+        t_last = int_steps * timestep_min
+        g_par_l = abs(p_par[0] * t_last ** p_par[1] + p_par[2])
+        g_perp_l = abs(p_perp[0] * t_last ** p_perp[1] + p_perp[2])
+        pert_margin = 4.0 * max(g_par_l, g_perp_l) / max(vsf, 1e-6)
+    else:
+        p_par = p_perp = (0.0, 0.0, 0.0)
+        vsf = 1.0
+        eps_par = jnp.zeros(n_ens_members, jnp.float32)
+        eps_perp = jnp.zeros(n_ens_members, jnp.float32)
+        V_n = jnp.zeros_like(velocity_j)
+        V_perp = jnp.zeros_like(velocity_j)
+        pert_margin = 0.0
+
     vmax = float(np.max(np.abs(velocity))) if np.asarray(velocity).size else 0.0
-    halo = max(int(np.ceil(int_steps * (vmax + 0.5))) + 2, struct_radius + mask_rim, 2)
+    halo = max(
+        int(np.ceil(int_steps * (vmax + pert_margin + 0.5))) + 2,
+        struct_radius + mask_rim,
+        2,
+    )
     halo = min(halo, m // y_shards)
     size_f = float(m * n)
 
@@ -329,6 +384,9 @@ def forecast(
             P(None), P(), P(None), P(), P(), P(),  # tstate
             P(None, None),              # phi
             P(None), P(None),           # means_l, stds_l
+            P(None, "y", None),         # V_n rows
+            P(None, "y", None),         # V_perp rows
+            P("ens",), P("ens",),       # eps_par / eps_perp
         ),
         out_specs=P(None, "ens", "y", None),
         check_vma=False,
@@ -336,7 +394,7 @@ def forecast(
     def run(
         winf_l, mask0_l, keys_l, vel_l, w2d_l, filt_l, herm_l,
         ranked, zvalue_trg, c_t, tlo, tscale, n_wet_trg,
-        phi_, mlast, slast,
+        phi_, mlast, slast, vn_l, vperp_l, epar_l, eperp_l,
     ):
         tstate_l = (ranked, zvalue_trg, c_t, tlo, tscale, n_wet_trg)
         c_loc = winf_l.shape[-1]
@@ -347,6 +405,15 @@ def forecast(
             [_exchange_rows(vel_l[0], halo_, "y"),
              _exchange_rows(vel_l[1], halo_, "y")]
         )
+        if vel_pert:
+            vn_ext = jnp.stack(
+                [_exchange_rows(vn_l[0], halo_, "y"),
+                 _exchange_rows(vn_l[1], halo_, "y")]
+            )
+            vperp_ext = jnp.stack(
+                [_exchange_rows(vperp_l[0], halo_, "y"),
+                 _exchange_rows(vperp_l[1], halo_, "y")]
+            )
 
         lags0 = tuple(
             jnp.broadcast_to(winf_l[:, i], (e_loc,) + winf_l[:, i].shape)
@@ -355,10 +422,11 @@ def forecast(
         mask_prec0 = jnp.broadcast_to(mask0_l, (e_loc, m_loc, n))
         disp0 = jnp.zeros((e_loc, 2, m_loc, n), jnp.float32)
 
-        def step(carry, _):
+        def step(carry, t):
             lags, mask_prec, keys, disp = carry
+            t_total = (t + 1.0) * timestep_min
 
-            def member(key, lag_j, mask_j, disp_j):
+            def member(key, lag_j, mask_j, disp_j, epar_j, eperp_j):
                 key, k_noise = jax.random.split(key)
                 # deterministic sharded white draw: full half-plane from
                 # the key, local column slice
@@ -415,27 +483,40 @@ def forecast(
                     field, precip_thr, struct_radius, mask_rim, "y"
                 )
                 # advect: integrate displacement on the halo-extended
-                # velocity, warp with halo exchange
-                vel_inc = _sample_velocity_ext(vel_ext, disp_j, halo_)
+                # velocity (optionally BPS-perturbed per member), warp
+                # with halo exchange
+                if vel_pert:
+                    a1, b1, c1 = p_par
+                    a2, b2, c2 = p_perp
+                    g_par = a1 * t_total**b1 + c1
+                    g_perp = a2 * t_total**b2 + c2
+                    vel_ext_j = vel_ext + (
+                        epar_j * g_par * vn_ext + eperp_j * g_perp * vperp_ext
+                    ) / vsf
+                else:
+                    vel_ext_j = vel_ext
+                vel_inc = _sample_velocity_ext(vel_ext_j, disp_j, halo_)
                 vel_inc = _sample_velocity_ext(
-                    vel_ext, disp_j - vel_inc / 2.0, halo_
+                    vel_ext_j, disp_j - vel_inc / 2.0, halo_
                 )
                 disp_j = disp_j - vel_inc
                 out = _warp_halo(field, disp_j, halo_, precip_min, "y")
                 return key, lag_j, mask_j, disp_j, out
 
             keys, lags, mask_prec, disp, outs = jax.vmap(member)(
-                keys, lags, mask_prec, disp
+                keys, lags, mask_prec, disp, epar_l, eperp_l
             )
             return (lags, mask_prec, keys, disp), outs
 
         carry0 = (lags0, mask_prec0, keys_l, disp0)
-        _, outputs = jax.lax.scan(step, carry0, None, length=int_steps)
+        _, outputs = jax.lax.scan(
+            step, carry0, jnp.arange(int_steps, dtype=jnp.float32)
+        )
         return outputs  # (T, e_loc, m_loc, n)
 
     out = run(
         winf_p, mask0, member_keys, velocity_j, w2d_p, filt_p, herm,
         *tstate, phi.astype(jnp.float32), means_l.astype(jnp.float32),
-        stds_l.astype(jnp.float32),
+        stds_l.astype(jnp.float32), V_n, V_perp, eps_par, eps_perp,
     )
     return jnp.swapaxes(out, 0, 1)  # (E, T, m, n)

@@ -321,3 +321,20 @@ def test_spatially_sharded_steps_matches_single_device():
     )
     corr = np.corrcoef(out_multi[0, 0].ravel(), std[0, 0].ravel())[0, 1]
     assert corr > 0.9, f"sharded vs standard member correlation {corr}"
+
+    # BPS velocity perturbations: still device-count invariant, and the
+    # perturbed members diverge from the unperturbed run
+    out_vp_multi = np.asarray(
+        sharded_steps.forecast(
+            db[:3], velocity, 3, make_mesh(ens=2, y=4),
+            vel_pert_method="bps", **kwargs,
+        )
+    )
+    out_vp_single = np.asarray(
+        sharded_steps.forecast(
+            db[:3], velocity, 3, make_mesh(ens=1, y=1),
+            vel_pert_method="bps", **kwargs,
+        )
+    )
+    np.testing.assert_allclose(out_vp_multi, out_vp_single, atol=0.01)
+    assert np.abs(out_vp_multi - out_multi).max() > 0.1
