@@ -401,12 +401,23 @@ def main():
         except subprocess.TimeoutExpired:
             return False
 
+    def _wait_recovery(tries=6, pause=120):
+        """The service wedge clears by itself after minutes; poll for up
+        to ~tries*(pause+120)s before giving up on the accelerator."""
+        for _ in range(tries):
+            time.sleep(pause)
+            if _alive(120):
+                print("accelerator service recovered", file=sys.stderr)
+                return True
+        return False
+
     # ---- headline: STEPS 96-member throughput (climb smallest-first,
     # keep the largest success; stop climbing the moment the accelerator
     # goes dark so hung configs cannot burn the whole bench budget) ----
     elapsed = None
     used = None
     accel_dead = False
+    wedges = [0]
     for n_members, side, member_chunk in HEADLINE_CONFIGS:
         try:
             proc = _subprocess(
@@ -426,8 +437,8 @@ def main():
             continue
         print(f"config {n_members}x{side} failed/hung", file=sys.stderr)
         if not _alive():
-            print("accelerator service wedged; stopping climb", file=sys.stderr)
-            accel_dead = True
+            print("accelerator service wedged", file=sys.stderr)
+            accel_dead = not _wait_recovery()
         break
 
     def _mk_headline(elapsed_s, cfg):
@@ -480,7 +491,10 @@ def main():
             print(f"{model} timed out", file=sys.stderr)
             if not _alive():
                 print("accelerator service wedged", file=sys.stderr)
-                accel_dead = True
+                wedges[0] += 1
+                # bounded patience: after 3 wedges, stop waiting for
+                # recovery (the remaining configs are skipped quickly)
+                accel_dead = wedges[0] > 3 or not _wait_recovery()
             continue
         res = None
         for line in proc.stdout.splitlines():
