@@ -1,56 +1,88 @@
 """
-Benchmarks: the five BASELINE configs + an ensemble-scaling sweep.
+Benchmarks: the BASELINE configs, motion solvers, and scaling sweeps.
 
-Prints one JSON line per secondary config, then the headline line LAST
-(the driver records the last line):
+Evidence-loss-proof by design (round 2 lost everything to a driver
+timeout):
+  - every banked result prints its JSON line IMMEDIATELY, followed by a
+    re-print of the current headline line (the driver records the LAST
+    line, so the headline is always last no matter when we die);
+  - BENCH_DETAIL.json is rewritten after every banked entry;
+  - reference CPU baselines come from the committed REF_BASELINE.json
+    (measured once by scripts/measure_ref_baseline.py) — never re-run
+    inside the TPU budget;
+  - a signal.alarm wall-clock cap (BENCH_BUDGET_S, default 4200 s)
+    flushes everything and exits 0 before any plausible driver timeout.
+
+Output contract: one JSON line per banked entry, headline LAST:
 {"metric": ..., "value": N, "unit": "member-frames/s/chip", "vs_baseline": N}
 
-All results (including the scaling-efficiency curve) are also written to
-BENCH_DETAIL.json for the judge.
-
-Each configuration runs in its own subprocess: a device fault (e.g. OOM at
-the largest grid) poisons the TPU runtime for the rest of the process, so
-every config must start clean.  vs_baseline is the speedup over the
-reference pysteps (NumPy, CPU, single-process) on the same configuration,
-normalized per member-frame.
+Each configuration runs in its own subprocess: a device fault (e.g. OOM
+at the largest grid) poisons the TPU runtime for the rest of the
+process, so every config must start clean.  vs_baseline is the speedup
+over the reference pysteps (NumPy, CPU, single-process) on the same
+configuration, normalized per member-frame.
 """
 
 import json
 import os
+import signal
 import subprocess
 import sys
 import time
 
 import numpy as np
 
+ROOT = os.path.dirname(os.path.abspath(__file__))
+REF_PATH = os.path.join(ROOT, "REF_BASELINE.json")
+DETAIL_PATH = os.path.join(ROOT, "BENCH_DETAIL.json")
+BUDGET_S = int(os.environ.get("BENCH_BUDGET_S", "4200"))
+T_START = time.time()
+
 N_TIMESTEPS = 12
-# headline configs, climbed smallest-first: each success is banked, so a
-# config that wedges the accelerator service (observed on the axon
-# tunnel: a hang mid-execution poisons the service for ~30 min) still
-# leaves the largest completed config as the headline
+# headline configs, climbed smallest-first: each success is banked (and
+# printed) immediately, so a config that wedges the accelerator service
+# (observed on the axon tunnel: a hang mid-execution poisons the service
+# for ~30 min) still leaves the largest completed config as the headline
 HEADLINE_CONFIGS = [
     (8, 128, None),
     (24, 256, None),
     (96, 256, None),
     (96, 512, 24),
 ]
+# large-grid configs toward the BASELINE.json 1-km CONUS north star;
+# banked as their own entries (the 512 headline stays comparable across
+# rounds), attempted after the headline climb
+LARGE_CONFIGS = [
+    (96, 1024, 12),
+]
 # the full unchunked 96x512 dispatch is the config observed to wedge the
-# axon service; it runs LAST (after the secondary configs), as a pure
-# bonus upgrade of the already-banked headline
+# axon service; it runs LAST, as a pure bonus upgrade of the already-
+# banked-and-printed headline
 BONUS_CONFIG = (96, 512, None)
-# secondary BASELINE configs (BASELINE.json "configs"): model, args
+# secondary BASELINE configs: model, args, REF_BASELINE key
 SECONDARY = [
-    ("extrap", {"side": 512}),
-    ("sprog", {"side": 512}),
-    ("steps24", {"side": 512}),
-    ("anvil", {"side": 512}),
-    ("linda", {"side": 256}),
-    ("blend", {"side": 256, "members": 96}),
+    ("extrap", {"side": 512}, "extrap_512"),
+    ("sprog", {"side": 512}, "sprog_512"),
+    ("steps24", {"side": 512}, "steps24ref_8m_512_spatial_parametric"),
+    ("anvil", {"side": 512}, "anvil_512"),
+    ("linda", {"side": 256}, "linda_256"),
+    ("blend", {"side": 256, "members": 96}, "blend_256"),
+]
+# motion solvers: ours on TPU vs the reference's OpenCV/Cython paths.
+# vet/proesmans reference extensions cannot be built here (no Cython);
+# REF_BASELINE records that, so their vs_baseline is null with a note.
+MOTION = [
+    ("lk", "motion_lucaskanade_512"),
+    ("vet", "motion_vet_512"),
+    ("proesmans", "motion_proesmans_512"),
+    ("darts", "motion_darts_512"),
+    ("farneback", "motion_farneback_512"),
 ]
 
 
+# ---------------------------------------------------------------- inputs
 def _make_inputs(side, n_frames=3):
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
+    sys.path.insert(0, os.path.join(ROOT, "tests"))
     from helpers import make_synthetic_sequence
 
     frames = make_synthetic_sequence(
@@ -97,6 +129,15 @@ def _measure(fn, *args, **kwargs):
     out = fn(*args, **kwargs)
     checksum = float(jnp.nanmean(jnp.asarray(out)))
     return time.time() - t0, checksum
+
+
+# ------------------------------------------------------------- children
+def run_child_preflight():
+    import jax  # noqa: F401
+    import jax.numpy as jnp
+
+    x = jnp.ones((128, 128))
+    print(f"RESULT {float(jnp.sum(x @ x)):.1f}")
 
 
 def run_child_steps(n_members, side, member_chunk=None, noise="nonparametric"):
@@ -203,6 +244,24 @@ def run_child_model(model, side, members=0):
     print(f"RESULT {elapsed:.4f} frames={frames} checksum={checksum:.4f}")
 
 
+def run_child_motion(method, side):
+    """One dense-flow retrieval on TPU (warm executable, device inputs)."""
+    from pysteps_tpu.compilation_cache import enable
+
+    enable()
+    import jax
+    import jax.numpy as jnp
+
+    from pysteps_tpu import motion
+
+    n_frames = 9 if method == "darts" else 3
+    _, precip_db, _ = _make_inputs(side, n_frames=n_frames)
+    db = jax.device_put(jnp.asarray(precip_db))
+    fn = motion.get_method(method)
+    elapsed, checksum = _measure(fn, db)
+    print(f"RESULT {elapsed:.4f} frames=1 checksum={checksum:.4f}")
+
+
 def run_child_scaling():
     """Ensemble-scaling sweep on the virtual CPU mesh: E=32 members over
     1/2/4/8 "ens" shards.  On a single real chip this is a correctness +
@@ -214,7 +273,6 @@ def run_child_scaling():
     import jax
 
     jax.config.update("jax_platforms", "cpu")
-    import jax.numpy as jnp
 
     from pysteps_tpu import nowcasts
     from pysteps_tpu.parallel import make_mesh
@@ -233,9 +291,7 @@ def run_child_scaling():
         )
         results[shards] = t
     base = results[1]
-    eff = {
-        s: round(base / (results[s] * s), 4) for s in results
-    }
+    eff = {s: round(base / (results[s] * s), 4) for s in results}
 
     # spatial sweep: the fully y-sharded STEPS scan (halo advection,
     # distributed inverse FFT, psum matching) at 1/2/4/8 row shards —
@@ -271,111 +327,103 @@ def run_child_scaling():
     )
 
 
-def run_reference(side, n_members, timesteps):
-    from benchtools import import_reference_pysteps
-
-    pysteps = import_reference_pysteps()
-    if pysteps is None:
-        return None
-    from pysteps import nowcasts as ref_nowcasts
-
-    _, precip_db, velocity = _make_inputs(side)
-    t0 = time.time()
-    ref_nowcasts.get_method("steps")(
-        precip_db[:3], velocity, timesteps,
-        num_workers=1, **_steps_kwargs(n_members),
-    )
-    return time.time() - t0
-
-
-def run_reference_model(model, side, timesteps):
-    from benchtools import import_reference_pysteps
-
-    pysteps = import_reference_pysteps()
-    if pysteps is None:
-        return None, 0
-    precip, precip_db, velocity = _make_inputs(side, n_frames=4)
-    t0 = time.time()
-    if model == "extrap":
-        flow = pysteps.motion.get_method("lucaskanade")(precip_db[:3])
-        pysteps.nowcasts.get_method("extrapolation")(
-            precip_db[-2], flow, timesteps
-        )
-        frames = timesteps
-    elif model == "sprog":
-        pysteps.nowcasts.get_method("sprog")(
-            precip_db[:3], velocity, timesteps,
-            n_cascade_levels=8, precip_thr=-10.0,
-        )
-        frames = timesteps
-    elif model == "steps24":
-        # scale from fewer members (per member-frame); the reference's
-        # spectral domain rejects parametric noise (full-fft filter vs
-        # rfft2 weights), so its spatial path is the baseline
-        pysteps.nowcasts.get_method("steps")(
-            precip_db[:3], velocity, timesteps, num_workers=1,
-            **dict(_steps_kwargs(8, "parametric"), domain="spatial"),
-        )
-        frames = 8 * timesteps
-    elif model == "anvil":
-        pysteps.nowcasts.get_method("anvil")(
-            np.asarray(precip, np.float64), velocity, timesteps,
-            n_cascade_levels=8,
-        )
-        frames = timesteps
-    elif model == "linda":
-        pysteps.nowcasts.get_method("linda")(
-            precip[:3], velocity, timesteps, feature_method="domain",
-            add_perturbations=False,
-        )
-        frames = timesteps
-    elif model == "blend":
-        rng = np.random.RandomState(1)
-        nwp = np.repeat(precip_db[2][None], timesteps + 1, axis=0)
-        nwp = (nwp + 0.3 * rng.randn(*nwp.shape)).astype(np.float64)[None]
-        nwp_vel = np.broadcast_to(
-            velocity[None, None], (1, timesteps + 1) + velocity.shape
-        ).copy()
-        import datetime
-
-        pysteps.blending.steps.forecast(
-            precip=precip_db[:3], precip_models=nwp, velocity=velocity,
-            velocity_models=nwp_vel, timesteps=timesteps, timestep=5.0,
-            issuetime=datetime.datetime(2021, 12, 1), n_ens_members=4,
-            n_cascade_levels=8, precip_thr=-10.0, kmperpixel=1.0,
-            noise_method="nonparametric", vel_pert_method=None, seed=1,
-            outdir_path_skill=_ensure_dir("./tmp_skill_bench/"),
-        )
-        frames = 4 * timesteps
-    else:
-        return None, 0
-    return time.time() - t0, frames
-
-
-def _ensure_dir(path):
-    os.makedirs(path, exist_ok=True)
-    return path
-
-
+# ------------------------------------------------------- main machinery
 def _subprocess(args, timeout):
     return subprocess.run(
         [sys.executable, os.path.abspath(__file__)] + args,
         capture_output=True, text=True, timeout=timeout,
-        cwd=os.path.dirname(os.path.abspath(__file__)) or ".",
+        cwd=ROOT or ".",
     )
 
 
-def run_child_preflight():
-    import jax
-    import jax.numpy as jnp
+def _child_result(proc):
+    """Parse 'RESULT <elapsed> [frames=N] ...' from child stdout."""
+    for line in proc.stdout.splitlines():
+        if line.startswith("RESULT "):
+            parts = line.split()
+            elapsed = float(parts[1])
+            frames = None
+            for p in parts[2:]:
+                if p.startswith("frames="):
+                    frames = int(p.split("=")[1])
+            return elapsed, frames
+    return None, None
 
-    x = jnp.ones((128, 128))
-    print(f"RESULT {float(jnp.sum(x @ x)):.1f}")
+
+_REF_STORE = None
+
+
+def _ref_rate(key):
+    """member-frames/s of the committed reference CPU baseline, or None."""
+    global _REF_STORE
+    if _REF_STORE is None:
+        try:
+            with open(REF_PATH) as f:
+                _REF_STORE = json.load(f)
+        except Exception:  # noqa: BLE001
+            _REF_STORE = {}
+    e = _REF_STORE.get(key)
+    if not e or "elapsed_s" not in e:
+        return None
+    return e["frames"] / e["elapsed_s"]
+
+
+class Bank:
+    """Streams every banked result to stdout + BENCH_DETAIL.json the
+    moment it exists, keeping the headline as the LAST printed line."""
+
+    def __init__(self):
+        self.detail = {}
+        self.headline = {
+            "metric": "steps_throughput", "value": 0.0,
+            "unit": "member-frames/s/chip", "vs_baseline": None,
+        }
+        self.detail["headline"] = self.headline
+        self._flush_detail()
+
+    def _flush_detail(self):
+        tmp = DETAIL_PATH + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.detail, f, indent=2)
+        os.replace(tmp, DETAIL_PATH)
+
+    def set_headline(self, entry):
+        self.headline = entry
+        self.detail["headline"] = entry
+        self._flush_detail()
+        print(json.dumps(entry), flush=True)
+
+    def add(self, name, entry, print_line=True):
+        self.detail[name] = entry
+        self._flush_detail()
+        if print_line and "value" in entry:
+            print(json.dumps(entry), flush=True)
+            # keep the headline as the last line for the driver
+            print(json.dumps(self.headline), flush=True)
+
+    def final_print(self):
+        self._flush_detail()
+        print(json.dumps(self.headline), flush=True)
+
+
+def _remaining():
+    return BUDGET_S - (time.time() - T_START)
 
 
 def main():
-    detail = {}
-    lines = []
+    bank = Bank()
+
+    def _on_alarm(signum, frame):
+        print(f"bench budget ({BUDGET_S}s) exhausted; flushing",
+              file=sys.stderr, flush=True)
+        bank.add("budget_exhausted", {"after_s": round(time.time() - T_START)},
+                 print_line=False)
+        bank.final_print()
+        sys.stdout.flush()
+        os._exit(0)
+
+    signal.signal(signal.SIGALRM, _on_alarm)
+    signal.alarm(BUDGET_S)
 
     # ---- preflight: bail out fast if the accelerator service hangs
     # (a hung chip would otherwise burn the per-config timeouts 4x) ----
@@ -386,10 +434,8 @@ def main():
         ok = False
     if not ok:
         print("accelerator preflight failed/hung", file=sys.stderr)
-        print(json.dumps({"metric": "steps_throughput", "value": 0.0,
-                          "unit": "member-frames/s/chip",
-                          "vs_baseline": None,
-                          "note": "accelerator unresponsive"}))
+        bank.set_headline(dict(bank.headline, note="accelerator unresponsive"))
+        bank.final_print()
         return
 
     def _alive(timeout=300):
@@ -401,39 +447,50 @@ def main():
         except subprocess.TimeoutExpired:
             return False
 
-    def _wait_recovery(tries=6, pause=120):
-        """The service wedge clears by itself after minutes; poll for up
-        to ~tries*(pause+120)s before giving up on the accelerator."""
+    recovery_spent = [0.0]
+
+    def _wait_recovery(tries=4, pause=90):
+        """The service wedge clears by itself after minutes; poll with a
+        GLOBAL cap (10 min total across the whole bench) so recovery
+        sleeps can never dominate the budget."""
         for _ in range(tries):
+            if recovery_spent[0] > 600 or _remaining() < 300:
+                return False
             time.sleep(pause)
+            recovery_spent[0] += pause
             if _alive(120):
                 print("accelerator service recovered", file=sys.stderr)
                 return True
         return False
 
-    # ---- headline: STEPS 96-member throughput (climb smallest-first,
-    # keep the largest success; stop climbing the moment the accelerator
-    # goes dark so hung configs cannot burn the whole bench budget) ----
-    elapsed = None
-    used = None
+    def _mk_headline(elapsed_s, cfg):
+        used_members, used_side = cfg
+        ours_rate = used_members * N_TIMESTEPS / elapsed_s
+        ref = _ref_rate(f"steps_8m_{used_side}")
+        return {
+            "metric": f"steps_{used_members}member_{used_side}px_throughput",
+            "value": round(ours_rate, 2),
+            "unit": "member-frames/s/chip",
+            "vs_baseline": round(ours_rate / ref, 2) if ref else None,
+        }
+
+    # ---- headline: STEPS 96-member throughput (climb smallest-first;
+    # every success prints immediately; stop climbing the moment the
+    # accelerator goes dark) ----
     accel_dead = False
-    wedges = [0]
     for n_members, side, member_chunk in HEADLINE_CONFIGS:
+        if _remaining() < 240:
+            break
         try:
             proc = _subprocess(
                 ["--child-steps", str(n_members), str(side), str(member_chunk)],
-                1800,
+                min(1800, max(240, int(_remaining()) - 120)),
             )
-            got = None
-            for line in proc.stdout.splitlines():
-                if line.startswith("RESULT "):
-                    got = float(line.split()[1])
-                    break
+            got, _ = _child_result(proc)
         except subprocess.TimeoutExpired:
             got = None
         if got is not None:
-            elapsed = got
-            used = (n_members, side)
+            bank.set_headline(_mk_headline(got, (n_members, side)))
             continue
         print(f"config {n_members}x{side} failed/hung", file=sys.stderr)
         if not _alive():
@@ -441,138 +498,150 @@ def main():
             accel_dead = not _wait_recovery()
         break
 
-    def _mk_headline(elapsed_s, cfg):
-        used_members, used_side = cfg
-        ours_rate = used_members * N_TIMESTEPS / elapsed_s
-        ref_members = 8
+    # ---- large-grid configs (CONUS-scale north star), banked as their
+    # own entries so the 512 headline stays comparable across rounds ----
+    for n_members, side, member_chunk in LARGE_CONFIGS:
+        if accel_dead or _remaining() < 600:
+            break
         try:
-            ref_elapsed = run_reference(used_side, ref_members, N_TIMESTEPS)
-        except Exception as err:  # noqa: BLE001
-            print(f"reference baseline failed: {err}", file=sys.stderr)
-            ref_elapsed = None
-        vs = (
-            ours_rate / (ref_members * N_TIMESTEPS / ref_elapsed)
-            if ref_elapsed
-            else None
-        )
-        return {
-            "metric": f"steps_{used_members}member_{used_side}px_throughput",
-            "value": round(ours_rate, 2),
+            proc = _subprocess(
+                ["--child-steps", str(n_members), str(side), str(member_chunk)],
+                min(2400, max(300, int(_remaining()) - 120)),
+            )
+            got, _ = _child_result(proc)
+        except subprocess.TimeoutExpired:
+            got = None
+        if got is None:
+            print(f"large config {n_members}x{side} failed/hung",
+                  file=sys.stderr)
+            if not _alive():
+                accel_dead = not _wait_recovery()
+            continue
+        rate = n_members * N_TIMESTEPS / got
+        ref = _ref_rate(f"steps_8m_{side}")
+        bank.add(f"steps{n_members}_{side}", {
+            "metric": f"steps_{n_members}member_{side}px_throughput",
+            "value": round(rate, 2),
             "unit": "member-frames/s/chip",
-            "vs_baseline": round(vs, 2) if vs else None,
-        }
-
-    headline = {"metric": "steps_throughput", "value": 0.0,
-                "unit": "member-frames/s/chip", "vs_baseline": None}
-    if elapsed is not None:
-        headline = _mk_headline(elapsed, used)
-    detail["headline"] = headline
+            "vs_baseline": round(rate / ref, 2) if ref else None,
+        })
 
     # ---- secondary BASELINE configs ----
-    for model, cfg in SECONDARY:
+    for model, cfg, ref_key in SECONDARY:
         if accel_dead:
             print(f"{model} skipped: accelerator wedged", file=sys.stderr)
-            detail[model] = {"metric": f"{model}_skipped",
-                             "note": "accelerator service wedged"}
+            bank.add(model, {"metric": f"{model}_skipped",
+                             "note": "accelerator service wedged"},
+                     print_line=False)
             continue
+        if _remaining() < 240:
+            break
         side = cfg["side"]
         members = cfg.get("members", 0)
         try:
             if model == "steps24":
                 proc = _subprocess(
                     ["--child-steps", "24", str(side), "None", "parametric"],
-                    1800,
+                    min(1500, max(240, int(_remaining()) - 120)),
                 )
             else:
                 proc = _subprocess(
-                    ["--child-model", model, str(side), str(members)], 1800
+                    ["--child-model", model, str(side), str(members)],
+                    min(1500, max(240, int(_remaining()) - 120)),
                 )
         except subprocess.TimeoutExpired:
             print(f"{model} timed out", file=sys.stderr)
             if not _alive():
                 print("accelerator service wedged", file=sys.stderr)
-                wedges[0] += 1
-                # bounded patience: after 3 wedges, stop waiting for
-                # recovery (the remaining configs are skipped quickly)
-                accel_dead = wedges[0] > 3 or not _wait_recovery()
+                accel_dead = not _wait_recovery()
             continue
-        res = None
-        for line in proc.stdout.splitlines():
-            if line.startswith("RESULT "):
-                parts = line.split()
-                res = float(parts[1])
-                frames = None
-                for p in parts[2:]:
-                    if p.startswith("frames="):
-                        frames = int(p.split("=")[1])
-                break
+        res, frames = _child_result(proc)
         if res is None:
             print(f"{model} failed:\n{proc.stderr[-400:]}", file=sys.stderr)
             continue
         if model == "steps24":
             frames = 24 * N_TIMESTEPS
         rate = frames / res
-        try:
-            ref_t, ref_frames = run_reference_model(
-                model if model != "steps24" else "steps24", side, N_TIMESTEPS
-            )
-        except Exception as err:  # noqa: BLE001
-            print(f"{model} reference failed: {err}", file=sys.stderr)
-            ref_t, ref_frames = None, 0
-        vs = (
-            rate / (ref_frames / ref_t) if ref_t and ref_frames else None
-        )
-        entry = {
+        ref = _ref_rate(ref_key)
+        bank.add(model, {
             "metric": f"{model}_{side}px_throughput",
             "value": round(rate, 2),
             "unit": "member-frames/s/chip",
-            "vs_baseline": round(vs, 2) if vs else None,
-        }
-        detail[model] = entry
-        lines.append(entry)
+            "vs_baseline": round(rate / ref, 2) if ref else None,
+        })
 
-    # ---- ensemble scaling sweep (virtual CPU mesh proxy) ----
-    try:
-        proc = _subprocess(["--child-scaling"], 1800)
-        for line in proc.stdout.splitlines():
-            if line.startswith("SCALING "):
-                detail["ens_scaling_cpu_mesh"] = json.loads(line[8:])
-    except subprocess.TimeoutExpired:
-        print("scaling sweep timed out", file=sys.stderr)
+    # ---- motion solvers (one dense-flow retrieval, 512 px) ----
+    for method, ref_key in MOTION:
+        if accel_dead or _remaining() < 200:
+            break
+        try:
+            proc = _subprocess(
+                ["--child-motion", method, "512"],
+                min(900, max(200, int(_remaining()) - 120)),
+            )
+        except subprocess.TimeoutExpired:
+            print(f"motion {method} timed out", file=sys.stderr)
+            if not _alive():
+                accel_dead = not _wait_recovery()
+            continue
+        res, _ = _child_result(proc)
+        if res is None:
+            print(f"motion {method} failed:\n{proc.stderr[-400:]}",
+                  file=sys.stderr)
+            continue
+        rate = 1.0 / res
+        ref = _ref_rate(ref_key)
+        entry = {
+            "metric": f"motion_{method}_512px_throughput",
+            "value": round(rate, 3),
+            "unit": "fields/s",
+            "vs_baseline": round(rate / ref, 2) if ref else None,
+        }
+        if ref is None:
+            entry["note"] = (
+                "reference native extension unbuildable here (no Cython)"
+                if method in ("vet", "proesmans") else "no reference baseline"
+            )
+        bank.add(f"motion_{method}", entry)
+
+    # ---- scaling sweeps (virtual CPU mesh proxy; no TPU involved) ----
+    if _remaining() > 300:
+        try:
+            proc = _subprocess(
+                ["--child-scaling"],
+                min(1500, max(300, int(_remaining()) - 120)),
+            )
+            for line in proc.stdout.splitlines():
+                if line.startswith("SCALING "):
+                    bank.add("ens_scaling_cpu_mesh", json.loads(line[8:]),
+                             print_line=False)
+        except subprocess.TimeoutExpired:
+            print("scaling sweep timed out", file=sys.stderr)
 
     # ---- bonus: the full unchunked 96x512 dispatch, attempted LAST
     # because it is the config observed to wedge the service — everything
-    # above is already banked if it hangs ----
-    if not accel_dead and _alive(180):
+    # above is already banked and printed if it hangs ----
+    if not accel_dead and _remaining() > 400 and _alive(180):
         n_members, side, member_chunk = BONUS_CONFIG
         try:
             proc = _subprocess(
                 ["--child-steps", str(n_members), str(side), str(member_chunk)],
-                1500,
+                min(1500, max(300, int(_remaining()) - 60)),
             )
-            got = None
-            for line in proc.stdout.splitlines():
-                if line.startswith("RESULT "):
-                    got = float(line.split()[1])
-                    break
+            got, _ = _child_result(proc)
         except subprocess.TimeoutExpired:
             got = None
         if got is not None:
-            headline = _mk_headline(got, (n_members, side))
-            detail["headline"] = headline
+            cand = _mk_headline(got, (n_members, side))
+            if cand["value"] > bank.headline["value"]:
+                bank.set_headline(cand)
+            else:
+                bank.add("bonus_unchunked_96x512", cand)
         else:
             print("bonus 96x512 config failed/hung", file=sys.stderr)
 
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "BENCH_DETAIL.json"),
-        "w",
-    ) as f:
-        json.dump(detail, f, indent=2)
-
-    for entry in lines:
-        print(json.dumps(entry))
-    print(json.dumps(headline))
+    signal.alarm(0)
+    bank.final_print()
 
 
 if __name__ == "__main__":
@@ -589,6 +658,8 @@ if __name__ == "__main__":
             sys.argv[2], int(sys.argv[3]),
             int(sys.argv[4]) if len(sys.argv) > 4 else 0,
         )
+    elif len(sys.argv) >= 2 and sys.argv[1] == "--child-motion":
+        run_child_motion(sys.argv[2], int(sys.argv[3]))
     elif len(sys.argv) >= 2 and sys.argv[1] == "--child-scaling":
         run_child_scaling()
     else:

@@ -1013,7 +1013,9 @@ def forecast(
     # spatial sharding: a mesh with a non-trivial "y" axis routes the scan
     # through the shard_map variant (grid rows over "y", members over
     # "ens"; parallel/sharded_blending.py)
-    spatial = mesh is not None and int(mesh.shape["y"]) > 1
+    # Mesh.shape is a dict; a user mesh without a "y" axis (e.g.
+    # Mesh(("ens",))) takes the ensemble-sharded path
+    spatial = mesh is not None and int(mesh.shape.get("y", 1)) > 1
 
     if callback is not None and not return_output and subsel is None and not spatial:
         # incremental memory contract: chunked scan + per-chunk host fetch

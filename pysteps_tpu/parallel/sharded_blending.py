@@ -51,9 +51,11 @@ from pysteps_tpu.noise.fftgenerators import _spectral_white
 from pysteps_tpu.ops.warp import bilinear_warp, warp_shifted_multi
 from pysteps_tpu.parallel.dist_fft import _ceil_to, irfft2_local
 from pysteps_tpu.parallel.sharded_steps import (
+    _B_T,
     _dilated_mask_halo,
     _exchange_rows,
     _match_cdf_psum,
+    _match_cdf_psum_binned,
     _prepare_pwl_target,
     _sample_velocity_ext,
 )
@@ -158,7 +160,11 @@ def blending_scan_sharded(
         struct_radius + mask_rim,
         2,
     )
-    halo = min(halo, m_loc)
+    # keep the TRUE halo even when it exceeds m_loc (_exchange_rows
+    # all_gathers for halo >= m_loc); clamping to m_loc would silently
+    # cut large displacements off.  Cap at the grid height, where
+    # edge-clamp semantics make further reach a no-op.
+    halo = min(halo, m)
 
     def padc(a):
         cfg = [(0, 0)] * (a.ndim - 1) + [(0, c_pad - c)]
@@ -182,14 +188,58 @@ def blending_scan_sharded(
     # the PWL target state are built in-scan per member-step
     resample = bool(resample_distribution) and probmatching == "cdf"
     T_n = nwp_fields.shape[0]
+    N_mn = m * n
     if resample:
-        rsort_d = jnp.sort(jnp.asarray(precip_last, jnp.float32).ravel())[::-1]
-        nf = jnp.asarray(nwp_fields, jnp.float32).reshape(T_n, n_models, m * n)
-        nf = jnp.where(jnp.isnan(nf), precip_min, nf)
-        nwp_sorted = -jnp.sort(-nf, axis=-1)
+        # Sort-free in-scan matching (ADVICE r2): the mixed target's
+        # binned CDF is assembled from a cumsum of the bernoulli picks
+        # plus STATIC per-(t, model) index arrays precomputed here on
+        # host.  For each bin b of a fixed combined-range grid,
+        # idx_r[t,mod,b] = first rank (descending) whose radar value
+        # falls at-or-below bin b's edge, so the number of PICKED radar
+        # values with bin <= b is a suffix-sum lookup; same for NWP with
+        # the complementary picks.  Reference semantics
+        # (probmatching.resample_distributions: rank-aligned elementwise
+        # mix of the two descending sorts, then re-sort) are reproduced
+        # exactly up to the shared 16k-bin quantization.
+        pl = np.asarray(precip_last, np.float32).ravel()
+        pl = np.where(np.isnan(pl), np.nanmin(pl), pl)
+        rsort_np = np.sort(pl)[::-1]
+        nf = np.asarray(nwp_fields, np.float32).reshape(T_n, n_models, N_mn)
+        nf = np.where(np.isnan(nf), precip_min, nf)
+        nsort_np = -np.sort(-nf, axis=-1)
+        B = _B_T
+        tlo_tm = np.minimum(rsort_np[-1], nsort_np[:, :, -1])
+        thi_tm = np.maximum(rsort_np[0], nsort_np[:, :, 0])
+        tscale_tm = (B - 1.0) / np.maximum(thi_tm - tlo_tm, 1e-12)
+        idx_r = np.empty((T_n, n_models, B), np.int32)
+        idx_n = np.empty((T_n, n_models, B), np.int32)
+        bgrid = np.arange(B)
+        for t_i in range(T_n):
+            for mod in range(n_models):
+                sc, lo_ = tscale_tm[t_i, mod], tlo_tm[t_i, mod]
+                tr = np.clip(np.round((rsort_np - lo_) * sc), 0, B - 1)
+                tn = np.clip(
+                    np.round((nsort_np[t_i, mod] - lo_) * sc), 0, B - 1
+                )
+                idx_r[t_i, mod] = N_mn - np.searchsorted(
+                    tr[::-1], bgrid, side="right"
+                )
+                idx_n[t_i, mod] = N_mn - np.searchsorted(
+                    tn[::-1], bgrid, side="right"
+                )
+        rsort_d = jnp.asarray(rsort_np)
+        nwp_sorted = jnp.asarray(nsort_np)
+        idx_r = jnp.asarray(idx_r)
+        idx_n = jnp.asarray(idx_n)
+        tlo_tm = jnp.asarray(tlo_tm, jnp.float32)
+        tscale_tm = jnp.asarray(tscale_tm, jnp.float32)
     else:
         rsort_d = jnp.zeros((1,), jnp.float32)
         nwp_sorted = jnp.zeros((T_n, n_models, 1), jnp.float32)
+        idx_r = jnp.zeros((T_n, n_models, 1), jnp.int32)
+        idx_n = jnp.zeros((T_n, n_models, 1), jnp.int32)
+        tlo_tm = jnp.zeros((T_n, n_models), jnp.float32)
+        tscale_tm = jnp.ones((T_n, n_models), jnp.float32)
     if eps_par is None:
         eps_par = jnp.zeros(E, jnp.float32)
         eps_perp = jnp.zeros(E, jnp.float32)
@@ -228,6 +278,10 @@ def blending_scan_sharded(
             P("ens",), P("ens",),            # eps_par / eps_perp
             P(None),                         # rsort_d (replicated)
             P(None, None, None),             # nwp_sorted (T, nm, mn)
+            P(None, None, None),             # idx_r (T, nm, B)
+            P(None, None, None),             # idx_n (T, nm, B)
+            P(None, None),                   # tlo_tm (T, nm)
+            P(None, None),                   # tscale_tm (T, nm)
         ),
         out_specs=P(None, "ens", "y", None),
         check_vma=False,
@@ -238,6 +292,7 @@ def blending_scan_sharded(
         r_means, r_sigmas, plast_l, dmask_l, smask_l,
         ranked, zvalue_trg, c_t, tlo, tscale, n_wet_trg,
         epar_l, eperp_l, rsort_l, nsorted_l,
+        idx_r_l, idx_n_l, tlo_tm_l, tscale_tm_l,
     ):
         tstate_l = (ranked, zvalue_trg, c_t, tlo, tscale, n_wet_trg)
         c_loc = filt_l.shape[-1]
@@ -391,9 +446,35 @@ def blending_scan_sharded(
                             jax.random.fold_in(key, t), p_radar,
                             rsort_l.shape,
                         )
-                        target = jnp.where(pick, rsort_l, nsort)
-                        tstate_t = _prepare_pwl_target(target)
-                        field = _match_cdf_psum(field, tstate_t, size_f, "y")
+                        # sort-free binned target CDF: suffix-sums of the
+                        # picks looked up at the static per-bin rank
+                        # indices (see the setup comment above)
+                        mixed = jnp.where(pick, rsort_l, nsort)
+                        zv = jnp.min(mixed)
+                        trg_max = jnp.max(mixed)
+                        n_wet = jnp.sum(mixed > zv)
+                        pickf = pick.astype(jnp.float32)
+                        cum = jnp.cumsum(pickf)
+                        total = cum[-1]
+                        zero1 = jnp.zeros((1,), jnp.float32)
+                        s_r = total - jnp.concatenate([zero1, cum])
+                        notcum = (
+                            jnp.arange(1, N_mn + 1, dtype=jnp.float32) - cum
+                        )
+                        s_n = (N_mn - total) - jnp.concatenate(
+                            [zero1, notcum]
+                        )
+                        idxr_t = jnp.take(idx_r_l[t], model_j, axis=0)
+                        idxn_t = jnp.take(idx_n_l[t], model_j, axis=0)
+                        c_mix = jnp.round(
+                            s_r[idxr_t] + s_n[idxn_t]
+                        ).astype(jnp.int32)
+                        field = _match_cdf_psum_binned(
+                            field, zv, c_mix,
+                            jnp.take(tlo_tm_l[t], model_j),
+                            jnp.take(tscale_tm_l[t], model_j),
+                            n_wet, trg_max, size_f, "y",
+                        )
                     else:
                         field = _match_cdf_psum(field, tstate_l, size_f, "y")
                 elif probmatching == "mean":
@@ -435,6 +516,6 @@ def blending_scan_sharded(
         jnp.asarray(domain_mask, bool), smooth_mask.astype(jnp.float32),
         *tstate,
         eps_par.astype(jnp.float32), eps_perp.astype(jnp.float32),
-        rsort_d, nwp_sorted,
+        rsort_d, nwp_sorted, idx_r, idx_n, tlo_tm, tscale_tm,
     )
     return None, out

@@ -154,6 +154,55 @@ def _match_cdf_psum(field_rows, tstate, size, axis_name):
     return out.reshape(field_rows.shape)
 
 
+def _match_cdf_psum_binned(field_rows, zvalue_trg, c_t, tlo, tscale,
+                           n_wet_trg, trg_max, size, axis_name):
+    """_match_cdf_psum with a purely binned target state: no sorted target
+    array is needed — the max cap and the WAR quantile are inverted from
+    the binned CDF ``c_t`` (counts with bin <= b on the (tlo, tscale)
+    grid).  Used by the resampled-distribution branch of sharded blending,
+    where the target changes every member-step and a full in-scan sort
+    would otherwise be required (ADVICE r2)."""
+    x = field_rows.ravel()
+    lo = jax.lax.pmin(jnp.min(x), axis_name)
+    hi = jax.lax.pmax(jnp.max(x), axis_name)
+    span = jnp.maximum(hi - lo, 1e-12)
+    edges = lo + span * (jnp.arange(_K, dtype=jnp.float32) / (_K - 1.0))
+
+    local_counts = jnp.sum(
+        (x[:, None] < edges[None, :]).astype(jnp.float32), axis=0
+    )
+    r = jax.lax.psum(local_counts, axis_name).astype(jnp.int32)
+    v = jnp.sum((c_t[None, :] <= r[:, None]).astype(jnp.int32), axis=1)
+    q = tlo + (v.astype(jnp.float32) + 0.5) / tscale
+    q = jnp.minimum(q, trg_max)
+
+    zvalue = lo
+    n_wet_init = jax.lax.psum(jnp.sum(x > zvalue), axis_name)
+    war = n_wet_init / size
+    p_idx = jnp.clip(
+        jnp.round((1.0 - war) * (size - 1.0)).astype(jnp.int32),
+        0, int(size) - 1,
+    )
+    vp = jnp.sum((c_t <= p_idx).astype(jnp.int32))
+    p = jnp.minimum(tlo + (vp.astype(jnp.float32) + 0.5) / tscale, trg_max)
+    q = jnp.where((n_wet_trg > n_wet_init) & (q < p), zvalue_trg, q)
+    q = jax.lax.associative_scan(jnp.maximum, q)
+
+    de = edges[1:] - edges[:-1]
+    tiny = span * 1e-7
+    slope = jnp.concatenate(
+        [jnp.where(de > tiny, (q[1:] - q[:-1]) / jnp.maximum(de, tiny), 0.0),
+         jnp.zeros((1,))]
+    )
+    c0 = jnp.concatenate([q[:-1] - slope[:-1] * edges[:-1], q[-1:]])
+    d0 = jnp.diff(c0, prepend=q[:1])
+    d1 = jnp.diff(slope, prepend=jnp.zeros((1,)))
+    cum = (x[:, None] >= edges[None, :]).astype(jnp.float32)
+    out = q[0] + cum @ d0 + x * (cum @ d1)
+    out = jnp.where(x == zvalue, zvalue_trg, out)
+    return out.reshape(field_rows.shape)
+
+
 def _dilated_mask_halo(field_rows, thr, kr, r, axis_name):
     """Incremental-mask update on row shards: halo-extend by the dilation
     reach, run the serial rim build, slice, renormalize globally."""
@@ -362,7 +411,13 @@ def forecast(
         struct_radius + mask_rim,
         2,
     )
-    halo = min(halo, m // y_shards)
+    # keep the TRUE halo even when it exceeds the per-shard row count
+    # (_exchange_rows falls back to all_gather for halo >= m_loc); with
+    # BPS velocity perturbations the 4-sigma margin routinely exceeds
+    # m_loc on fine meshes, and clamping would silently diverge from the
+    # unsharded path.  Beyond the full grid height edge-clamping makes
+    # any further reach a no-op, so cap there.
+    halo = min(halo, m)
     size_f = float(m * n)
 
     means_l, stds_l = means[-1], stds[-1]

@@ -1,0 +1,194 @@
+"""Measure the reference pysteps (CPU, NumPy) baselines ONCE and write
+REF_BASELINE.json at the repo root.
+
+bench.py reads this committed file instead of re-running the reference
+inside its TPU wall-clock budget (round 2 lost all its evidence to a
+driver timeout while bench.py was still re-measuring deterministic CPU
+baselines — see VERDICT.md "What's weak" #2).
+
+The file is keyed by config string; each entry records elapsed seconds,
+the member-frame count of the run, and enough provenance to audit it.
+Results are flushed to disk incrementally, so a partial run still banks
+everything it measured.
+
+Reference entry points exercised (citations into /root/reference):
+  - nowcasts: steps.py:1273 forecast wrapper, sprog.py:32, anvil.py:37,
+    linda.py:62, extrapolation.py:19
+  - blending/steps.py:3383
+  - motion: lucaskanade.py:38 (OpenCV), darts.py:23, farneback.py:40.
+    VET/Proesmans (`motion/_vet.pyx`, `_proesmans.pyx`) need their Cython
+    extensions, and this environment has no Cython to build them — those
+    rows are recorded as unavailable with a note.
+"""
+
+import datetime
+import json
+import os
+import platform
+import sys
+import time
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+import bench  # noqa: E402  (repo-root bench.py: shared input construction)
+from benchtools import import_reference_pysteps  # noqa: E402
+
+OUT = os.path.join(ROOT, "REF_BASELINE.json")
+N_TIMESTEPS = bench.N_TIMESTEPS
+
+
+def _load():
+    if os.path.exists(OUT):
+        with open(OUT) as f:
+            return json.load(f)
+    return {"_meta": {}}
+
+
+def _bank(store, key, entry):
+    entry["measured_at"] = datetime.datetime.now().isoformat(timespec="seconds")
+    store[key] = entry
+    with open(OUT, "w") as f:
+        json.dump(store, f, indent=2, sort_keys=True)
+    print(f"banked {key}: {entry}", flush=True)
+
+
+def measure_steps(pysteps, side, members, domain="spectral",
+                  noise="nonparametric"):
+    _, precip_db, velocity = bench._make_inputs(side)
+    kwargs = dict(bench._steps_kwargs(members, noise), domain=domain)
+    t0 = time.time()
+    pysteps.nowcasts.get_method("steps")(
+        precip_db[:3], velocity, N_TIMESTEPS, num_workers=1, **kwargs
+    )
+    return {
+        "elapsed_s": round(time.time() - t0, 3),
+        "frames": members * N_TIMESTEPS,
+        "config": {"side": side, "members": members, "timesteps": N_TIMESTEPS,
+                   "domain": domain, "noise": noise},
+    }
+
+
+def measure_model(pysteps, model, side):
+    precip, precip_db, velocity = bench._make_inputs(side, n_frames=4)
+    t0 = time.time()
+    if model == "extrap":
+        flow = pysteps.motion.get_method("lucaskanade")(precip_db[:3])
+        pysteps.nowcasts.get_method("extrapolation")(
+            precip_db[-2], flow, N_TIMESTEPS
+        )
+        frames = N_TIMESTEPS
+    elif model == "sprog":
+        pysteps.nowcasts.get_method("sprog")(
+            precip_db[:3], velocity, N_TIMESTEPS,
+            n_cascade_levels=8, precip_thr=-10.0,
+        )
+        frames = N_TIMESTEPS
+    elif model == "anvil":
+        pysteps.nowcasts.get_method("anvil")(
+            np.asarray(precip, np.float64), velocity, N_TIMESTEPS,
+            n_cascade_levels=8,
+        )
+        frames = N_TIMESTEPS
+    elif model == "linda":
+        pysteps.nowcasts.get_method("linda")(
+            precip[:3], velocity, N_TIMESTEPS, feature_method="domain",
+            add_perturbations=False,
+        )
+        frames = N_TIMESTEPS
+    elif model == "blend":
+        rng = np.random.RandomState(1)
+        nwp = np.repeat(precip_db[2][None], N_TIMESTEPS + 1, axis=0)
+        nwp = (nwp + 0.3 * rng.randn(*nwp.shape)).astype(np.float64)[None]
+        nwp_vel = np.broadcast_to(
+            velocity[None, None], (1, N_TIMESTEPS + 1) + velocity.shape
+        ).copy()
+        skill_dir = os.path.join(ROOT, "tmp_skill_bench")
+        os.makedirs(skill_dir, exist_ok=True)
+        pysteps.blending.steps.forecast(
+            precip=precip_db[:3], precip_models=nwp, velocity=velocity,
+            velocity_models=nwp_vel, timesteps=N_TIMESTEPS, timestep=5.0,
+            issuetime=datetime.datetime(2021, 12, 1), n_ens_members=4,
+            n_cascade_levels=8, precip_thr=-10.0, kmperpixel=1.0,
+            noise_method="nonparametric", vel_pert_method=None, seed=1,
+            outdir_path_skill=skill_dir,
+        )
+        frames = 4 * N_TIMESTEPS
+    else:
+        raise ValueError(model)
+    return {"elapsed_s": round(time.time() - t0, 3), "frames": frames,
+            "config": {"side": side, "timesteps": N_TIMESTEPS}}
+
+
+def measure_motion(pysteps, method, side, repeats=3):
+    """Best-of-N wall time for one dense-flow retrieval."""
+    n_frames = 9 if method == "darts" else 3
+    _, precip_db, _ = bench._make_inputs(side, n_frames=n_frames)
+    frames = np.asarray(precip_db, np.float64)
+    fn = pysteps.motion.get_method(method)
+    best = None
+    for _ in range(repeats):
+        t0 = time.time()
+        fn(frames)
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return {"elapsed_s": round(best, 3), "frames": 1,
+            "config": {"side": side, "n_frames": n_frames,
+                       "timing": f"best_of_{repeats}"}}
+
+
+def main():
+    only = sys.argv[1:] or None
+    pysteps = import_reference_pysteps()
+    if pysteps is None:
+        print("reference pysteps unavailable", file=sys.stderr)
+        return 1
+    store = _load()
+    store["_meta"] = {
+        "reference": "/root/reference pysteps v1.21.3",
+        "hardware": f"CPU {platform.processor() or platform.machine()} "
+                    f"({os.cpu_count()} cores), num_workers=1",
+        "note": "deterministic CPU baselines measured once; bench.py reads "
+                "this file instead of re-running the reference",
+    }
+
+    jobs = []
+    for side in (128, 256, 512, 1024):
+        jobs.append((f"steps_8m_{side}",
+                     lambda s=side: measure_steps(pysteps, s, 8)))
+    jobs.append(("steps24ref_8m_512_spatial_parametric",
+                 lambda: measure_steps(pysteps, 512, 8, "spatial",
+                                       "parametric")))
+    for model, side in [("extrap", 512), ("sprog", 512), ("anvil", 512),
+                        ("linda", 256), ("blend", 256)]:
+        jobs.append((f"{model}_{side}",
+                     lambda m=model, s=side: measure_model(pysteps, m, s)))
+    for method in ("lucaskanade", "darts", "farneback"):
+        jobs.append((f"motion_{method}_512",
+                     lambda m=method: measure_motion(pysteps, m, 512)))
+
+    for key, fn in jobs:
+        if only and key not in only:
+            continue
+        if key in store and "elapsed_s" in store.get(key, {}):
+            print(f"skip {key} (already measured)", flush=True)
+            continue
+        try:
+            _bank(store, key, fn())
+        except Exception as err:  # noqa: BLE001
+            _bank(store, key, {"error": f"{type(err).__name__}: {err}"})
+
+    for method in ("vet", "proesmans"):
+        key = f"motion_{method}_512"
+        if key not in store:
+            _bank(store, key, {
+                "unavailable": "reference Cython extension "
+                f"(motion/_{method}.pyx) cannot be built: no Cython in "
+                "this environment"})
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

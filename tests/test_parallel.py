@@ -178,6 +178,46 @@ def test_spatially_sharded_blending_device_count_invariance():
     np.testing.assert_allclose(out_small, out_large, atol=5e-3)
 
 
+def test_spatially_sharded_blending_y_shard_invariance_big_halo():
+    """With BPS velocity perturbations the 4-sigma advection margin makes
+    the required halo exceed the per-shard row count on fine meshes
+    (64 rows / 8 shards = 8-row blocks).  The halo must NOT be clamped to
+    m_loc (ADVICE r2, medium): results have to be invariant to the
+    y-shard count, exercising the all_gather fallback of
+    _exchange_rows."""
+    frames = make_synthetic_sequence(
+        n_frames=7, shape=(64, 64), velocity=(2.0, 1.0), seed=13
+    )
+    db = np.where(
+        frames >= 0.1, 10 * np.log10(np.maximum(frames, 0.1)), -15.0
+    ).astype(np.float32)
+    velocity = np.zeros((2, 64, 64), np.float32)
+    velocity[0], velocity[1] = 2.0, 1.0
+    rng = np.random.RandomState(5)
+    nwp = db[2:6] + 0.5 * rng.randn(4, 64, 64).astype(np.float32)
+
+    from pysteps_tpu import blending
+
+    kwargs = dict(
+        n_ens_members=2, n_cascade_levels=6, precip_thr=-10.0,
+        kmperpixel=1.0, seed=3, vel_pert_method="bps",
+    )
+    out_y2 = np.asarray(
+        blending.get_method("steps")(
+            db[:3], nwp[None], velocity, velocity[None], 2, 5,
+            mesh=make_mesh(ens=1, y=2), **kwargs,
+        )
+    )
+    out_y8 = np.asarray(
+        blending.get_method("steps")(
+            db[:3], nwp[None], velocity, velocity[None], 2, 5,
+            mesh=make_mesh(ens=1, y=8), **kwargs,
+        )
+    )
+    assert np.isfinite(out_y8).all()
+    np.testing.assert_allclose(out_y2, out_y8, atol=5e-3)
+
+
 def test_sharded_vet_matches_unsharded():
     frames = make_synthetic_sequence(
         n_frames=2, shape=(64, 64), velocity=(2.0, 1.0), seed=4
