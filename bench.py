@@ -254,7 +254,7 @@ def run_child_motion(method, side):
 
     from pysteps_tpu import motion
 
-    n_frames = 9 if method == "darts" else 3
+    n_frames = {"darts": 9, "proesmans": 2}.get(method, 3)
     _, precip_db, _ = _make_inputs(side, n_frames=n_frames)
     db = jax.device_put(jnp.asarray(precip_db))
     fn = motion.get_method(method)

@@ -228,16 +228,22 @@ def semilag_step(
     return warped, displacement
 
 
-@functools.partial(jax.jit, static_argnames=("n_iter", "interp_order"))
+@functools.partial(
+    jax.jit, static_argnames=("n_iter", "interp_order", "max_disp")
+)
 def _extrapolate_core(
     field, velocity, timestep_diffs, n_iter, interp_order, outval,
-    displacement_init, vel_timestep,
+    displacement_init, vel_timestep, max_disp=None,
 ):
     def body(displacement, td):
         disp = integrate_displacement(
-            velocity, displacement, td, n_iter=n_iter, vel_timestep=vel_timestep
+            velocity, displacement, td, n_iter=n_iter,
+            vel_timestep=vel_timestep, max_disp=max_disp,
         )
-        warped = warp(field, disp, order=interp_order, cval=outval)
+        warped = model_warp(
+            field, disp, max_disp=max_disp, interp_order=interp_order,
+            cval=outval,
+        )
         return disp, warped
 
     displacement, fields = jax.lax.scan(body, displacement_init, timestep_diffs)
@@ -296,6 +302,20 @@ def extrapolate(
         displacement_init = jnp.zeros_like(velocity)
 
     field = precip if precip is not None else jnp.zeros(velocity.shape[1:])
+    # data-independent displacement cap on accelerators (the XLA gather
+    # warp is scalar on TPU, ~1 s for 12 steps at 512^2): same 48-px rule
+    # as the STEPS wrapper — the Pallas resample bounds its chunk loops by
+    # the rows actually touched, so the oversized static bound is ~free
+    m_, n_ = velocity.shape[1:]
+    max_disp = (
+        48
+        if (
+            jax.default_backend() != "cpu"
+            and int(interp_order) == 1
+            and min(m_, n_) >= 3 * 48
+        )
+        else None
+    )
     fields, displacement = _extrapolate_core(
         field,
         velocity,
@@ -305,6 +325,7 @@ def extrapolate(
         jnp.float32(outval) if precip is not None else jnp.float32(np.nan),
         displacement_init,
         jnp.float32(vel_timestep),
+        max_disp,
     )
 
     if precip is None:

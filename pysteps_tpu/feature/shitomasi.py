@@ -31,9 +31,25 @@ def _max_pool_same(field, size):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_corners", "min_distance", "block_size"),
+    static_argnames=(
+        "max_corners", "min_distance", "block_size", "buffer_mask",
+    ),
 )
-def _shitomasi_core(image, mask, max_corners, quality_level, min_distance, block_size):
+def _shitomasi_core(image, max_corners, quality_level, min_distance,
+                    block_size, buffer_mask=0):
+    # mask prep fused in (eager pre-ops cost one tunnel dispatch each)
+    finite = jnp.isfinite(image)
+    image = jnp.where(finite, image, jnp.nanmin(image))
+    mask = finite
+    if buffer_mask > 0:
+        # shrink the valid mask by buffer_mask pixels (min-pool erosion)
+        size = 2 * int(buffer_mask) + 1
+        mask = (
+            -jax.lax.reduce_window(
+                -(mask.astype(jnp.float32)), -1.0, jax.lax.max,
+                (size, size), (1, 1), "SAME",
+            )
+        ) > 0.5
     # Sobel gradients
     img = image.astype(jnp.float32)
     kx = jnp.asarray([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], jnp.float32) / 8.0
@@ -89,23 +105,13 @@ def detection(
     if max_num_features is not None:
         max_corners = max_num_features
     image = jnp.asarray(input_image, jnp.float32)
-    finite = jnp.isfinite(image)
-    image = jnp.where(finite, image, jnp.nanmin(image))
-    mask = finite
-    if use_cmask and buffer_mask > 0:
-        # shrink the valid mask by buffer_mask pixels (erosion via min-pool)
-        size = 2 * int(buffer_mask) + 1
-        mask = (
-            -jax.lax.reduce_window(
-                -(mask.astype(jnp.float32)), -1.0, jax.lax.max,
-                (size, size), (1, 1), "SAME",
-            )
-        ) > 0.5
+    buf = int(buffer_mask) if (use_cmask and buffer_mask > 0) else 0
     points, valid = _shitomasi_core(
-        image, mask, int(max_corners), float(quality_level),
-        int(min_distance), int(block_size),
+        image, int(max_corners), float(quality_level),
+        int(min_distance), int(block_size), buf,
     )
     points = np.asarray(points)[np.asarray(valid)]
     if return_mask_and_scores:
-        return points, np.asarray(mask), None
+        mask = np.isfinite(np.asarray(input_image))
+        return points, mask, None
     return points

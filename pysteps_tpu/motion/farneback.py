@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pysteps_tpu.ops.warp import bilinear_warp
+from pysteps_tpu.ops.warp import bilinear_warp, warp_shifted_multi
 
 
 def _gauss_kernel(n, sigma):
@@ -80,8 +80,11 @@ def _poly_exp(img, n=7, sigma=1.5):
     return A, b
 
 
-@functools.partial(jax.jit, static_argnames=("n_iter", "poly_n", "winsize"))
-def _flow_iteration(img1, img2, flow0, n_iter, poly_n, poly_sigma, winsize):
+@functools.partial(
+    jax.jit, static_argnames=("n_iter", "poly_n", "winsize", "max_disp")
+)
+def _flow_iteration(img1, img2, flow0, n_iter, poly_n, poly_sigma, winsize,
+                    max_disp=None):
     m, n = img1.shape
     A1, b1 = _poly_exp(img1, poly_n, poly_sigma)
     A2, b2 = _poly_exp(img2, poly_n, poly_sigma)
@@ -94,13 +97,21 @@ def _flow_iteration(img1, img2, flow0, n_iter, poly_n, poly_sigma, winsize):
     def body(flow, _):
         cy = yy + flow[1]
         cx = xx + flow[0]
-        A2w = jnp.stack(
-            [
-                jnp.stack([bilinear_warp(A2[i, j], cy, cx, mode="nearest") for j in range(2)])
-                for i in range(2)
-            ]
-        )
-        b2w = jnp.stack([bilinear_warp(b2[i], cy, cx, mode="nearest") for i in range(2)])
+        if max_disp is not None:
+            # gather-free shift-decomposition warp of all 6 channels in
+            # one pass (TPU: the coordinate gather is scalar)
+            chans = jnp.concatenate([A2.reshape(4, m, n), b2], axis=0)
+            w = warp_shifted_multi(chans, flow, int(max_disp), mode="nearest")
+            A2w = w[:4].reshape(2, 2, m, n)
+            b2w = w[4:6]
+        else:
+            A2w = jnp.stack(
+                [
+                    jnp.stack([bilinear_warp(A2[i, j], cy, cx, mode="nearest") for j in range(2)])
+                    for i in range(2)
+                ]
+            )
+            b2w = jnp.stack([bilinear_warp(b2[i], cy, cx, mode="nearest") for i in range(2)])
         A = (A1 + A2w) / 2.0
         db = -(b2w - b1) / 2.0
         # account for the current flow estimate: db += A @ flow
@@ -181,12 +192,15 @@ def farneback(
         b = gaussian_filter(b, 1.0, mode="mirror")[::2, ::2]
         pyr.append((a, b))
 
+    use_shift = jax.default_backend() != "cpu"
     flow = jnp.zeros((2,) + pyr[-1][0].shape, jnp.float32)
     for lvl in range(len(pyr) - 1, -1, -1):
         a, b = pyr[lvl]
+        md = min(16, min(a.shape) // 2) if use_shift else None
         flow = _flow_iteration(
             jnp.asarray(a), jnp.asarray(b), flow,
             int(num_iterations), int(poly_n), float(poly_sigma), int(winsize),
+            md,
         )
         if lvl > 0:
             flow = (

@@ -39,20 +39,22 @@ def dense_lucaskanade(input_images, lk_kwargs=None, fd_method="shitomasi",
 
     nr_fields = input_images.shape[0]
     domain_size = input_images.shape[1:]
+
+    # declutter every frame ONCE (frame i+1 of pair i is frame i of pair
+    # i+1 — recomputing the opening would double the dispatch count)
+    cleaned = []
+    for i in range(nr_fields):
+        frame = input_images[i]
+        minval = np.nanmin(frame) if np.any(np.isfinite(frame)) else 0.0
+        f = np.where(np.isfinite(frame), frame, minval)
+        if size_opening is not None and size_opening > 0:
+            f = np.asarray(images.morph_opening(f, minval, size_opening))
+        cleaned.append(f)
+
     xy_all, uv_all = [], []
     for i in range(nr_fields - 1):
-        prvs = input_images[i].copy()
-        nxt = input_images[i + 1].copy()
-        minval = np.nanmin(prvs) if np.any(np.isfinite(prvs)) else 0.0
-        prvs_f = np.where(np.isfinite(prvs), prvs, minval)
-        nxt_f = np.where(np.isfinite(nxt), nxt, np.nanmin(nxt) if np.any(np.isfinite(nxt)) else 0.0)
-
-        # remove small-scale clutter
-        if size_opening is not None and size_opening > 0:
-            prvs_f = np.asarray(images.morph_opening(prvs_f, minval, size_opening))
-            nxt_f = np.asarray(
-                images.morph_opening(nxt_f, float(np.min(nxt_f)), size_opening)
-            )
+        prvs = input_images[i]
+        prvs_f, nxt_f = cleaned[i], cleaned[i + 1]
 
         # corners on the previous frame
         mask_img = np.where(np.isfinite(prvs), prvs, np.nan)

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 from scipy.ndimage import gaussian_filter
 
-from pysteps_tpu.ops.warp import bilinear_warp
+from pysteps_tpu.ops.warp import bilinear_warp, warp_shifted, warp_shifted_multi
 
 _INTENSITY_SCALE = 1.0 / 255.0
 
@@ -46,9 +46,13 @@ def _conv3(field):
     )[0, 0]
 
 
-def _consistency(V, m, n):
+def _consistency(V, m, n, max_disp=None):
     """Forward-backward consistency weights gamma
-    (reference: _proesmans.pyx _compute_consistency_maps)."""
+    (reference: _proesmans.pyx _compute_consistency_maps).
+
+    ``max_disp`` (static int): use the gather-free shift-decomposition
+    warp — on TPU the coordinate gather is scalar (~170 ns/element) and
+    would dominate every Jacobi iteration."""
     yy, xx = jnp.meshgrid(
         jnp.arange(m, dtype=jnp.float32), jnp.arange(n, dtype=jnp.float32),
         indexing="ij",
@@ -60,8 +64,11 @@ def _consistency(V, m, n):
         cx = xx + Vf[0]
         cy = yy + Vf[1]
         inside = (cx >= 0) & (cx < n) & (cy >= 0) & (cy < m)
-        ub = bilinear_warp(Vb[0], cy, cx, mode="nearest")
-        vb = bilinear_warp(Vb[1], cy, cx, mode="nearest")
+        if max_disp is not None:
+            ub, vb = warp_shifted_multi(Vb, Vf, int(max_disp), mode="nearest")
+        else:
+            ub = bilinear_warp(Vb[0], cy, cx, mode="nearest")
+            vb = bilinear_warp(Vb[1], cy, cx, mode="nearest")
         c = jnp.sqrt((Vf[0] + ub) ** 2 + (Vf[1] + vb) ** 2)
         c_valid = jnp.where(inside, c, 0.0)
         K = 0.9 * jnp.sum(c_valid) / jnp.maximum(jnp.sum(inside), 1)
@@ -75,8 +82,8 @@ def _consistency(V, m, n):
     return jnp.stack([one(0), one(1)])
 
 
-@functools.partial(jax.jit, static_argnames=("num_iter",))
-def _proesmans_level(R, V0, lam, num_iter):
+@functools.partial(jax.jit, static_argnames=("num_iter", "max_disp"))
+def _proesmans_level(R, V0, lam, num_iter, max_disp=None):
     """Jacobi iterations of the coupled two-way flow at one pyramid level.
 
     R: (2, m, n) image pair; V0: (2, 2, m, n) fwd/bwd flows (u, v)."""
@@ -88,7 +95,7 @@ def _proesmans_level(R, V0, lam, num_iter):
     )
 
     def iteration(V, _):
-        GAMMA = _consistency(V, m, n)
+        GAMMA = _consistency(V, m, n, max_disp)
 
         def direction(j):
             R1, R2 = R[j], R[1 - j]
@@ -105,7 +112,14 @@ def _proesmans_level(R, V0, lam, num_iter):
             cx = xx + u_avg
             cy = yy + v_avg
             inside = (cx >= 0) & (cx < n - 1) & (cy >= 0) & (cy < m - 1)
-            It = (bilinear_warp(R2, cy, cx, mode="nearest") - R1) * _INTENSITY_SCALE
+            if max_disp is not None:
+                warped = warp_shifted(
+                    R2, jnp.stack([u_avg, v_avg]), int(max_disp),
+                    mode="nearest",
+                )
+            else:
+                warped = bilinear_warp(R2, cy, cx, mode="nearest")
+            It = (warped - R1) * _INTENSITY_SCALE
             ic = lam * It / (1.0 + lam * (gx * gx + gy * gy))
             u_next = jnp.where(inside, u_avg - gx * ic, u_avg)
             v_next = jnp.where(inside, v_avg - gy * ic, v_avg)
@@ -163,11 +177,13 @@ def proesmans(
         b = gaussian_filter(b, 1.0, mode="mirror")[::2, ::2]
         pyr.append((a, b))
 
+    use_shift = jax.default_backend() != "cpu"
     V = jnp.zeros((2, 2) + pyr[-1][0].shape, jnp.float32)
     for lvl in range(len(pyr) - 1, -1, -1):
         a, b = pyr[lvl]
         R = jnp.stack([jnp.asarray(a), jnp.asarray(b)])
-        V = _proesmans_level(R, V, jnp.float32(lam), int(num_iter))
+        md = min(16, min(a.shape) // 2) if use_shift else None
+        V = _proesmans_level(R, V, jnp.float32(lam), int(num_iter), md)
         if lvl > 0:
             target_shape = pyr[lvl - 1][0].shape
             V = (
@@ -176,6 +192,7 @@ def proesmans(
             )
 
     if full_output:
-        gamma = _consistency(V, V.shape[2], V.shape[3])
+        gamma = _consistency(V, V.shape[2], V.shape[3],
+                             16 if use_shift else None)
         return np.asarray(V), np.asarray(gamma)
     return np.asarray(V[0])

@@ -93,12 +93,7 @@ def vet_cost_function(
     template, target = input_images[0], input_images[-1]
     m, n = template.shape
     si, sj = int(blocks_shape[0]), int(blocks_shape[1])
-    interp_arrays = (
-        jnp.asarray(_sector_centers(m, si), jnp.float32),
-        jnp.asarray(_sector_centers(n, sj), jnp.float32),
-        jnp.arange(m, dtype=jnp.float32),
-        jnp.arange(n, dtype=jnp.float32),
-    )
+    interp_arrays = _interp_matrices(m, n, si, sj)
     fn = _make_cost(
         jnp.asarray(template, jnp.float32),
         jnp.asarray(target, jnp.float32),
@@ -137,46 +132,42 @@ def _sector_centers(size, n_sectors):
     return coords.reshape(n_sectors, size // n_sectors).mean(axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("sectors",))
-def _sector_to_pixels(sector_displacement, sectors, image_shape_arrays):
-    """Bilinearly interpolate per-sector displacements (2, si, sj) to the
-    full pixel grid, extrapolating linearly at the edges — matching the
-    interpolation-coefficient construction in _vet.pyx:330+."""
-    xs_centers, ys_centers, xi, yj = image_shape_arrays
-    si, sj = sectors
-    # index of the lower sector centre for each pixel, clamped to [0, s-2]
-    def axis_interp(coords, centers):
-        n_sec = centers.shape[0]
-        if n_sec == 1:
-            return jnp.zeros_like(coords, dtype=jnp.int32), jnp.zeros_like(coords)
-        idx = jnp.clip(
-            jnp.searchsorted(centers, coords, side="right") - 1, 0, n_sec - 2
-        )
-        c0 = centers[idx]
-        c1 = centers[idx + 1]
-        t = (coords - c0) / (c1 - c0)
-        return idx, t
-
-    li, ti = axis_interp(xi, xs_centers)  # rows (axis 0)
-    mj, tj = axis_interp(yj, ys_centers)  # cols (axis 1)
-
-    def interp_one(field):  # field: (si, sj)
-        f00 = field[li[:, None], mj[None, :]]
-        f01 = field[li[:, None], (mj + 1).clip(max=sj - 1)[None, :]]
-        f10 = field[(li + 1).clip(max=si - 1)[:, None], mj[None, :]]
-        f11 = field[(li + 1).clip(max=si - 1)[:, None], (mj + 1).clip(max=sj - 1)[None, :]]
-        ti2 = ti[:, None]
-        tj2 = tj[None, :]
-        return (
-            f00 * (1 - ti2) * (1 - tj2)
-            + f01 * (1 - ti2) * tj2
-            + f10 * ti2 * (1 - tj2)
-            + f11 * ti2 * tj2
-        )
-
-    return jnp.stack(
-        [interp_one(sector_displacement[0]), interp_one(sector_displacement[1])]
+def _interp_matrix(size, n_sectors):
+    """Static (size, n_sectors) bilinear sector->pixel interpolation
+    matrix, linearly extrapolating at the edges — the interpolation-
+    coefficient construction of _vet.pyx:330+, expressed as a matrix so
+    the sector-to-pixel upsampling runs as two MXU matmuls instead of 2M
+    scalar gathers (TPU: dynamic gather is ~170 ns/element)."""
+    W = np.zeros((size, n_sectors), np.float32)
+    if n_sectors == 1:
+        W[:, 0] = 1.0
+        return W
+    centers = _sector_centers(size, n_sectors)
+    coords = np.arange(size, dtype=np.float64)
+    idx = np.clip(
+        np.searchsorted(centers, coords, side="right") - 1, 0, n_sectors - 2
     )
+    t = (coords - centers[idx]) / (centers[idx + 1] - centers[idx])
+    W[np.arange(size), idx] = 1.0 - t
+    W[np.arange(size), idx + 1] = t
+    return W
+
+
+def _interp_matrices(m, n, si, sj):
+    return (
+        jnp.asarray(_interp_matrix(m, si)),
+        jnp.asarray(_interp_matrix(n, sj)),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("sectors",))
+def _sector_to_pixels(sector_displacement, sectors, interp_mats):
+    """Bilinearly interpolate per-sector displacements (2, si, sj) to the
+    full pixel grid via the separable interpolation matrices:
+    disp_px[c] = R @ d[c] @ C^T — pure matmuls (MXU), trivially
+    differentiable."""
+    R, C = interp_mats
+    return jnp.einsum("mi,cij,nj->cmn", R, sector_displacement, C)
 
 
 def _smoothness_penalty(d):
@@ -199,7 +190,8 @@ def _smoothness_penalty(d):
 
 
 def _make_cost(
-    template, target, mask, smooth_gain, sectors, interp_arrays, max_disp=None
+    template, target, mask, smooth_gain, sectors, interp_arrays,
+    max_disp=None, center_shift=(0, 0),
 ):
     """Jitted cost + grad closure for one sector scale.
 
@@ -210,13 +202,17 @@ def _make_cost(
 
     ``max_disp`` (static int) switches the warp to the gather-free
     shift-decomposition path — on TPU the coordinate gather is scalar and
-    would dominate every Adam step.
+    would dominate every Adam step.  ``center_shift`` (static ints): the
+    caller pre-shifted ``template`` by this integer global displacement,
+    so the warp only covers the RESIDUAL displacement and ``max_disp``
+    stays small (warp cost is linear in max_disp).
     """
     m, n = template.shape
     yy, xx = jnp.meshgrid(
         jnp.arange(m, dtype=jnp.float32), jnp.arange(n, dtype=jnp.float32),
         indexing="ij",
     )
+    gi, gj = float(center_shift[0]), float(center_shift[1])
 
     def cost(sector_disp_flat):
         d = sector_disp_flat.reshape((2,) + tuple(sectors))
@@ -226,7 +222,7 @@ def _make_cost(
         if max_disp is not None:
             warped = warp_shifted(
                 template,
-                jnp.stack([-disp[1], -disp[0]]),
+                jnp.stack([-(disp[1] - gj), -(disp[0] - gi)]),
                 int(max_disp),
                 mode="nearest",
             )
@@ -313,9 +309,13 @@ def _global_shift(template, target):
     return float(di), float(dj)
 
 
-def _minimize_adam(cost_fns, x0, n_steps=300, lr=0.2):
-    """Minimize the summed jitted costs with Adam (lax.scan on device)."""
-    opt = optax.adam(lr)
+def _minimize_adam(cost_fns, x0, n_steps=300, lr=0.3):
+    """Minimize the summed jitted costs with Adam under a cosine-decayed
+    learning rate (lax.scan on device): the decay recovers the final-
+    convergence precision of many fixed-lr steps at half the count."""
+    opt = optax.adam(
+        optax.cosine_decay_schedule(lr, n_steps, alpha=0.02)
+    )
 
     def total(x):
         vals = [c(x) for c in cost_fns]
@@ -393,14 +393,16 @@ def vet(
         guess = np.asarray(first_guess, dtype=np.float64)
     if max_disp == "auto":
         # gather-free warp on accelerators; the XLA coordinate gather is
-        # fine on CPU and the unrolled shifts only slow its compile
-        if jax.default_backend() == "cpu":
-            max_disp = None
-        else:
-            gs = np.max(np.abs(guess))
-            max_disp = int(
-                min(np.ceil(gs) + 16, max(imgs.shape[1:]) // 3)
-            )
+        # fine on CPU and the unrolled shifts only slow its compile.
+        # "shift" = recentre the warp on the integer global displacement
+        # (the template is pre-shifted once on host), so max_disp only
+        # has to cover the RESIDUAL deformation — warp cost is linear in
+        # max_disp, and the residual is small for advective flows.
+        max_disp = None if jax.default_backend() == "cpu" else "shift"
+    if max_disp == "shift":
+        gshift = (round_int(guess[0].mean()), round_int(guess[1].mean()))
+    else:
+        gshift = (0, 0)
     scaling_guesses = []
     prev = pairs[0]
 
@@ -420,24 +422,39 @@ def vet(
             )
 
         m, n = _imgs.shape[1:]
-        xs_centers = jnp.asarray(_sector_centers(m, si), jnp.float32)
-        ys_centers = jnp.asarray(_sector_centers(n, sj), jnp.float32)
-        interp_arrays = (
-            xs_centers,
-            ys_centers,
-            jnp.arange(m, dtype=jnp.float32),
-            jnp.arange(n, dtype=jnp.float32),
-        )
+        interp_arrays = _interp_matrices(m, n, int(si), int(sj))
+        if max_disp == "shift":
+            # residual bound after recentring: how far the current guess
+            # strays from the global shift, plus optimizer headroom
+            resid = np.max(
+                np.abs(guess - np.asarray(gshift).reshape(2, 1, 1))
+            )
+            md_scale = int(np.clip(np.ceil(resid) + 6, 8, 24))
+        else:
+            md_scale = max_disp
+            if md_scale is not None:
+                md_scale = int(md_scale)
         cost_factory = (
             functools.partial(_make_cost_sharded, mesh=mesh)
             if mesh is not None
-            else functools.partial(_make_cost, max_disp=max_disp)
+            else functools.partial(
+                _make_cost, max_disp=md_scale,
+                center_shift=gshift if max_disp == "shift" else (0, 0),
+            )
         )
+
+        def _preshift(img):
+            if max_disp != "shift" or gshift == (0, 0) or mesh is not None:
+                return img
+            ii = np.clip(np.arange(m) - gshift[0], 0, m - 1)
+            jj = np.clip(np.arange(n) - gshift[1], 0, n - 1)
+            return img[ii][:, jj]
+
         pairs_cost = []
         for a, b in zip(range(_imgs.shape[0] - 1), range(1, _imgs.shape[0])):
             pairs_cost.append(
                 cost_factory(
-                    jnp.asarray(_imgs[a], jnp.float32),
+                    jnp.asarray(_preshift(_imgs[a]), jnp.float32),
                     jnp.asarray(_imgs[b], jnp.float32),
                     jnp.asarray(_mask),
                     smooth_gain,
@@ -452,7 +469,7 @@ def vet(
         # stays entirely on the accelerator)
         x, final_cost = _minimize_adam(
             pairs_cost, jnp.asarray(guess.ravel(), jnp.float32),
-            n_steps=max(3 * maxiter, 300), lr=0.2,
+            n_steps=max(maxiter, 150),
         )
         guess = np.asarray(x, np.float64).reshape(guess.shape)
         if verbose:

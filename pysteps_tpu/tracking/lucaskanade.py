@@ -3,11 +3,15 @@ Pyramidal Lucas-Kanade sparse feature tracking
 (reference: pysteps/tracking/lucaskanade.py:35, which wraps OpenCV
 calcOpticalFlowPyrLK — here a from-scratch XLA implementation).
 
-Design: Gaussian image pyramid; per feature, a fixed-size patch is sampled
-bilinearly around the point, the 2x2 structure-tensor system is solved, and
-Newton iterations refine the displacement; coarse-to-fine propagation
-doubles the estimate between levels.  All features are vmapped — the whole
-sparse tracking is a handful of fused gathers and 2x2 solves.
+Design (TPU-first): per feature, a fixed-size patch around the point is
+needed at every Newton iteration.  Dynamic gathers are scalar on TPU
+(~170 ns/element — 20 iterations x 80 points x 51^2 samples would cost
+~1 s), so ALL patch sampling is expressed as separable interpolation-
+matrix products instead: an extended patch is extracted once per level
+with two banded (tri-weight) matrices P = Ry @ img @ Cx^T, and each
+Newton step resamples the window inside the extended patch with small
+per-point matrices built elementwise from the scalar displacement —
+batched einsums on the MXU, zero gathers in the loop.
 """
 
 import functools
@@ -15,8 +19,6 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
-
-from pysteps_tpu.ops.warp import bilinear_warp
 
 
 def _gauss_blur(img):
@@ -46,47 +48,93 @@ def _gradients(img):
     return gx, gy
 
 
+def _tri(x):
+    """Bilinear (hat) interpolation weight."""
+    return jnp.maximum(0.0, 1.0 - jnp.abs(x))
+
+
+def _extract_patches(imgs, px, py, half_ext):
+    """Extract (N, E, E) patches centred at fractional (px, py) from each
+    (m, n) image in ``imgs`` (stacked on axis 0), E = 2*half_ext + 1,
+    via banded interpolation matrices (edge samples renormalize, which
+    approximates edge-clamped sampling).  Returns (C, N, E, E)."""
+    m, n = imgs.shape[1:]
+    offs = jnp.arange(-half_ext, half_ext + 1, dtype=jnp.float32)
+    rows = jnp.arange(m, dtype=jnp.float32)
+    cols = jnp.arange(n, dtype=jnp.float32)
+    # (N, E, m): weight of image row r for patch row k of point p
+    Ry = _tri(rows[None, None, :] - (py[:, None, None] + offs[None, :, None]))
+    Cx = _tri(cols[None, None, :] - (px[:, None, None] + offs[None, :, None]))
+    Ry = Ry / jnp.maximum(jnp.sum(Ry, axis=-1, keepdims=True), 1e-6)
+    Cx = Cx / jnp.maximum(jnp.sum(Cx, axis=-1, keepdims=True), 1e-6)
+    return jnp.einsum("pkm,cmn,pln->cpkl", Ry, imgs, Cx)
+
+
+def _window_matrices(v, half_win, half_ext):
+    """(N, W, E) resampling matrices selecting the W-window shifted by the
+    scalar per-point displacement ``v`` inside an E-extended patch."""
+    W = 2 * half_win + 1
+    E = 2 * half_ext + 1
+    i = jnp.arange(W, dtype=jnp.float32)[None, :, None]
+    k = jnp.arange(E, dtype=jnp.float32)[None, None, :]
+    margin = float(half_ext - half_win)
+    w = _tri(k - i - margin - v[:, None, None])
+    return w / jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-6)
+
+
 def _track_level(I, J, Ix, Iy, points, guesses, half_win, n_iter):
-    """One pyramid level of LK for all features (vmapped).
+    """One pyramid level of LK for all features, gather-free.
 
     points: (N, 2) as (x, y) in this level's coordinates.
     guesses: (N, 2) initial displacement at this level.
     """
-    offs = jnp.arange(-half_win, half_win + 1, dtype=jnp.float32)
-    dy, dx = jnp.meshgrid(offs, offs, indexing="ij")
+    margin = 6
+    half_ext = half_win + margin
+    px, py = points[:, 0], points[:, 1]
 
-    def one(pt, g):
-        px, py = pt[0], pt[1]
-        cy = py + dy
-        cx = px + dx
-        Ip = bilinear_warp(I, cy, cx, mode="nearest")
-        Ixp = bilinear_warp(Ix, cy, cx, mode="nearest")
-        Iyp = bilinear_warp(Iy, cy, cx, mode="nearest")
-        Gxx = jnp.sum(Ixp * Ixp)
-        Gxy = jnp.sum(Ixp * Iyp)
-        Gyy = jnp.sum(Iyp * Iyp)
-        det = Gxx * Gyy - Gxy * Gxy
-        ok = det > 1e-6
+    # fixed template quantities: sample the W-window at v=0 from extended
+    # patches (one big einsum per image)
+    patches = _extract_patches(jnp.stack([I, Ix, Iy]), px, py, half_ext)
+    zero = jnp.zeros_like(px)
+    W0y = _window_matrices(zero, half_win, half_ext)
+    W0x = W0y
+    Ip, Ixp, Iyp = (
+        jnp.einsum("pik,pkl,pjl->pij", W0y, patches[c], W0x) for c in range(3)
+    )
+    Gxx = jnp.sum(Ixp * Ixp, axis=(1, 2))
+    Gxy = jnp.sum(Ixp * Iyp, axis=(1, 2))
+    Gyy = jnp.sum(Iyp * Iyp, axis=(1, 2))
+    det = Gxx * Gyy - Gxy * Gxy
+    ok = det > 1e-6
+    inv_det = 1.0 / jnp.maximum(det, 1e-12)
 
-        def newton(v, _):
-            Jp = bilinear_warp(J, cy + v[1], cx + v[0], mode="nearest")
-            dI = Ip - Jp
-            bx = jnp.sum(dI * Ixp)
-            by = jnp.sum(dI * Iyp)
-            inv_det = 1.0 / jnp.maximum(det, 1e-12)
-            vx = v[0] + (Gyy * bx - Gxy * by) * inv_det
-            vy = v[1] + (Gxx * by - Gxy * bx) * inv_det
-            return jnp.stack([vx, vy]), None
+    # moving target: extended J patches at the GUESS (so Newton only has
+    # to cover the per-level residual within +-margin)
+    gx0, gy0 = guesses[:, 0], guesses[:, 1]
+    Jext = _extract_patches(J[None], px + gx0, py + gy0, half_ext)[0]
 
-        v, _ = jax.lax.scan(newton, g, None, length=n_iter)
-        v = jnp.where(ok, v, g)
-        # final patch residual (OpenCV's `err`): mean |I - J(v)| over the
-        # window — the status signal track_features filters on
-        Jp = bilinear_warp(J, cy + v[1], cx + v[0], mode="nearest")
-        resid = jnp.mean(jnp.abs(Ip - Jp))
-        return v, ok, resid
+    def sample_J(v):
+        Wy = _window_matrices(v[:, 1], half_win, half_ext)
+        Wx = _window_matrices(v[:, 0], half_win, half_ext)
+        return jnp.einsum("pik,pkl,pjl->pij", Wy, Jext, Wx)
 
-    return jax.vmap(one)(points, guesses)
+    def newton(v, _):
+        Jp = sample_J(v)
+        dI = Ip - Jp
+        bx = jnp.sum(dI * Ixp, axis=(1, 2))
+        by = jnp.sum(dI * Iyp, axis=(1, 2))
+        vx = v[:, 0] + (Gyy * bx - Gxy * by) * inv_det
+        vy = v[:, 1] + (Gxx * by - Gxy * bx) * inv_det
+        v_new = jnp.clip(
+            jnp.stack([vx, vy], axis=1), -(margin - 1.0), margin - 1.0
+        )
+        return jnp.where(ok[:, None], v_new, v), None
+
+    v, _ = jax.lax.scan(newton, jnp.zeros_like(guesses), None, length=n_iter)
+    # final patch residual (OpenCV's `err`): mean |I - J(v)| over the
+    # window — the status signal track_features filters on
+    resid = jnp.mean(jnp.abs(Ip - sample_J(v)), axis=(1, 2))
+    return guesses + v, ok, resid
 
 
 @functools.partial(
@@ -140,32 +188,42 @@ def track_features(
 
     prvs, nxt = rescale(prvs), rescale(nxt)
 
-    points = jnp.asarray(points, jnp.float32).reshape(-1, 2)
-    if points.shape[0] == 0:
+    points = np.asarray(points, np.float32).reshape(-1, 2)
+    n_real = points.shape[0]
+    if n_real == 0:
         return np.zeros((0, 2)), np.zeros((0, 2))
+    # pad the feature count to a multiple of 32: stable executable shapes
+    # across frames (feature counts vary per pair; each distinct N would
+    # otherwise recompile)
+    n_pad = -n_real % 32
+    if n_pad:
+        points = np.concatenate(
+            [points, np.repeat(points[:1], n_pad, axis=0)], axis=0
+        )
+    pts_dev = jnp.asarray(points)
     half_win = max(int(winsize[0]) // 2, 2)
     n_iter = 20 if criteria is None else int(criteria[1]) if len(criteria) > 1 else 20
 
     d, ok, resid = _pyramidal_lk(
-        prvs, nxt, points, int(nr_levels), half_win, n_iter
+        prvs, nxt, pts_dev, int(nr_levels), half_win, n_iter
     )
     m, n = prvs.shape
-    end = points + d
+    end = pts_dev + d
     inside = (
         (end[:, 0] >= 0) & (end[:, 0] <= n - 1)
         & (end[:, 1] >= 0) & (end[:, 1] <= m - 1)
     )
-    ok = np.asarray(ok & inside)
+    ok = np.asarray(ok & inside)[:n_real]
     # residual-based rejection (OpenCV status analogue): a diverged Newton
     # iteration leaves a large |I - J(v)| patch residual; threshold
     # adaptively against the population median so well-tracked noisy
     # imagery is untouched
-    resid = np.asarray(resid)
+    resid = np.asarray(resid)[:n_real]
     if ok.sum() > 4:
         med = float(np.median(resid[ok]))
         ok = ok & (resid <= max(5.0 * med, 2.0))
-    xy = np.asarray(points)[ok]
-    uv = np.asarray(d)[ok]
+    xy = points[:n_real][ok]
+    uv = np.asarray(d)[:n_real][ok]
     if verbose:
         print(f"--- {ok.sum()} sparse vectors found ---")
     return xy, uv
