@@ -154,66 +154,307 @@ def import_knmi_hdf5(filename, qty="ACRR", accutime=5.0, pixelsize=1000.0, **kwa
     return precip, None, metadata
 
 
+def _odim_what(whatgrp, defaults=("RATE", 1.0, 0.0, 255.0, 0.0)):
+    """Decode an ODIM what-group (reference: _read_opera_hdf5_what_group,
+    io/importers.py:1539-1550)."""
+    a = whatgrp.attrs if hasattr(whatgrp, "attrs") else whatgrp
+    def _dec(v):
+        return v.decode() if isinstance(v, bytes) else v
+    qty = _dec(a.get("quantity", defaults[0]))
+    gain = float(a.get("gain", defaults[1]))
+    offset = float(a.get("offset", defaults[2]))
+    nodata = float(a.get("nodata", defaults[3]))
+    undetect = float(a.get("undetect", defaults[4]))
+    return qty, gain, offset, nodata, undetect
+
+
+def _odim_scan(f, qty, undetect_fill, what_defaults=("RATE", 1.0, 0.0, 255.0, 0.0)):
+    """Scan every dataset*/data* group of an ODIM HDF5 file for the
+    requested quantity AND the QIND quality field (reference:
+    io/importers.py:1358-1434)."""
+    precip = None
+    quality = None
+    for name, dsg in f.items():
+        if not name.startswith("dataset"):
+            continue
+        grp_what = None
+        if "what" in dsg and "quantity" in dsg["what"].attrs:
+            grp_what = _odim_what(dsg["what"], what_defaults)
+        for dname, dg in dsg.items():
+            if not dname.startswith("data"):
+                continue
+            if "what" in dg:
+                qty_, gain, offset, nodata, undetect = _odim_what(
+                    dg["what"], what_defaults
+                )
+            elif grp_what is not None:
+                qty_, gain, offset, nodata, undetect = grp_what
+            else:
+                raise DataModelError(
+                    f"Non ODIM compliant file: no what group found "
+                    f"from {dname} or its subgroups"
+                )
+            if qty_ in (qty, "QIND") and "data" in dg:
+                arr = dg["data"][...]
+                mask_n = arr == nodata
+                mask_u = arr == undetect
+                mask = ~mask_u & ~mask_n
+                if qty_ == qty:
+                    precip = np.empty(arr.shape)
+                    precip[mask] = arr[mask] * gain + offset
+                    if undetect_fill == "offset":
+                        precip[mask_u] = offset
+                    elif undetect_fill == "nan":
+                        precip[mask_u] = np.nan
+                    else:
+                        precip[mask_u] = float(undetect_fill)
+                    precip[mask_n] = np.nan
+                elif qty_ == "QIND":
+                    quality = np.empty(arr.shape, dtype=float)
+                    quality[mask] = arr[mask]
+                    quality[~mask] = np.nan
+            if quality is None:
+                # quality* subgroups of the data group (reference:1414-1434)
+                for qname, qg in dg.items():
+                    if not qname.startswith("quality"):
+                        continue
+                    if "what" in qg:
+                        qq, qgain, qoff, qnod, qund = _odim_what(
+                            qg["what"], what_defaults
+                        )
+                        if qq == "QIND" and "data" in qg:
+                            arr = qg["data"][...]
+                            mask = (arr != qnod) & (arr != qund)
+                            quality = np.empty(arr.shape, dtype=float)
+                            quality[mask] = arr[mask] * qgain + qoff
+                            quality[~mask] = np.nan
+    return precip, quality
+
+
+def _odim_corners(where_attrs, shape):
+    """Domain corners: reproject the corner lon/lats through the built-in
+    PROJ.4 transformer (reference uses pyproj, io/importers.py:1444-1480);
+    fall back to the LL_x/.. attributes when the projection or corner
+    coordinates are unavailable."""
+    def _dec(v):
+        return v.decode() if isinstance(v, bytes) else v
+    projdef = _dec(where_attrs.get("projdef", ""))
+    have_ll = all(
+        k in where_attrs for k in ("LL_lat", "LL_lon", "UR_lat", "UR_lon")
+    )
+    if projdef and have_ll:
+        try:
+            from pysteps_tpu.utils.projection import Proj
+
+            pr = Proj(projdef)
+            ll_x, ll_y = pr(
+                float(where_attrs["LL_lon"]), float(where_attrs["LL_lat"])
+            )
+            ur_x, ur_y = pr(
+                float(where_attrs["UR_lon"]), float(where_attrs["UR_lat"])
+            )
+            if all(
+                k in where_attrs
+                for k in ("LR_lat", "LR_lon", "UL_lat", "UL_lon")
+            ):
+                lr_x, lr_y = pr(
+                    float(where_attrs["LR_lon"]), float(where_attrs["LR_lat"])
+                )
+                ul_x, ul_y = pr(
+                    float(where_attrs["UL_lon"]), float(where_attrs["UL_lat"])
+                )
+                return (
+                    projdef,
+                    min(ll_x, ul_x), min(ll_y, lr_y),
+                    max(lr_x, ur_x), max(ul_y, ur_y),
+                )
+            return projdef, ll_x, ll_y, ur_x, ur_y
+        except Exception:  # noqa: BLE001 — unsupported projection: attrs
+            pass
+    return (
+        projdef,
+        float(where_attrs.get("LL_x", 0.0)),
+        float(where_attrs.get("LL_y", 0.0)),
+        float(where_attrs.get("UR_x", shape[1] * 1000.0)),
+        float(where_attrs.get("UR_y", shape[0] * 1000.0)),
+    )
+
+
 @postprocess_import()
 def import_odim_hdf5(filename, qty="RATE", **kwargs):
-    """ODIM HDF5 composite (reference: io/importers.py:1313); also serves
-    OPERA (io/importers.py:1536)."""
+    """ODIM HDF5 composite incl. the QIND quality field (reference:
+    io/importers.py:1313-1536); also serves OPERA (io/importers.py:1536)."""
     import h5py
 
+    if qty not in ("ACRR", "DBZH", "RATE"):
+        raise ValueError(
+            f"unknown quantity {qty}: the available options are "
+            "'ACRR', 'DBZH' and 'RATE'"
+        )
     with h5py.File(filename, "r") as f:
-        dataset = None
-        for name in f:
-            if name.startswith("dataset"):
-                grp = f[name]
-                what = dict(grp.get("data1/what", grp.get("what", {})).attrs)
-                quantity = what.get("quantity", b"").decode() if isinstance(
-                    what.get("quantity", b""), bytes
-                ) else what.get("quantity", "")
-                if quantity == qty or dataset is None:
-                    dataset = grp
-                    sel_what = what
-                if quantity == qty:
-                    break
-        if dataset is None:
-            raise DataModelError(f"no dataset group found in {filename}")
-        data = dataset["data1/data"][...].astype(float)
-        gain = float(sel_what.get("gain", 1.0))
-        offset = float(sel_what.get("offset", 0.0))
-        nodata = float(sel_what.get("nodata", 255.0))
-        undetect = float(sel_what.get("undetect", 0.0))
-        precip = gain * data + offset
-        precip[data == nodata] = np.nan
-        precip[data == undetect] = 0.0
-
+        precip, quality = _odim_scan(
+            f, qty, -30.0 if qty == "DBZH" else "offset"
+        )
+        if precip is None:
+            raise IOError(f"requested quantity {qty} not found")
         root_where = dict(f["where"].attrs) if "where" in f else {}
+        ds1_where = (
+            dict(f["dataset1/where"].attrs) if "dataset1/where" in f else {}
+        )
 
-    unit = {"RATE": "mm/h", "ACRR": "mm", "DBZH": "dBZ"}.get(qty, "mm/h")
+    projdef, x1, y1, x2, y2 = _odim_corners(root_where, precip.shape)
+    if "xscale" in root_where and "yscale" in root_where:
+        xps, yps = float(root_where["xscale"]), float(root_where["yscale"])
+    elif "xscale" in ds1_where and "yscale" in ds1_where:
+        xps, yps = float(ds1_where["xscale"]), float(ds1_where["yscale"])
+    else:
+        xps = yps = None
+
+    unit = {"RATE": "mm/h", "ACRR": "mm", "DBZH": "dBZ"}[qty]
     metadata = {
-        "projection": (
-            root_where.get("projdef", b"").decode()
-            if isinstance(root_where.get("projdef", b""), bytes)
-            else root_where.get("projdef", "")
-        ),
-        "institution": "ODIM",
-        "x1": float(root_where.get("LL_x", 0.0)),
-        "y1": float(root_where.get("LL_y", 0.0)),
-        "x2": float(root_where.get("UR_x", precip.shape[1] * 1000.0)),
-        "y2": float(root_where.get("UR_y", precip.shape[0] * 1000.0)),
-        "xpixelsize": float(root_where.get("xscale", 1000.0)),
-        "ypixelsize": float(root_where.get("yscale", 1000.0)),
+        "projection": projdef,
+        "institution": "Odyssey datacentre",
+        "x1": x1, "y1": y1, "x2": x2, "y2": y2,
+        "xpixelsize": xps,
+        "ypixelsize": yps,
         "cartesian_unit": "m",
         "yorigin": "upper",
         "unit": unit,
         "transform": "dB" if unit == "dBZ" else None,
-        "accutime": 5.0,
-        "zerovalue": 0.0,
-        "threshold": _min_above(precip, 0.0),
+        "accutime": 15.0,
+        "zerovalue": float(np.nanmin(precip)),
+        "threshold": _min_above(precip),
         "zr_a": 200.0, "zr_b": 1.6,
     }
-    return precip, None, metadata
+    for key in ("LL_lat", "LL_lon", "UR_lat", "UR_lon"):
+        if key in root_where:
+            metadata[key.lower()] = float(root_where[key])
+    return precip, quality, metadata
+
+
+def _import_mch_geodata_dict():
+    """Swiss radar CCS4 domain, hard-coded as in the reference
+    (io/importers.py:1277-1310)."""
+    return {
+        "projection": (
+            "+proj=somerc  +lon_0=7.43958333333333 "
+            "+lat_0=46.9524055555556 +k_0=1 +x_0=600000 +y_0=200000 "
+            "+ellps=bessel +towgs84=674.374,15.056,405.346,0,0,0,0 "
+            "+units=m +no_defs"
+        ),
+        "x1": 255000.0, "y1": -160000.0,
+        "x2": 965000.0, "y2": 480000.0,
+        "xpixelsize": 1000.0, "ypixelsize": 1000.0,
+        "cartesian_unit": "m", "yorigin": "upper",
+    }
 
 
 @postprocess_import()
+def import_mch_hdf5(filename, qty="RATE", **kwargs):
+    """MeteoSwiss ODIM HDF5 (reference: io/importers.py:1067-1212): MCH
+    what-group defaults (nodata 0, undetect -1), undetect mapped to NaN,
+    the hard-coded Swiss CCS4 geodata, and the QIND quality field."""
+    import h5py
+
+    if qty not in ("ACRR", "DBZH", "RATE"):
+        raise ValueError(
+            f"unknown quantity {qty}: the available options are "
+            "'ACRR', 'DBZH' and 'RATE'"
+        )
+    with h5py.File(filename, "r") as f:
+        precip, quality = _odim_scan(
+            f, qty, "nan", what_defaults=("RATE", 1.0, 0.0, 0.0, -1.0)
+        )
+    if precip is None:
+        raise IOError(f"requested quantity {qty} not found")
+
+    unit = {"RATE": "mm/h", "ACRR": "mm", "DBZH": "dBZ"}[qty]
+    metadata = _import_mch_geodata_dict()
+    metadata.update({
+        "institution": "MeteoSwiss",
+        "accutime": 5.0,
+        "unit": unit,
+        "transform": "dB" if unit == "dBZ" else None,
+        "zerovalue": float(np.nanmin(precip)),
+        "threshold": _min_above(precip),
+        "zr_a": 316.0, "zr_b": 1.5,
+    })
+    return precip, quality, metadata
+
+
+@postprocess_import()
+def import_dwd_hdf5(filename, qty="RATE", **kwargs):
+    """DWD ODIM HDF5 (reference: io/importers.py:1692-1906): DBZH
+    no-echo at -32.5 dBZ, accutime derived from the dataset1 start/end
+    times, institution from the what/source attribute."""
+    import datetime as _dt
+
+    import h5py
+
+    if qty not in ("ACRR", "DBZH", "RATE"):
+        raise ValueError(
+            f"unknown quantity {qty}: the available options are "
+            "'ACRR', 'DBZH' and 'RATE'"
+        )
+    with h5py.File(filename, "r") as f:
+        precip, quality = _odim_scan(
+            f, qty, -32.5 if qty == "DBZH" else "offset"
+        )
+        if precip is None:
+            raise IOError(f"requested quantity {qty} not found")
+        root_where = dict(f["where"].attrs) if "where" in f else {}
+        ds1_where = (
+            dict(f["dataset1/where"].attrs) if "dataset1/where" in f else {}
+        )
+        ds1_what = (
+            dict(f["dataset1/what"].attrs) if "dataset1/what" in f else {}
+        )
+        root_what = dict(f["what"].attrs) if "what" in f else {}
+
+    def _dec(v):
+        return v.decode() if isinstance(v, bytes) else v
+
+    projdef, x1, y1, x2, y2 = _odim_corners(root_where, precip.shape)
+    if "xscale" in ds1_where and "yscale" in ds1_where:
+        xps, yps = float(ds1_where["xscale"]), float(ds1_where["yscale"])
+    elif "xscale" in root_where:
+        xps, yps = float(root_where["xscale"]), float(root_where["yscale"])
+    else:
+        xps = yps = None
+
+    # accumulation period from the dataset start/end timestamps
+    # (reference: io/importers.py:1866-1877)
+    accutime = 5.0
+    try:
+        start = _dt.datetime.strptime(
+            _dec(ds1_what["startdate"]) + _dec(ds1_what["starttime"]),
+            "%Y%m%d%H%M%S",
+        )
+        end = _dt.datetime.strptime(
+            _dec(ds1_what["enddate"]) + _dec(ds1_what["endtime"]),
+            "%Y%m%d%H%M%S",
+        )
+        accutime = (end - start).total_seconds() / 60.0
+    except (KeyError, ValueError):
+        pass
+
+    unit = {"RATE": "mm/h", "ACRR": "mm", "DBZH": "dBZ"}[qty]
+    metadata = {
+        "projection": projdef,
+        "institution": _dec(root_what.get("source", "DWD")),
+        "x1": x1, "y1": y1, "x2": x2, "y2": y2,
+        "xpixelsize": xps, "ypixelsize": yps,
+        "cartesian_unit": "m",
+        "yorigin": "upper",
+        "unit": unit,
+        "transform": "dB" if unit == "dBZ" else None,
+        "accutime": accutime,
+        "zerovalue": float(np.nanmin(precip)),
+        "threshold": _min_above(precip),
+        "zr_a": 256.0, "zr_b": 1.42,
+    }
+    return precip, quality, metadata
+
 def import_dwd_radolan(filename, product="RY", **kwargs):
     """DWD RADOLAN binary composite (reference: io/importers.py:1985)."""
     opener = gzip.open if filename.endswith(".gz") else open
@@ -554,9 +795,7 @@ def import_mrms_grib(filename, extent=None, window_size=4, **kwargs):
     return precip, None, metadata
 
 
-import_mch_hdf5 = import_odim_hdf5  # MCH HDF5 follows ODIM conventions
 import_mch_metranet = _gated_importer("import_mch_metranet", "metranet")
-import_dwd_hdf5 = import_odim_hdf5  # DWD HDF5 follows ODIM conventions
 import_opera_hdf5 = import_odim_hdf5
 
 

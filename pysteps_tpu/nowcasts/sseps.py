@@ -3,14 +3,17 @@ SSEPS: short-space ensemble prediction system — localized STEPS
 (reference: pysteps/nowcasts/sseps.py:40-1036; Nerini et al. 2017).
 
 TPU-native redesign: the reference estimates noise/cascade/AR parameters
-globally and again per overlapping window, falling back to global values
-for dry windows (war <= war_thr), then re-blends per-window parameters at
-every update step.  Here the per-window parameters are blended **once** at
-init into per-pixel parameter maps using the windows' tapered masks as the
-blending weights (the masks ARE the reference's blending weights), so the
-inner loop is a fused localized AR update — same structure as the
-localized ARI in ANVIL — plus SSFT noise, masking, CDF matching and
-incremental advection, all inside one lax.scan.
+globally and again per overlapping window (war > war_thr), then evolves a
+global AR state PLUS one AR state per wet window, compositing the
+recomposed window fields with flat-hanning masks at every step.  The same
+dual-state structure is kept here — the window grid is static, so the
+per-window AR updates unroll into slice/update ops inside one lax.scan
+(vmapped over members), with SSFT noise, per-window + global CDF
+matching, masking and incremental coarse-grid advection all fused in the
+scan body.  (An earlier init-time parameter-map blend was ~9% worse in
+CRPS than the reference; evolving the window states separately closes
+that gap — the AR trajectories under different phi are not equivalent to
+one trajectory under blended phi.)
 """
 
 import functools
@@ -89,41 +92,30 @@ def _flat_hanning_mask(shape, bounds):
 
 
 @functools.partial(jax.jit, static_argnames=("ar_order",))
-def _window_params(cascades, weights, war, war_thr, g_gamma, ar_order):
-    """Per-window gamma from tapered-window-weighted correlations, falling
-    back to the global gamma for dry windows (reference: sseps.py:531)."""
-    # cascades: (k, p+1, m, n); weights: (m, n) tapered window mask
-    k_levels = cascades.shape[0]
+def _window_ar_params(casc_w, ar_order):
+    """AR parameters + normalized state for one (possibly global) window.
 
-    def level_gamma(xs):
-        g = []
-        for lag in range(ar_order):
-            a, b = xs[-1], xs[-(lag + 2)]
-            wsum = jnp.maximum(jnp.sum(weights), 1e-6)
-            ma = jnp.sum(a * weights) / wsum
-            mb = jnp.sum(b * weights) / wsum
-            va = jnp.sum((a - ma) ** 2 * weights)
-            vb = jnp.sum((b - mb) ** 2 * weights)
-            cov = jnp.sum((a - ma) * (b - mb) * weights)
-            g.append(cov / jnp.sqrt(jnp.maximum(va * vb, 1e-30)))
-        return jnp.stack(g)
-
-    gamma = jax.vmap(level_gamma)(cascades)  # (k, ar_order)
-    gamma = jnp.where(war > war_thr, gamma, g_gamma)
+    casc_w: (k, p+1, wy, wx) cascade slice.  Mirrors the reference's
+    estimator (sseps.py:379-483): each lag is normalized by its own
+    window mean/std, gamma is the plain (unweighted) correlation of the
+    normalized lags, and (mu, sigma) are the LAST lag's window stats.
+    Returns (state (k, p, wy, wx), phi (k, p+1), mu (k,), sigma (k,)).
+    """
+    mu_l = jnp.mean(casc_w, axis=(2, 3), keepdims=True)
+    sd_l = jnp.maximum(jnp.std(casc_w, axis=(2, 3), keepdims=True), 1e-8)
+    norm = (casc_w - mu_l) / sd_l
+    gamma = jnp.stack(
+        [
+            jnp.mean(norm[:, -1] * norm[:, -(lag + 2)], axis=(1, 2))
+            for lag in range(ar_order)
+        ],
+        axis=1,
+    )  # (k, ar_order)
     if ar_order == 2:
         g2 = autoregression.adjust_lag2_corrcoef2(gamma[:, 0], gamma[:, 1])
         gamma = jnp.stack([gamma[:, 0], g2], axis=1)
     phi = autoregression.estimate_ar_params_yw(gamma, check_stationarity=False)
-
-    # window statistics of the most recent field's cascade levels
-    wsum = jnp.maximum(jnp.sum(weights), 1e-6)
-    mu = jnp.sum(cascades[:, -1] * weights, axis=(-2, -1)) / wsum
-    var = (
-        jnp.sum((cascades[:, -1] - mu[:, None, None]) ** 2 * weights, axis=(-2, -1))
-        / wsum
-    )
-    sigma = jnp.sqrt(var)
-    return gamma, phi, mu, sigma
+    return norm[:, -ar_order:], phi, mu_l[:, -1, 0, 0], sd_l[:, -1, 0, 0]
 
 
 @functools.partial(
@@ -131,23 +123,34 @@ def _window_params(cascades, weights, war, war_thr, g_gamma, ar_order):
     static_argnames=(
         "int_steps", "mask_method", "probmatching", "mask_rim",
         "struct_radius", "E", "max_disp", "vel_pert", "p_par", "p_perp",
-        "vsf", "timestep_min", "win_bounds",
+        "vsf", "timestep_min", "win_bounds", "wet_windows",
     ),
 )
 def _sseps_scan(
-    window, mask_prec_init, member_keys, velocity, phi_map, mu_map, sigma_map,
+    window, mask_prec_init, member_keys, velocity, phi_g, mu_g, sigma_g,
+    wstates0, wparams,
     ssft_filt, ssft_masks, weights_2d, precip_last, precip_min, precip_thr,
     domain_mask, eps_par, eps_perp, V_n, V_perp, fh_masks, inv_ms,
     local_states, int_steps, mask_method,
     probmatching, mask_rim, struct_radius, E, max_disp=None, vel_pert=False,
     p_par=None, p_perp=None, vsf=1.0, timestep_min=1.0, win_bounds=(),
-    t_offset=0, carry_init=None,
+    wet_windows=(), t_offset=0, carry_init=None,
 ):
     k_levels, p, m, n = window.shape
     # AR window as a tuple of lags: the per-step shift is a carry
     # re-binding instead of a whole-state concatenate copy (HBM-bound)
     cascades0 = tuple(
         jnp.broadcast_to(window[:, i], (E, k_levels, m, n)) for i in range(p)
+    )
+    # per-window AR states (wet windows only): tuple over windows of
+    # tuples of p lag arrays (E, k, wy, wx) — the reference evolves each
+    # window's cascade SEPARATELY with its own phi (sseps.py:692-766)
+    wstates_init = tuple(
+        tuple(
+            jnp.broadcast_to(st[:, i], (E,) + st[:, i].shape)
+            for i in range(p)
+        )
+        for st in wstates0
     )
     pm_match, pm_state = prepare_cdf_matcher(precip_last)
     mask_prec0 = jnp.broadcast_to(mask_prec_init, (E, m, n))
@@ -162,51 +165,63 @@ def _sseps_scan(
     )
 
     def step(carry, t):
-        cascades, mask_prec, keys, displacement = carry
+        cascades, wstates, mask_prec, keys, displacement = carry
         t_total = (t + 1.0) * timestep_min
 
-        def member(key, casc_j, mask_j, disp_j, eps_par_j, eps_perp_j):
+        def member(key, casc_j, wstates_j, mask_j, disp_j, eps_par_j,
+                   eps_perp_j):
             key, k_noise = jax.random.split(key)
             eps = _generate_ssft_noise(k_noise, ssft_filt, ssft_masks, (m, n))
             eps_levels, _, _ = decompose_core(eps, weights_2d, normalize=False)
-            if len(win_bounds) > 1:
-                # window-localized noise standardization composited with
-                # the flat-hanning masks: the per-pixel analog of the
-                # reference's per-window noise mean/std over the window
-                # slice of the noise cascade (reference: sseps.py:728-734)
-                comp_e = jnp.zeros_like(eps_levels)
-                for w, (y0, y1, x0, x1) in enumerate(win_bounds):
-                    sl = eps_levels[:, y0:y1, x0:x1]
-                    mu_w = jnp.mean(sl, axis=(1, 2), keepdims=True)
-                    sd_w = jnp.maximum(
-                        jnp.std(sl, axis=(1, 2), keepdims=True), 1e-8
-                    )
-                    comp_e = comp_e.at[:, y0:y1, x0:x1].add(
-                        (sl - mu_w) / sd_w * fh_masks[w, y0:y1, x0:x1]
-                    )
-                eps_levels = comp_e * inv_ms
-            else:
-                mu_g = jnp.mean(eps_levels, axis=(1, 2), keepdims=True)
-                sd_g = jnp.maximum(
-                    jnp.std(eps_levels, axis=(1, 2), keepdims=True), 1e-8
-                )
-                eps_levels = (eps_levels - mu_g) / sd_g
-            # localized AR update with per-pixel parameters + innovation
-            x_new = phi_map[:, -1] * eps_levels
-            for i in range(p):
-                x_new = x_new + casc_j[i] * phi_map[:, p - 1 - i]
-            casc_j = casc_j[1:] + (x_new,)
-            # localized recomposition
-            field = jnp.sum(x_new * sigma_map + mu_map, axis=0)
+            # global standardization of the noise cascade (reference:
+            # EPS_d decomposition with normalize=True, sseps.py:653-661)
+            mu_ge = jnp.mean(eps_levels, axis=(1, 2), keepdims=True)
+            sd_ge = jnp.maximum(
+                jnp.std(eps_levels, axis=(1, 2), keepdims=True), 1e-8
+            )
+            eps_gn = (eps_levels - mu_ge) / sd_ge
 
-            # per-window CDF matching against the LOCAL observation,
-            # composited with flat-hanning masks (reference:
-            # sseps.py:777-800).  Windows are a static partition, so the
-            # loop unrolls into static slice/update ops — no gathers.
+            # global AR step + recomposition (reference: sseps.py:666-690)
+            x_new = phi_g[:, -1, None, None] * eps_gn
+            for i in range(p):
+                x_new = x_new + casc_j[i] * phi_g[:, p - 1 - i, None, None]
+            casc_j = casc_j[1:] + (x_new,)
+            field = jnp.sum(
+                x_new * sigma_g[:, None, None] + mu_g[:, None, None], axis=0
+            )
+
+            # local steps: evolve each WET window's own AR state with its
+            # own phi, recompose with the double denormalization
+            # ((c*sigma_w + mu_w) * sigma_g + mu_g), CDF-match against
+            # the local observation, and composite with the flat-hanning
+            # masks (reference: sseps.py:692-795).  Windows are a static
+            # partition: the loop unrolls into slice/update ops.
+            wstates_new = []
             if len(win_bounds) > 1:
                 comp = jnp.zeros_like(field)
                 for w, (y0, y1, x0, x1) in enumerate(win_bounds):
-                    sl = field[y0:y1, x0:x1]
+                    if wet_windows[w]:
+                        widx = sum(1 for ww in wet_windows[:w] if ww)
+                        st = wstates_j[widx]
+                        phi_w, mu_w, sigma_w = wparams[widx]
+                        eps_sl = eps_levels[:, y0:y1, x0:x1]
+                        mu_we = jnp.mean(eps_sl, axis=(1, 2), keepdims=True)
+                        sd_we = jnp.maximum(
+                            jnp.std(eps_sl, axis=(1, 2), keepdims=True), 1e-8
+                        )
+                        eps_w = (eps_sl - mu_we) / sd_we
+                        xw = phi_w[:, -1, None, None] * eps_w
+                        for i in range(p):
+                            xw = xw + st[i] * phi_w[:, p - 1 - i, None, None]
+                        wstates_new.append(st[1:] + (xw,))
+                        sl = jnp.sum(
+                            (xw * sigma_w[:, None, None] + mu_w[:, None, None])
+                            * sigma_g[:, None, None]
+                            + mu_g[:, None, None],
+                            axis=0,
+                        )
+                    else:
+                        sl = field[y0:y1, x0:x1]
                     if probmatching == "cdf":
                         sl = _match_cdf_presorted(
                             sl, local_states[w][0], local_states[w][1]
@@ -215,6 +230,7 @@ def _sseps_scan(
                         sl * fh_masks[w, y0:y1, x0:x1]
                     )
                 field = jnp.where(inv_ms > 0, comp * inv_ms, precip_min)
+            wstates_j = tuple(wstates_new)
 
             if probmatching == "cdf":
                 # global matching of the composited field against the full
@@ -253,23 +269,28 @@ def _sseps_scan(
                 max_disp=max_disp, cval=precip_min,
             )
             out = jnp.where(domain_mask, jnp.nan, out)
-            return key, casc_j, mask_j, disp_j, out
+            return key, casc_j, wstates_j, mask_j, disp_j, out
 
         if vel_pert:
             member_fn = member
-            member_args = (keys, cascades, mask_prec, displacement, eps_par, eps_perp)
+            member_args = (
+                keys, cascades, wstates, mask_prec, displacement,
+                eps_par, eps_perp,
+            )
         else:
-            member_fn = lambda k, c, mk, d: member(k, c, mk, d, None, None)  # noqa: E731
-            member_args = (keys, cascades, mask_prec, displacement)
-        keys, cascades, mask_prec, displacement, outs = jax.vmap(member_fn)(
-            *member_args
-        )
-        return (cascades, mask_prec, keys, displacement), outs
+            member_fn = lambda k, c, ws, mk, d: member(k, c, ws, mk, d, None, None)  # noqa: E731
+            member_args = (keys, cascades, wstates, mask_prec, displacement)
+        keys, cascades, wstates, mask_prec, displacement, outs = jax.vmap(
+            member_fn
+        )(*member_args)
+        return (cascades, wstates, mask_prec, keys, displacement), outs
 
     if carry_init is not None:
         carry0 = carry_init
     else:
-        carry0 = (cascades0, mask_prec0, member_keys, displacement0)
+        carry0 = (
+            cascades0, wstates_init, mask_prec0, member_keys, displacement0
+        )
     carry_out, outputs = jax.lax.scan(
         step, carry0, jnp.arange(int_steps) + t_offset
     )
@@ -354,19 +375,8 @@ def forecast(
     levels_list = [dec(precip_aligned[i])[0] for i in range(precip.shape[0])]
     cascades = jnp.stack(levels_list, axis=1)  # (k, p+1, m, n)
 
-    # global AR parameters as the dry-window fallback
-    g_gamma = jnp.stack(
-        [
-            jnp.stack(
-                correlation.temporal_autocorrelation(cascades[i])
-            )
-            for i in range(n_cascade_levels)
-        ]
-    )
-
     # window grid: the reference's overlap-expanded boxes with flat-hanning
-    # composition masks (reference: sseps.py:484-545,777-800); the same
-    # masks blend the per-window parameters into per-pixel maps
+    # composition masks (reference: sseps.py:484-545,777-800)
     (num_w_y, num_w_x), win_bounds = _window_bounds((m, n), win_size, overlap)
     fh_masks = np.stack(
         [_flat_hanning_mask((m, n), b) for b in win_bounds]
@@ -386,28 +396,42 @@ def forecast(
         for (y0, y1, x0, x1) in win_bounds
     )
 
-    # per-window parameters blended into per-pixel maps
-    phi_maps = jnp.zeros((n_cascade_levels, ar_order + 1, m, n))
-    mu_maps = jnp.zeros((n_cascade_levels, m, n))
-    sigma_maps = jnp.zeros((n_cascade_levels, m, n))
-    wet = np.asarray(precip[-1] >= precip_thr, dtype=np.float64)
-    for w, (y0, y1, x0, x1) in enumerate(win_bounds):
-        w_ij = fh_masks_j[w]
-        # wet-area ratio over the window box (reference: sseps.py:531)
-        war = float(wet[y0:y1, x0:x1].mean())
-        gamma_w, phi_w, mu_w, sigma_w = _window_params(
-            cascades, w_ij, jnp.float32(war), jnp.float32(war_thr),
-            g_gamma, ar_order,
-        )
-        blend = (w_ij / mask_norm)[None]
-        phi_maps = phi_maps + phi_w[:, :, None, None] * blend[None]
-        mu_maps = mu_maps + mu_w[:, None, None] * blend
-        sigma_maps = sigma_maps + sigma_w[:, None, None] * blend
+    # GLOBAL parameters + normalized state (reference estimator run on the
+    # full domain, sseps.py:497)
+    window, phi_g, mu_g, sigma_g = _window_ar_params(cascades, ar_order)
+    casc_gn = (
+        cascades
+        - jnp.mean(cascades, axis=(2, 3), keepdims=True)
+    ) / jnp.maximum(jnp.std(cascades, axis=(2, 3), keepdims=True), 1e-8)
 
-    # normalize initial cascades per pixel with the blended stats
-    window = (cascades[:, -ar_order:] - mu_maps[:, None]) / jnp.maximum(
-        sigma_maps[:, None], 1e-8
-    )
+    # per-WINDOW parameters + separately-evolved AR states for wet windows
+    # (reference: sseps.py:500-545 — each wet window re-runs the estimator
+    # on its slice of the globally-normalized cascade; dry windows fall
+    # back to the global field in the update loop)
+    wet = np.asarray(precip[-1] >= precip_thr, dtype=np.float64)
+    wet_windows = []
+    wstates0 = []
+    wparams = []
+    if len(win_bounds) > 1:
+        for (y0, y1, x0, x1) in win_bounds:
+            war = float(wet[y0:y1, x0:x1].mean())
+            is_wet = war > war_thr
+            wet_windows.append(is_wet)
+            if is_wet:
+                st_w, phi_w, mu_w, sigma_w = _window_ar_params(
+                    casc_gn[:, :, y0:y1, x0:x1], ar_order
+                )
+                wstates0.append(st_w.astype(jnp.float32))
+                wparams.append(
+                    (
+                        phi_w.astype(jnp.float32),
+                        mu_w.astype(jnp.float32),
+                        sigma_w.astype(jnp.float32),
+                    )
+                )
+    wet_windows = tuple(wet_windows)
+    wstates0 = tuple(wstates0)
+    wparams = tuple(wparams)
 
     # SSFT noise filter on the aligned inputs
     noise_kwargs.setdefault("win_size", win_size)
@@ -494,8 +518,8 @@ def forecast(
     t1 = time.time()
     scan_args = (
         window.astype(jnp.float32), mask_prec_init, member_keys, velocity_j,
-        phi_maps.astype(jnp.float32), mu_maps.astype(jnp.float32),
-        sigma_maps.astype(jnp.float32),
+        phi_g.astype(jnp.float32), mu_g.astype(jnp.float32),
+        sigma_g.astype(jnp.float32), wstates0, wparams,
         ssft_filter["field"].astype(jnp.float32),
         gen_masks, weights_2d, jnp.asarray(precip[-1]), jnp.float32(precip_min),
         jnp.float32(precip_thr), jnp.asarray(domain_mask),
@@ -506,7 +530,7 @@ def forecast(
         mask_rim=mask_rim, struct_radius=struct_radius, E=n_ens_members,
         max_disp=max_disp, vel_pert=vel_pert,
         p_par=p_par, p_perp=p_perp, vsf=vsf, timestep_min=float(timestep),
-        win_bounds=win_bounds,
+        win_bounds=win_bounds, wet_windows=wet_windows,
     )
 
     if callback is not None and not return_output and subsel is None:

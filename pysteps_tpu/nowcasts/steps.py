@@ -21,6 +21,7 @@ The public ``forecast`` keeps the reference's signature (steps.py:1273).
 
 import dataclasses
 import functools
+import os
 import time
 from typing import Optional
 
@@ -756,16 +757,54 @@ def _steps_forecast(precip, velocity, timesteps, cfg, domain_mask, vmax=None):
                 *scan_args, tc, t_offset=t_done, carry_init=carry,
                 **cfg_static,
             )
-            arr = np.asarray(out_c)  # (tc, E, m, n), fetched then dropped
+            arr = np.asarray(out_c)  # (E, tc, m, n), fetched then dropped
             del out_c
             for ti in range(tc):
-                cfg.callback(arr[ti])
+                cfg.callback(arr[:, ti])
             t_done += tc
         loop_time = time.time() - t_loop0
         return None, init_time, loop_time
 
-    _, out = _steps_scan(*scan_args, int_steps, **cfg_static)
-    out = jnp.swapaxes(out, 0, 1)  # (E, T, m, n), separate tiny program
+    # Outer member-chunking for memory-desperate configs: the in-scan
+    # lax.map chunking bounds per-step TRANSIENTS but the scan carry
+    # still holds every member's spectral state (96 x 8 levels x 2 lags
+    # at 1024^2 is 6.5 GB) next to the full output buffer (4.8 GB).
+    # Running the WHOLE time scan per member chunk keeps only one
+    # chunk's state + transients live; the chunk outputs land in a
+    # donated preallocated (E, T, m, n) buffer.  Costs n_chunks
+    # dispatches (~50 ms each over the tunnel), so it only switches on
+    # when state + output actually threaten HBM.
+    mc = cfg_static["member_chunk"]
+    halfn = n // 2 + 1
+    state_bytes = (
+        E * k_levels * cfg.ar_order * m
+        * (halfn * 8 if cfg.domain == "spectral" else n * 4)
+    ) * 2  # x2: noise cascade carries the same shape
+    out_bytes = E * int_steps * m * n * 4
+    outer_thr = int(
+        os.environ.get("PYSTEPS_TPU_OUTER_CHUNK_BYTES", 10_500_000_000)
+    )
+    if mc and state_bytes + out_bytes > outer_thr:
+        out = jnp.zeros((E, int_steps, m, n), jnp.float32)
+        upd = jax.jit(
+            lambda buf, chunk, i: jax.lax.dynamic_update_slice(
+                buf, chunk, (i, 0, 0, 0)
+            ),
+            donate_argnums=0,
+        )
+        chunk_static = dict(cfg_static, E=mc, member_chunk=None)
+        for c0 in range(0, E, mc):
+            args_c = list(scan_args)
+            args_c[2] = scan_args[2][c0 : c0 + mc]       # member_keys
+            args_c[19] = scan_args[19][c0 : c0 + mc]     # eps_par
+            args_c[20] = scan_args[20][c0 : c0 + mc]     # eps_perp
+            _, out_c = _steps_scan(*args_c, int_steps, **chunk_static)
+            out = upd(out, out_c, jnp.int32(c0))
+            del out_c
+    else:
+        _, out = _steps_scan(*scan_args, int_steps, **cfg_static)
+    # already member-major (E, T, m, n): the scan writes into a single
+    # carried buffer, so no transpose pass (or its extra copy) is needed
     out.block_until_ready()
     loop_time = time.time() - t_loop0
 
@@ -925,8 +964,10 @@ def _steps_scan(
     V_perp_c = coarsen_velocity(V_perp, coarse) if vel_pert else None
     displacement0 = jnp.zeros((E, 2, m // coarse, n // coarse), jnp.float32)
 
-    def step(carry, t):
+    def step(carry_and_buf, t_loc):
+        carry, out_buf = carry_and_buf
         cascades, det_window, mask_prec, keys, displacement = carry
+        t = t_loc + t_offset
         t_total = (t + 1.0) * timestep_min
 
         # deterministic AR evolution (for sprog mask / no-noise path)
@@ -1034,17 +1075,26 @@ def _steps_scan(
                 member_fn
             )(*member_args)
 
-        return (cascades, det_window, mask_prec, keys, displacement), out_fields
+        out_buf = jax.lax.dynamic_update_slice(
+            out_buf, out_fields[:, None], (0, t_loc, 0, 0)
+        )
+        return (
+            (cascades, det_window, mask_prec, keys, displacement),
+            out_buf,
+        ), None
 
     if carry_init is not None:
         carry0 = carry_init
     else:
         carry0 = (cascades0, det_window0, mask_prec0, member_keys, displacement0)
-    carry_out, outputs = jax.lax.scan(
-        step, carry0, jnp.arange(int_steps) + t_offset
+    # member-major (E, T, m, n) output buffer threaded through the carry:
+    # lax.scan aliases carries in place, so the full output costs ONE
+    # buffer — no time-major stack + transpose pair (at 96x1024^2 those
+    # two 4.8 GB arrays alive together OOMed the 16 GB HBM)
+    out_buf0 = jnp.zeros((E, int_steps, m, n), jnp.float32)
+    (carry_out, outputs), _ = jax.lax.scan(
+        step, (carry0, out_buf0), jnp.arange(int_steps, dtype=jnp.int32)
     )
-    # returned time-major (T, E, m, n); the caller transposes outside this
-    # program so the scan output and its transpose are never live together
     return carry_out, outputs
 
 

@@ -97,8 +97,11 @@ def dilated_rim_from_field_pallas(field, thr, kr, r):
 
 
 def whole_field_ok(shape):
-    """The single-tile kernel needs ~3 field-sized f32 buffers in VMEM."""
-    return shape[0] * shape[1] * 4 * 3 <= 12 * 1024 * 1024
+    """The single-tile kernel needs ~3 field-sized f32 buffers in VMEM.
+    Keep a safety margin below the 16 MB scoped-vmem limit: at exactly
+    1024^2 the old 12 MB bound passed while the real allocation overflowed
+    the 16 MB stack limit by 512 B (Mosaic adds its own scratch)."""
+    return shape[0] * shape[1] * 4 * 3 <= 10 * 1024 * 1024
 
 
 @functools.partial(jax.jit, static_argnames=("kr", "r"))

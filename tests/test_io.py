@@ -496,3 +496,145 @@ def test_projection_utm_known_points():
     # scaled meridian arc at 45N (0.9996 * M(45))
     _, y45 = utm(15.0, 45.0)
     assert y45 == pytest.approx(4982950.40, abs=0.5)
+
+
+def _write_odim_file(path, what_defaults="opera", with_quality=True,
+                     with_times=False):
+    """Synthetic ODIM HDF5 composite with a RATE dataset and (optionally)
+    a QIND quality dataset."""
+    import h5py
+
+    rng = np.random.RandomState(3)
+    raw = rng.randint(1, 250, (32, 40)).astype("u1")
+    raw[0, :5] = 255   # nodata (opera convention)
+    raw[1, :5] = 0     # undetect
+    qraw = rng.randint(1, 250, (32, 40)).astype("u1")
+    with h5py.File(path, "w") as f:
+        where = f.create_group("where")
+        where.attrs["projdef"] = np.bytes_(
+            b"+proj=stere +lon_0=10 +lat_0=90 +lat_ts=60 +a=6378137 "
+            b"+b=6356752.3 +x_0=0 +y_0=0"
+        )
+        for k, v in [("LL_lat", 45.0), ("LL_lon", 2.0), ("UR_lat", 55.0),
+                     ("UR_lon", 20.0), ("xscale", 2000.0),
+                     ("yscale", 2000.0)]:
+            where.attrs[k] = v
+        what = f.create_group("what")
+        what.attrs["source"] = np.bytes_(b"ORG:dwd")
+        ds = f.create_group("dataset1")
+        dwhat = ds.create_group("what")
+        if with_times:
+            dwhat.attrs["startdate"] = np.bytes_(b"20260821")
+            dwhat.attrs["starttime"] = np.bytes_(b"120000")
+            dwhat.attrs["enddate"] = np.bytes_(b"20260821")
+            dwhat.attrs["endtime"] = np.bytes_(b"121500")
+        d1 = ds.create_group("data1")
+        w1 = d1.create_group("what")
+        w1.attrs["quantity"] = np.bytes_(b"RATE")
+        w1.attrs["gain"] = 0.1
+        w1.attrs["offset"] = 0.0
+        if what_defaults == "mch":
+            w1.attrs["nodata"] = 0.0
+            w1.attrs["undetect"] = 251.0
+            raw2 = raw.copy()
+            raw2[0, :5] = 0
+            raw2[1, :5] = 251
+            d1.create_dataset("data", data=raw2)
+        else:
+            w1.attrs["nodata"] = 255.0
+            w1.attrs["undetect"] = 0.0
+            d1.create_dataset("data", data=raw)
+        if with_quality:
+            d2 = ds.create_group("data2")
+            w2 = d2.create_group("what")
+            w2.attrs["quantity"] = np.bytes_(b"QIND")
+            w2.attrs["gain"] = 1.0
+            w2.attrs["offset"] = 0.0
+            w2.attrs["nodata"] = 255.0
+            w2.attrs["undetect"] = 0.0
+            d2.create_dataset("data", data=qraw)
+    return raw, qraw
+
+
+def test_odim_hdf5_quality_field(tmp_path):
+    pytest.importorskip("h5py")
+    path = str(tmp_path / "odim.h5")
+    _write_odim_file(path)
+    precip, quality, meta = importers.import_odim_hdf5(path)
+    assert quality is not None and quality.shape == precip.shape
+    assert np.isfinite(quality).sum() > 0
+    assert meta["accutime"] == 15.0
+    assert meta["institution"] == "Odyssey datacentre"
+    # corners reprojected from the lon/lat attributes (not raw LL_x)
+    assert meta["x2"] > meta["x1"] and meta["y2"] > meta["y1"]
+    assert meta["xpixelsize"] == 2000.0
+    # undetect pixels map to the offset, nodata to NaN
+    assert np.isnan(precip[0, 0]) and precip[1, 0] == 0.0
+
+
+def test_mch_hdf5_distinct_decoder(tmp_path):
+    pytest.importorskip("h5py")
+    path = str(tmp_path / "mch.h5")
+    _write_odim_file(path, what_defaults="mch")
+    precip, quality, meta = importers.import_mch_hdf5(path)
+    assert quality is not None
+    assert meta["institution"] == "MeteoSwiss"
+    assert meta["zr_a"] == 316.0 and meta["zr_b"] == 1.5
+    # the Swiss CCS4 geodata, not the file's where attrs
+    assert meta["x1"] == 255000.0 and meta["y2"] == 480000.0
+    # MCH semantics: undetect -> NaN (not offset)
+    assert np.isnan(precip[1, 0]) and np.isnan(precip[0, 0])
+
+
+def test_dwd_hdf5_accutime_from_file(tmp_path):
+    pytest.importorskip("h5py")
+    path = str(tmp_path / "dwd.h5")
+    _write_odim_file(path, with_times=True)
+    precip, quality, meta = importers.import_dwd_hdf5(path)
+    assert meta["accutime"] == 15.0  # from start/end timestamps
+    assert meta["institution"] == "ORG:dwd"
+    assert quality is not None
+
+
+def test_odim_contract_matches_reference(tmp_path):
+    """(precip, quality, metadata) contract diffed against the imported
+    reference importer on the same synthetic file (VERDICT r2 task 8).
+    The reference needs pyproj for the corner reprojection; our
+    pyproj-compatible Proj facade stands in for it."""
+    pytest.importorskip("h5py")
+    import sys
+    import types
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from benchtools import import_reference_pysteps
+    from pysteps_tpu.utils import projection as proj_mod
+
+    if "pyproj" not in sys.modules:
+        shim = types.ModuleType("pyproj")
+        shim.Proj = proj_mod.Proj
+        sys.modules["pyproj"] = shim
+    ref = import_reference_pysteps()
+    if ref is None:
+        pytest.skip("reference pysteps unavailable")
+    path = str(tmp_path / "odim.h5")
+    _write_odim_file(path)
+    from pysteps.io import importers as ref_importers
+
+    ref_importers.PYPROJ_IMPORTED = True
+    ref_importers.pyproj = sys.modules["pyproj"]
+    p_ref, q_ref, m_ref = ref_importers.import_odim_hdf5(path)
+    p_my, q_my, m_my = importers.import_odim_hdf5(path)
+    np.testing.assert_allclose(
+        np.asarray(p_my, float), p_ref, equal_nan=True, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(q_my, float), q_ref, equal_nan=True, atol=1e-6
+    )
+    for key in ("projection", "x1", "y1", "x2", "y2", "xpixelsize",
+                "ypixelsize", "cartesian_unit", "yorigin", "unit",
+                "transform", "accutime", "institution"):
+        assert key in m_my, key
+        if isinstance(m_ref.get(key), float):
+            assert abs(m_my[key] - m_ref[key]) < max(1e-6 * abs(m_ref[key]), 1e-6), key
+        elif key in m_ref:
+            assert m_my[key] == m_ref[key], key

@@ -21,6 +21,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from helpers import make_synthetic_sequence
 
+pytestmark = pytest.mark.parity
+
 pysteps = None
 RESULTS = {}
 

@@ -325,3 +325,30 @@ def test_steps_device_input_equivalence():
     fc0 = np.asarray(f(jnp.asarray(zero), jnp.asarray(velocity), 2, **kwargs))
     assert fc0.shape == (2, 2, 64, 64)
     assert np.all(fc0 == -15.0)
+
+
+def test_steps_outer_member_chunk_matches(monkeypatch, synthetic_precip):
+    """The memory-desperate outer member-chunk path (whole time scan per
+    chunk, donated output buffer) must reproduce the in-scan chunk
+    path exactly — members are independent given fold_in keys."""
+    import jax.numpy as jnp
+
+    from pysteps_tpu import nowcasts
+
+    frames = np.asarray(synthetic_precip[:3])
+    db = np.where(
+        frames >= 0.1, 10 * np.log10(np.maximum(frames, 0.1)), -15.0
+    ).astype(np.float32)
+    velocity = np.zeros((2,) + db.shape[1:], np.float32)
+    velocity[0], velocity[1] = 2.0, 1.0
+    kwargs = dict(
+        n_ens_members=4, n_cascade_levels=6, precip_thr=-10.0,
+        kmperpixel=1.0, timestep=5, seed=7, domain="spectral",
+        member_chunk=2,
+    )
+    f = nowcasts.get_method("steps")
+    out_inner = np.asarray(f(db, velocity, 3, **kwargs))
+    monkeypatch.setenv("PYSTEPS_TPU_OUTER_CHUNK_BYTES", "1")
+    out_outer = np.asarray(f(db, velocity, 3, **kwargs))
+    assert out_outer.shape == out_inner.shape
+    np.testing.assert_allclose(out_inner, out_outer, atol=1e-4)
