@@ -19,6 +19,7 @@ class EnsembleKalmanFilter:
     def __init__(self, config, params):
         self._config = config
         kwargs = getattr(params, "combination_kwargs", {}) or {}
+        self._inflation_factor_obs_tmp = 1.0
         self._n_tapering = kwargs.get("n_tapering", 0)
         self._non_precip_mask = kwargs.get("non_precip_mask", True)
         self._n_ens_prec = kwargs.get("n_ens_prec", 1)
@@ -146,6 +147,9 @@ class MaskedEnKF(EnsembleKalmanFilter):
     def __init__(self, config, params):
         super().__init__(config, params)
         kwargs = getattr(params, "combination_kwargs", {}) or {}
+        # optional device mesh: the PCA fit runs as sharded matmuls
+        # (SURVEY §2.17 "EnKF linear algebra as sharded matmuls")
+        self._mesh = kwargs.get("mesh") or getattr(params, "mesh", None)
         self._iterative_prob_matching = kwargs.get("iterative_prob_matching", True)
         self._inflation_factor_bg = kwargs.get("inflation_factor_bg", 1.0)
         self._inflation_factor_obs = kwargs.get("inflation_factor_obs", 1.0)
@@ -158,6 +162,13 @@ class MaskedEnKF(EnsembleKalmanFilter):
         self._accumulated_sampling_prob = 0.0
         self._degradation_timestep = 0.2
         self._inflation_factor_obs_tmp = 1.0
+
+    def get_inflation_factor_obs(self):
+        """Effective observation inflation factor; reaches ~0 when the
+        accumulated sampling probability saturates (reference:
+        ens_kalman_filter_methods.py:628-635) — the full-NWP-weight
+        switch tests this against 0.02."""
+        return self._inflation_factor_obs_tmp
 
     def correct_step(self, background_ensemble, observation_ensemble,
                      resampled_forecast=None, rng_key=None):
@@ -198,7 +209,8 @@ class MaskedEnKF(EnsembleKalmanFilter):
         # PCA on the stacked rainy-pixel ensembles; the Lien-masked
         # projection feeds the covariance estimates (:512-527)
         stacked_pc, pca_params = pca_transform(
-            stacked, get_params=True, n_components=stacked.shape[0]
+            stacked, get_params=True, n_components=stacked.shape[0],
+            mesh=self._mesh,
         )
         stacked_lien_pc = pca_transform(
             stacked, mask=jnp.asarray(idx_lien), pca_params=pca_params

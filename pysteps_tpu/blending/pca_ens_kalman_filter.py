@@ -21,6 +21,8 @@ matmuls/SVDs on (n_ens, m*n) matrices.
 """
 
 import dataclasses
+import datetime
+import functools
 import time
 from typing import Optional
 
@@ -28,13 +30,25 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from pysteps_tpu import cascade, noise
 from pysteps_tpu.blending.ens_kalman_filter_methods import (
     EnsembleKalmanFilter,
     MaskedEnKF,
 )
-from pysteps_tpu.nowcasts import steps as steps_nowcast
+from pysteps_tpu.cascade.decomposition import decompose_core
+from pysteps_tpu.extrapolation.semilagrangian import (
+    integrate_displacement,
+    model_warp,
+)
+from pysteps_tpu.noise.fftgenerators import (
+    _generate_fft_noise,
+    nonparam_filter_core as _nonparam_filter_core,
+)
 from pysteps_tpu.nowcasts import utils as nowcast_utils
-from pysteps_tpu.postprocessing.probmatching import resample_distributions
+from pysteps_tpu.nowcasts.steps import _lagrangian_alignment
+from pysteps_tpu.postprocessing.probmatching import _match_cdf_core
+from pysteps_tpu.timeseries import autoregression, correlation
+from pysteps_tpu.utils import tapering as tapering_utils
 from pysteps_tpu.utils.check_norain import check_norain
 
 
@@ -74,147 +88,156 @@ class ForecastState:
     timestep: int = 0
 
 
-class ForecastInitialization:
-    """Input validation + background-ensemble generation
-    (reference: pca_ens_kalman_filter.py:251-583, which decomposes and
-    fits AR cascades itself; here the STEPS scan core does that in one
-    compiled program)."""
+def _square_dilate(mask, size):
+    """Binary dilation with a (size x size) square structuring element
+    (reference uses scipy binary_dilation with np.ones)."""
+    if size <= 1:
+        return mask.astype(jnp.float32)
+    return jax.lax.reduce_window(
+        mask.astype(jnp.float32), 0.0, jax.lax.max,
+        (size, size), (1, 1), "SAME",
+    )
 
-    def __init__(self, obs_precip, velocity, config, forecast_horizon,
-                 noise_method="nonparametric", noise_stddev_adj=None,
-                 nowcast_kwargs=None,
-                 timestep=5, kmperpixel=1.0):
-        self.obs_precip = np.asarray(obs_precip, np.float32)
-        self.velocity = velocity
-        self.config = config
-        self.forecast_horizon = int(forecast_horizon)
-        self.noise_method = noise_method
-        self.noise_stddev_adj = noise_stddev_adj
-        self.timestep = timestep
-        self.kmperpixel = kmperpixel
-        self.nowcast_kwargs = dict(nowcast_kwargs or {})
 
-    def compute_background(self):
-        """Run the stochastic nowcast over the full horizon; returns
-        (E, T, m, n) with NaNs filled at the domain minimum."""
-        cfg = self.config
-        background = np.asarray(
-            steps_nowcast.forecast(
-                self.obs_precip, self.velocity, self.forecast_horizon,
-                n_ens_members=cfg.n_ens_members,
-                n_cascade_levels=cfg.n_cascade_levels,
-                precip_thr=cfg.precip_threshold,
-                kmperpixel=self.kmperpixel,
-                timestep=self.timestep,
-                noise_method=self.noise_method,
-                noise_stddev_adj=self.noise_stddev_adj,
-                ar_order=max(cfg.ar_order, 1) if cfg.ar_order >= 2 else 2,
-                vel_pert_method=None,
-                probmatching_method="cdf",
-                mask_method="incremental",
-                seed=cfg.seed,
-                **self.nowcast_kwargs,
+def _gauss1(img):
+    """Separable Gaussian blur, sigma=1 (reference: gaussian_filter((1,1)))."""
+    x = np.arange(-4, 5, dtype=np.float64)
+    k = np.exp(-0.5 * x**2)
+    k = jnp.asarray(k / k.sum(), jnp.float32)
+    out = jax.lax.conv_general_dilated(
+        img[None, None], k[None, None, :, None], (1, 1), "SAME"
+    )
+    out = jax.lax.conv_general_dilated(
+        out, k[None, None, None, :], (1, 1), "SAME"
+    )
+    return out[0, 0]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("is_corr", "dil", "max_disp"),
+)
+def _forecast_step(
+    nwc, cascades, mu, sigma, keys, nwp_mapped, fc_resampled, displacement,
+    weights_2d, phi, nsc, res_mask, noise_pool, velocity, domain_mask,
+    precip_thr, fillval, is_corr, dil, max_disp,
+):
+    """One vmapped nowcast cycle for all members
+    (reference: ForecastModel.run_forecast_step, pca_ens_kalman_filter.py
+    :670-712): decompose the current (possibly EnKF-corrected) prediction
+    back into the cascade, update the precipitation mask from the NWP +
+    own forecast, AR-iterate with pool noise, recompose, probability-match
+    against the resampled target, and advect one step.  One compiled
+    program per (is_corr) variant; members share the displacement chain
+    (the velocity is unperturbed)."""
+    n_pool = noise_pool.shape[0]
+
+    # ONE unit advection step per cycle (reference __advect, :771-800:
+    # its displacement_previous kwarg never reaches the extrapolator —
+    # semilagrangian reads `displacement_prev` — so every reference call
+    # integrates from zero; the diff bookkeeping is dead code and the
+    # net behavior is a plain one-step warp, verified empirically:
+    # constant ~1-step -12-filled inflow band at every lead)
+    disp_total = integrate_displacement(
+        velocity, jnp.zeros_like(velocity), 1.0, n_iter=1, max_disp=max_disp
+    )
+    disp_new = displacement
+
+    def member(nwc_j, casc_j, mu_j, sig_j, key_j, nwp_j, targ_j):
+        # __decompose: current prediction -> latest cascade lag
+        levels, means, stds = decompose_core(nwc_j, weights_2d, normalize=True)
+        casc_j = jnp.concatenate(
+            [casc_j[:, :-1], levels[:, None]], axis=1
+        )
+        if is_corr:
+            # correction timesteps refresh the scaling parameters
+            # (reference: :745-767): mean from the decomposed analysis,
+            # sigma evolved by the AR(1) law, high-resolution scales
+            # (above the NWP effective resolution) take the current stds
+            mu_j = means
+            sig_ar = jnp.sqrt(
+                phi[:, 0] ** 2 * sig_j**2 + phi[:, -1] ** 2 * nsc**2
             )
+            sig_j = jnp.where(res_mask, stds, sig_ar)
+
+        # __update_precip_mask: union of dilated NWP and own-forecast
+        # rain areas, gaussian-smoothed, zeroed outside the radar domain
+        pm = _square_dilate(nwp_j > precip_thr, dil) + _square_dilate(
+            nwc_j > precip_thr, dil
         )
-        return np.nan_to_num(
-            background, nan=float(np.nanmin(self.obs_precip))
+        pm = _gauss1(jnp.clip(pm, 0.0, 1.0))
+        pm = jnp.where(domain_mask, 0.0, pm) > 0.0
+
+        # __iterate: AR(1) with a noise field drawn from the pool
+        key_j, sub = jax.random.split(key_j)
+        idx = jax.random.randint(sub, (), 0, n_pool)
+        eps = (
+            jax.lax.dynamic_index_in_dim(noise_pool, idx, 0, keepdims=False)
+            * pm[None].astype(jnp.float32)
+            * nsc[:, None, None]
         )
+        casc_j = autoregression.iterate_ar_model(casc_j, phi, eps=eps)
 
-
-class ForecastModel:
-    """One combination cycle: weight-ramped distribution resampling +
-    (PCA-reduced) EnKF analysis when an NWP field is valid
-    (reference: pca_ens_kalman_filter.py:620-921)."""
-
-    def __init__(self, config, params, enkf):
-        self.config = config
-        self.params = params
-        self.enkf = enkf
-
-    def nwp_weight(self, t, horizon):
-        """Linear trust ramp toward NWP with lead time."""
-        return min(0.1 + 0.9 * t / max(horizon - 1, 1), 1.0)
-
-    def correction_step(self, state, background_t, nwp_t, horizon):
-        """EnKF analysis of one lead time; returns the updated state."""
-        cfg = self.config
-        E = cfg.n_ens_members
-        n_nwp = self.params.n_nwp_members
-        obs_ens = np.stack(
-            [nwp_t[j % n_nwp] for j in range(E)]
+        # recompose + iterative probability matching (reference:
+        # :683-699 with prob_matching="iterative")
+        field = jnp.sum(
+            casc_j[:, -1] * sig_j[:, None, None] + mu_j[:, None, None], axis=0
         )
-        obs_ens = np.nan_to_num(obs_ens, nan=self.params.zerovalue)
-        key, sub = jax.random.split(state.rng_key)
-        if isinstance(self.enkf, MaskedEnKF):
-            # rainy-pixel + Lien-criterion EnKF with a dynamic sampling
-            # probability (reference: ens_kalman_filter_methods.py:452-628);
-            # the analysis is rank-matched against the resampled target as
-            # the reference's subsequent nowcast step does
-            # (pca_ens_kalman_filter.py:876-883)
-            from pysteps_tpu.postprocessing.probmatching import _match_cdf_core
+        field = _match_cdf_core(field, targ_j)
 
-            analysis, resampled = self.enkf.correct_step(
-                background_t, obs_ens,
-                resampled_forecast=background_t.copy(), rng_key=sub,
-            )
-            if resampled is not None:
-                analysis = np.stack(
-                    [
-                        np.asarray(
-                            _match_cdf_core(
-                                jnp.asarray(analysis[j]),
-                                jnp.asarray(resampled[j]),
-                            )
-                        )
-                        for j in range(E)
-                    ]
-                )
-        else:
-            # plain EnKF: fixed linear trust ramp toward NWP
-            w_nwp = self.nwp_weight(state.timestep, horizon)
-            resampled = np.stack(
-                [
-                    np.asarray(
-                        resample_distributions(
-                            background_t[j], obs_ens[j], 1.0 - w_nwp,
-                            key=jax.random.fold_in(sub, j),
-                        )
-                    ).reshape(background_t[j].shape)
-                    for j in range(E)
-                ]
-            )
-            bg_flat = background_t.reshape(E, -1)
-            obs_flat = obs_ens.reshape(E, -1)
-            analysis = np.asarray(
-                self.enkf.update(bg_flat, obs_flat).T
-            ).reshape(background_t.shape)
-        return ForecastState(
-            analysis=analysis, rng_key=key, timestep=state.timestep + 1
+        # __advect: one incremental semi-Lagrangian step; NaN fill
+        out = model_warp(
+            field, disp_total, max_disp=max_disp, interp_order=1,
+            cval=jnp.nan,
         )
+        out = jnp.where(jnp.isnan(out), fillval, out)
+        return out, casc_j, mu_j, sig_j, key_j
 
-    def forecast_step(self, state, background_t):
-        """No valid NWP at this lead time: the background is the analysis."""
-        return ForecastState(
-            analysis=background_t, rng_key=state.rng_key,
-            timestep=state.timestep + 1,
-        )
+    nwc, cascades, mu, sigma, keys = jax.vmap(member)(
+        nwc, cascades, mu, sigma, keys, nwp_mapped, fc_resampled
+    )
+    return nwc, cascades, mu, sigma, keys, disp_new
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_pool", "k_levels", "use_full_fft", "shape")
+)
+def _init_noise_pool(key, filt, shape, use_full_fft, weights_2d, n_pool,
+                     k_levels):
+    """Pre-generate the pool of normalized noise cascades
+    (reference: __initialize_noise_field_pool, :528-583)."""
+    del k_levels
+
+    def one(k):
+        eps = _generate_fft_noise(k, filt, shape, use_full_fft)
+        levels, _, _ = decompose_core(eps, weights_2d, normalize=True)
+        return levels
+
+    return jax.vmap(one)(jax.random.split(key, n_pool))
 
 
 class EnKFCombinationNowcaster:
-    """Orchestration of forecast/correction cycling
-    (reference: pca_ens_kalman_filter.py:923-1553)."""
+    """Forecast/correction cycling (reference:
+    pca_ens_kalman_filter.py:923-1553): every lead time advances each
+    member one nowcast step FROM THE PREVIOUS ANALYSIS, and whenever an
+    NWP field is valid the PCA-reduced EnKF correction replaces the
+    prediction before the next step — corrections feed back into the AR
+    and advection state, unlike a correct-the-background scheme."""
 
     def __init__(self, obs_precip, nwp_precip, velocity, forecast_horizon,
                  enkf_combination_config, noise_method="nonparametric",
                  noise_stddev_adj=None, timestep=5, kmperpixel=1.0,
                  callback=None, return_output=True, measure_time=False,
-                 nowcast_kwargs=None, verbose_output=False):
+                 nowcast_kwargs=None, verbose_output=False,
+                 obs_timestamps=None, nwp_timestamps=None, issuetime=None,
+                 precip_mask_dilation=1, n_noise_fields=30,
+                 smooth_radar_mask_range=0, mesh=None):
         self.obs_precip = np.asarray(obs_precip, np.float32)
         self.nwp_precip = np.asarray(nwp_precip, np.float32)
         if self.nwp_precip.ndim == 3:
             self.nwp_precip = self.nwp_precip[None]
-        self.velocity = velocity
-        self.forecast_horizon = int(forecast_horizon)
+        self.velocity = np.asarray(velocity, np.float32)
+        self.forecast_horizon = forecast_horizon
         self.config = enkf_combination_config
         self.noise_method = noise_method
         self.noise_stddev_adj = noise_stddev_adj
@@ -225,81 +248,302 @@ class EnKFCombinationNowcaster:
         self.measure_time = measure_time
         self.nowcast_kwargs = dict(nowcast_kwargs or {})
         self.verbose_output = verbose_output
+        self.obs_timestamps = obs_timestamps
+        self.nwp_timestamps = nwp_timestamps
+        self.issuetime = issuetime
+        self.precip_mask_dilation = int(precip_mask_dilation)
+        self.n_noise_fields = int(n_noise_fields)
+        self.smooth_radar_mask_range = smooth_radar_mask_range
+        self.mesh = mesh
+
+    def _resolve_leadtimes(self):
+        """Temporal resolution + forecast/correction lead-time arrays from
+        the timestamp inputs (reference: __check_input_timestamps,
+        :1202-1284).  Without timestamps, forecast_horizon counts steps
+        at ``timestep`` resolution and every step is a correction step."""
+        if self.obs_timestamps is not None and len(self.obs_timestamps) > 1:
+            diffs = np.unique(np.diff(np.asarray(self.obs_timestamps)))
+            if diffs.size > 1:
+                raise ValueError(
+                    "Observation data has a different temporal resolution "
+                    "or observations are missing!"
+                )
+            res = int(diffs[0].total_seconds() / 60)
+            fc_init = self.obs_timestamps[-1]
+            if self.issuetime is not None and fc_init != self.issuetime:
+                raise ValueError(
+                    "The last observation timestamp differs from forecast "
+                    "issue time!"
+                )
+            horizon_min = int(self.forecast_horizon)
+        else:
+            res = int(self.timestep) if self.timestep else 5
+            fc_init = self.issuetime
+            horizon_min = int(self.forecast_horizon) * res
+        leadtimes = np.arange(0, horizon_min + 1, res)
+        if self.nwp_timestamps is not None and fc_init is not None:
+            nwp_ts = np.asarray(self.nwp_timestamps)
+            keep = (nwp_ts >= fc_init) & (
+                nwp_ts <= fc_init + datetime.timedelta(minutes=horizon_min)
+            )
+            if not keep.any() or nwp_ts[0] > fc_init:
+                raise ValueError(
+                    "Forecast issue time is not included in the NWP "
+                    "forecast!"
+                )
+            self.nwp_precip = self.nwp_precip[:, keep]
+            correction_leadtimes = np.array(
+                [
+                    int((t - fc_init).total_seconds() / 60)
+                    for t in nwp_ts[keep]
+                ]
+            )
+        else:
+            correction_leadtimes = leadtimes.copy()
+            self.nwp_precip = self.nwp_precip[:, : leadtimes.size]
+        return leadtimes, correction_leadtimes
 
     def compute_forecast(self):
         cfg = self.config
         t0 = time.time()
+        leadtimes, corr_leadtimes = self._resolve_leadtimes()
+        n_steps = leadtimes.size
 
-        if check_norain(
+        obs_norain = check_norain(
             self.obs_precip, cfg.precip_threshold, cfg.norain_threshold,
             None, printmsg=False,
-        ) and check_norain(
+        )
+        nwp_norain = check_norain(
             self.nwp_precip, cfg.precip_threshold, cfg.norain_threshold,
             None, printmsg=False,
-        ):
+        )
+        if obs_norain and nwp_norain:
             return nowcast_utils.zero_precipitation_forecast(
-                cfg.n_ens_members, self.forecast_horizon, self.obs_precip,
+                cfg.n_ens_members, n_steps - 1, self.obs_precip,
                 self.callback, self.return_output, self.measure_time, t0,
             )
 
+        E = cfg.n_ens_members
+        p = cfg.ar_order
+        m, n = self.obs_precip.shape[1:]
+        k_levels = cfg.n_cascade_levels
+        thr = float(cfg.precip_threshold)
+        fillval = thr - 2.0
+        n_nwp = self.nwp_precip.shape[0]
         params = EnKFCombinationParams(
             combination_kwargs=dict(cfg.combination_kwargs),
             zerovalue=float(np.nanmin(self.obs_precip)),
-            n_nwp_members=self.nwp_precip.shape[0],
+            n_nwp_members=n_nwp,
             n_timesteps=self.nwp_precip.shape[1],
         )
+        if self.mesh is not None:
+            params.combination_kwargs.setdefault("mesh", self.mesh)
         enkf = (
             MaskedEnKF(cfg, params)
             if cfg.enkf_method == "masked_enkf"
             else EnsembleKalmanFilter(cfg, params)
         )
 
-        init = ForecastInitialization(
-            self.obs_precip, self.velocity, cfg, self.forecast_horizon,
-            noise_method=self.noise_method,
-            noise_stddev_adj=self.noise_stddev_adj,
-            timestep=self.timestep, kmperpixel=self.kmperpixel,
-            nowcast_kwargs=self.nowcast_kwargs,
+        # ---- initialization (reference: ForecastInitialization) ----
+        obs = self.obs_precip[-(p + 1):].copy()
+        domain_mask = np.logical_or.reduce(
+            [~np.isfinite(obs[i]) for i in range(obs.shape[0])]
         )
-        background = init.compute_background()  # (E, T, m, n)
+        velocity_j = jnp.asarray(self.velocity)
+        obs_j = jnp.asarray(np.nan_to_num(obs, nan=fillval))
+        obs_aligned = _lagrangian_alignment(obs_j, velocity_j)
+        obs_aligned = jnp.where(obs_aligned < thr, fillval, obs_aligned)
 
-        if not cfg.enable_combination:
-            out = jnp.asarray(background)
-            if self.measure_time:
-                return out, time.time() - t0, 0.0
-            return out if self.return_output else None
-
-        model = ForecastModel(cfg, params, enkf)
-        state = ForecastState(
-            analysis=background[:, 0],
-            rng_key=jax.random.PRNGKey(cfg.seed if cfg.seed is not None else 42),
+        bp_filter = cascade.get_method("gaussian")((m, n), k_levels)
+        weights_2d = bp_filter["weights_2d"].astype(jnp.float32)
+        central_wn = np.asarray(
+            bp_filter.get("central_wavenumbers")
+            if bp_filter.get("central_wavenumbers") is not None
+            else bp_filter["central_freqs"] * max(m, n)
         )
-        outputs = []
-        for t in range(self.forecast_horizon):
-            corrected = t < params.n_timesteps
-            if corrected:
-                state = model.correction_step(
-                    state, background[:, t], self.nwp_precip[:, t],
-                    self.forecast_horizon,
+        nwp_hres_eff = params.combination_kwargs.get("nwp_hres_eff", 0.0)
+        res_mask = jnp.asarray(m / np.maximum(central_wn, 1e-12)
+                               >= nwp_hres_eff * 3.0)
+
+        dec = jax.vmap(
+            lambda f: decompose_core(f, weights_2d, normalize=True)
+        )(obs_aligned)
+        levels, means, stds = dec
+        cascades0 = jnp.swapaxes(levels, 0, 1)  # (k, p+1, m, n)
+        mu0 = means[-1]
+        sigma0 = stds[-1]
+
+        if obs_norain:
+            gamma = np.ones((k_levels, p))
+        else:
+            gamma = np.stack(
+                [
+                    np.asarray(
+                        correlation.temporal_autocorrelation(cascades0[i])
+                    )
+                    for i in range(k_levels)
+                ]
+            )
+        if p == 2:
+            for i in range(k_levels):
+                gamma[i, 1] = float(
+                    autoregression.adjust_lag2_corrcoef2(
+                        gamma[i, 0], gamma[i, 1]
+                    )
                 )
+        phi = jnp.asarray(
+            np.stack(
+                [
+                    np.asarray(
+                        autoregression.estimate_ar_params_yw(
+                            jnp.asarray(gamma[i]),
+                            check_stationarity=False,
+                        )
+                    )
+                    for i in range(k_levels)
+                ]
+            ),
+            jnp.float32,
+        )
+
+        # noise filter + std coeffs + pool
+        taper = tapering_utils.compute_window_function(m, n, "tukey")
+        filt = _nonparam_filter_core(obs_aligned, jnp.asarray(taper, jnp.float32))
+        if self.noise_stddev_adj == "fixed":
+            nsc = jnp.asarray(
+                [1.0 / (0.75 + 0.09 * k) for k in range(1, k_levels + 1)],
+                jnp.float32,
+            )
+        elif self.noise_stddev_adj == "auto":
+            nsc = noise.utils.compute_noise_stddev_adjs(
+                obs_j[-1], thr, float(params.zerovalue), bp_filter, None,
+                filt, None, 20, conditional=True,
+                key=jax.random.PRNGKey((cfg.seed or 42) + 1),
+            ).astype(jnp.float32)
+        else:
+            nsc = jnp.ones(k_levels, jnp.float32)
+
+        base_key = jax.random.PRNGKey(cfg.seed if cfg.seed is not None else 42)
+        key_pool, key_members = jax.random.split(base_key)
+        noise_pool = _init_noise_pool(
+            key_pool, filt, (m, n), False, weights_2d,
+            self.n_noise_fields, k_levels,
+        )
+
+        # ---- state (reference: ForecastState) ----
+        latest = np.nan_to_num(obs[-1], nan=fillval)
+        nwc = jnp.broadcast_to(jnp.asarray(latest), (E, m, n))
+        fc_resampled = np.asarray(nwc)
+        cascades = jnp.broadcast_to(
+            cascades0[None, :, -p:], (E, k_levels, p, m, n)
+        )
+        mu = jnp.broadcast_to(mu0, (E, k_levels))
+        sigma = jnp.broadcast_to(sigma0, (E, k_levels))
+        member_keys = jax.vmap(
+            lambda i: jax.random.fold_in(key_members, i)
+        )(jnp.arange(E))
+        displacement = jnp.zeros((2, m, n), jnp.float32)
+        domain_mask_j = jnp.asarray(domain_mask)
+
+        nwp_dev = np.nan_to_num(self.nwp_precip, nan=fillval)
+        nwp_dev[nwp_dev < thr] = fillval
+        member_map = np.arange(E) % n_nwp
+
+        on_cpu = jax.default_backend() == "cpu"
+        max_disp = None if on_cpu or min(m, n) < 3 * 48 else 48
+
+        def _btf(fields, t_corr):
+            out = np.asarray(fields).copy()
+            if self.smooth_radar_mask_range:
+                from pysteps_tpu.blending.utils import (
+                    compute_smooth_dilated_mask,
+                )
+
+                new_mask = np.nan_to_num(
+                    np.asarray(
+                        compute_smooth_dilated_mask(
+                            domain_mask,
+                            max_padding_size_in_px=int(
+                                self.smooth_radar_mask_range
+                            ),
+                        )
+                    ),
+                    nan=0,
+                )
+                w_model = np.clip(new_mask, 0, 1)
+                nwp_t = nwp_dev[member_map, t_corr]
+                out = w_model * np.nan_to_num(nwp_t) + (
+                    1 - w_model
+                ) * np.nan_to_num(out)
             else:
-                state = model.forecast_step(state, background[:, t])
-            if self.verbose_output:
-                print(
-                    f"t={t + 1}: "
-                    + ("EnKF analysis" if corrected else "background only")
-                    + f", ens mean {float(np.nanmean(state.analysis)):.3f}"
-                )
-            outputs.append(state.analysis)
+                out[:, domain_mask] = np.nan
+            return out
 
-        out = jnp.asarray(np.stack(outputs, axis=1))
-        if self.callback is not None:
-            arr = np.asarray(out)
-            for t in range(arr.shape[1]):
-                self.callback(arr[:, t])
-        result = out if self.return_output else None
+        outputs = [_btf(nwc, 0)]
+        init_time = time.time() - t0
+        t_loop0 = time.time()
+        t_corr = 0
+        rng_key = jax.random.fold_in(base_key, 777)
+
+        for t in range(1, n_steps):
+            is_corr = (
+                leadtimes[t - 1] in corr_leadtimes
+                and t > 1
+                and cfg.enable_combination
+                and not nwp_norain
+            )
+            full_nwp = (
+                enkf.get_inflation_factor_obs() <= 0.02 or obs_norain
+            )
+            if leadtimes[t] in corr_leadtimes:
+                t_now = int(np.where(corr_leadtimes == leadtimes[t])[0][0])
+            else:
+                t_now = t_corr
+            if full_nwp:
+                if self.verbose_output:
+                    print(
+                        f"Full NWP weight is reached for lead time + "
+                        f"{leadtimes[t]} min"
+                    )
+                nwc = jnp.asarray(nwp_dev[member_map, t_now])
+                t_corr = t_now
+                outputs.append(_btf(nwc, t_now))
+                continue
+
+            if is_corr:
+                t_corr = int(
+                    np.where(corr_leadtimes == leadtimes[t - 1])[0][0]
+                )
+                rng_key, sub = jax.random.split(rng_key)
+                analysis, fc_resampled = enkf.correct_step(
+                    np.asarray(nwc),
+                    nwp_dev[member_map, t_corr],
+                    resampled_forecast=fc_resampled,
+                    rng_key=sub,
+                )
+                nwc = jnp.asarray(analysis)
+                if fc_resampled is None:
+                    fc_resampled = np.asarray(nwc)
+
+            nwc, cascades, mu, sigma, member_keys, displacement = _forecast_step(
+                nwc, cascades, mu, sigma, member_keys,
+                jnp.asarray(nwp_dev[member_map, t_corr]),
+                jnp.asarray(fc_resampled),
+                displacement,
+                weights_2d, phi, nsc, res_mask, noise_pool, velocity_j,
+                domain_mask_j, jnp.float32(thr), jnp.float32(fillval),
+                bool(is_corr), self.precip_mask_dilation, max_disp,
+            )
+            outputs.append(_btf(nwc, t_corr))
+            if self.callback is not None:
+                self.callback(outputs[-1])
+
+        loop_time = time.time() - t_loop0
+        result = (
+            np.stack(outputs, axis=1) if self.return_output else None
+        )
         if self.measure_time:
-            return result, time.time() - t0, 0.0
+            return result, init_time, loop_time
         return result
 
 
@@ -381,5 +625,12 @@ def forecast(
         measure_time=measure_time,
         nowcast_kwargs=nowcast_kwargs,
         verbose_output=verbose_output,
+        obs_timestamps=obs_timestamps,
+        nwp_timestamps=nwp_timestamps,
+        issuetime=issuetime,
+        precip_mask_dilation=precip_mask_dilation,
+        n_noise_fields=kwargs.get("n_noise_fields", 30),
+        smooth_radar_mask_range=smooth_radar_mask_range,
+        mesh=kwargs.get("mesh"),
     )
     return nowcaster.compute_forecast()

@@ -267,7 +267,9 @@ def test_pca_enkf_forecast(blending_data):
             n_ens_members=4, precip_thr=-10.0, seed=42,
         )
     )
-    assert fc.shape == (4, 3, 128, 128)
+    # reference contract: the output series starts at t0 (the analysis),
+    # so a 3-step horizon yields 4 frames
+    assert fc.shape == (4, 4, 128, 128)
     assert np.all(np.isfinite(fc))
     crps = probscores.CRPS(fc[:, -1], db[5])
     assert crps < 3.0

@@ -328,3 +328,58 @@ def test_blending_parity(sequence):
     c_mine = _crps(_from_db(fm)[:, SCORE_LEAD], truth)
     delta = _record("blending_steps", "crps@t4", c_ref, c_mine, 0.12)
     assert delta < 0.12, f"blending CRPS {c_mine:.4f} vs ref {c_ref:.4f}"
+
+
+def test_pca_enkf_parity(sequence):
+    """PCA-EnKF combined forecast vs the reference
+    (pca_ens_kalman_filter.py:1555): ensemble CRPS at the last lead
+    within tolerance.  Same synthetic radar + noisy-truth NWP ensemble
+    on both sides."""
+    frames, velocity = sequence
+    db = _to_db(np.asarray(frames))
+    obs = db[:2].astype(np.float32)
+    t0 = datetime.datetime(2021, 6, 29, 12, 0)
+    obs_ts = np.array([t0 - datetime.timedelta(minutes=5), t0])
+    nwp_ts = np.array(
+        [t0 + datetime.timedelta(minutes=5 * i) for i in range(5)]
+    )
+    rng = np.random.RandomState(1)
+    nwp = np.stack(
+        [db[1:6] + 0.5 * rng.randn(5, *SHAPE) for _ in range(4)]
+    )
+    common = dict(
+        forecast_horizon=20, issuetime=t0, n_ens_members=4,
+        n_cascade_levels=6, precip_thr=-10.0, norain_thr=0.01,
+        noise_method="nonparametric", num_workers=1,
+    )
+
+    from pysteps.blending import pca_ens_kalman_filter as ref_pca
+
+    from pysteps_tpu.blending import pca_ens_kalman_filter as my_pca
+    from pysteps_tpu.verification import probscores
+
+    def crps_last(out):
+        out = np.asarray(out)
+        lead = out.shape[1] - 1
+        return float(
+            np.asarray(probscores.CRPS(out[:, lead], db[1 + lead]))
+        )
+
+    ref_scores, my_scores = [], []
+    for seed in (5, 11):
+        ref_scores.append(crps_last(ref_pca.forecast(
+            obs_precip=obs.astype(np.float64), obs_timestamps=obs_ts,
+            nwp_precip=nwp.astype(np.float64), nwp_timestamps=nwp_ts,
+            velocity=velocity.astype(np.float64), seed=seed, **common,
+        )))
+        my_scores.append(crps_last(my_pca.forecast(
+            obs_precip=obs, obs_timestamps=obs_ts,
+            nwp_precip=nwp.astype(np.float32), nwp_timestamps=nwp_ts,
+            velocity=velocity.astype(np.float32), seed=seed, **common,
+        )))
+    ref_crps = float(np.mean(ref_scores))
+    my_crps = float(np.mean(my_scores))
+    delta = _record(
+        "pca_enkf", "crps@last(mean2seeds)", ref_crps, my_crps, 0.08
+    )
+    assert abs(delta) < 0.08, (ref_crps, my_crps)
