@@ -217,7 +217,9 @@ def test_sseps_parity(sequence):
     import pysteps_tpu
 
     refs, mins = [], []
-    for seed in (11, 22):
+    # 5 seeds: the 2-seed estimate varied by several percent between
+    # runs — more than the actual implementation delta
+    for seed in (11, 22, 33, 44, 55):
         fr = pysteps.nowcasts.get_method("sseps")(
             db[:3], dict(meta), velocity, N_LEADS, seed=seed, **kw
         )
@@ -227,7 +229,7 @@ def test_sseps_parity(sequence):
         refs.append(_crps(_from_db(fr)[:, SCORE_LEAD], truth))
         mins.append(_crps(_from_db(fm)[:, SCORE_LEAD], truth))
     c_ref, c_mine = float(np.mean(refs)), float(np.mean(mins))
-    delta = _record("sseps", "crps@t4(mean2seeds)", c_ref, c_mine, 0.12)
+    delta = _record("sseps", "crps@t4(mean5seeds)", c_ref, c_mine, 0.12)
     assert delta < 0.12, f"SSEPS CRPS {c_mine:.4f} vs ref {c_ref:.4f}"
 
 
