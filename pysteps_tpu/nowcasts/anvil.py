@@ -39,6 +39,16 @@ def _gauss_filter(field, k1d):
     return out[0, 0]
 
 
+def _gauss_filter_batch(fields, k1d):
+    """Separable Gaussian filtering of a (B, m, n) stack as ONE conv
+    pair — per-field convs with the 4-sigma (radius 50 -> 401-tap)
+    kernel compile pathologically when replicated dozens of times."""
+    f = fields[:, None]
+    out = jax.lax.conv_general_dilated(f, k1d[None, None, :, None], (1, 1), "SAME")
+    out = jax.lax.conv_general_dilated(out, k1d[None, None, None, :], (1, 1), "SAME")
+    return out[:, 0]
+
+
 def _moving_window_corrcoef(x, y, window_radius, mask):
     """Zero-mean localized correlation (reference: anvil.py:389)."""
     w = mask.astype(jnp.float32)
@@ -131,6 +141,79 @@ def _iterate_ari_localized(window, phi):
 
 @functools.partial(
     jax.jit,
+    static_argnames=("ar_order", "ar_window_radius", "n_iter", "interp_order"),
+)
+def _anvil_init(vil_j, velocity_j, weights_2d, finite_all, ar_order,
+                ar_window_radius, n_iter, interp_order):
+    """Fused ANVIL initialization (reference: anvil.py:389-470):
+    Lagrangian alignment + validity, non-normalized cascade
+    decomposition, Gaussian moving-window lag correlations of the
+    differenced cascades, lag-2 adjustment and the localized ARI
+    parameter solve — one compiled program."""
+    from pysteps_tpu.cascade.decomposition import decompose_core
+
+    p1, m, n = vil_j.shape
+    vil_aligned = _lagrangian_alignment(
+        vil_j, velocity_j, n_iter=n_iter, interp_order=interp_order
+    )
+    valid = _alignment_validity(velocity_j, p1, n_iter=n_iter)
+    mask = finite_all & jnp.all(valid > 0.9999, axis=0)
+    rr_auto_mask = (vil_j[-1] < 0.1) & mask
+
+    vil_dec = jnp.stack(
+        [
+            decompose_core(vil_aligned[i], weights_2d, normalize=False)[0]
+            for i in range(p1)
+        ],
+        axis=1,
+    )  # (k, t, m, n)
+    vil_diff = jnp.diff(vil_dec, axis=1)
+    # localized lag correlations, all filtered fields batched into one
+    # separable conv pair (k levels x ar_order lags x {y^2, x*y} + x^2
+    # + the window-weight field)
+    k_levels = vil_diff.shape[0]
+    k1d = _gaussian_kernel1d(ar_window_radius)
+    xs = vil_diff[:, -1]  # (k, m, n)
+    ys = jnp.stack(
+        [vil_diff[:, -(j + 2)] for j in range(ar_order)], axis=1
+    )  # (k, p, m, n)
+    fields = jnp.concatenate(
+        [
+            jnp.ones((1, m, n), jnp.float32),
+            xs * xs,
+            (ys * ys).reshape(-1, m, n),
+            (xs[:, None] * ys).reshape(-1, m, n),
+        ],
+        axis=0,
+    )
+    filt = _gauss_filter_batch(fields, k1d)
+    n_w = jnp.maximum(filt[0], 1e-6)
+    ssx = filt[1 : 1 + k_levels]
+    ssy = filt[1 + k_levels : 1 + k_levels * (1 + ar_order)].reshape(
+        k_levels, ar_order, m, n
+    )
+    sxy = filt[1 + k_levels * (1 + ar_order) :].reshape(
+        k_levels, ar_order, m, n
+    )
+    stdx = jnp.sqrt(ssx / n_w)[:, None]
+    stdy = jnp.sqrt(ssy / n_w)
+    cov = sxy / n_w
+    ok = (stdx > 1e-8) & (stdy > 1e-8) & (n_w > 1e-3)
+    gamma = jnp.where(
+        ok, cov / jnp.maximum(stdx * stdy, 1e-12), 0.0
+    )  # (k, ar_order, m, n)
+    if ar_order == 2:
+        g2 = autoregression.adjust_lag2_corrcoef2(gamma[:, 0], gamma[:, 1])
+        gamma = jnp.stack([gamma[:, 0], g2], axis=1)
+        phi = jax.vmap(_estimate_ar2_params)(gamma)
+    else:
+        phi = jax.vmap(_estimate_ar1_params)(gamma)
+    window0 = vil_dec[:, -(ar_order + 1):]
+    return window0, phi, mask, rr_auto_mask
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("int_steps", "use_rvil", "apply_rainrate_mask", "n_iter", "interp_order", "max_disp"),
 )
 def _anvil_scan(
@@ -213,60 +296,24 @@ def forecast(
 
     vil_filled = np.where(np.isfinite(vil), vil, np.nan)
     vil_j = jnp.asarray(np.nan_to_num(vil_filled, nan=0.0))
+    finite_all = jnp.all(jnp.isfinite(jnp.asarray(vil_filled)), axis=0)
     velocity_j = jnp.asarray(velocity, jnp.float32)
 
-    # Lagrangian alignment of all input fields to the latest time
-    vil_aligned = _lagrangian_alignment(
-        vil_j, velocity_j,
-        n_iter=extrap_kwargs.get("n_iter", 1),
-        interp_order=extrap_kwargs.get("interp_order", 1),
-    )
-    valid = _alignment_validity(
-        velocity_j, vil.shape[0],
-        n_iter=extrap_kwargs.get("n_iter", 1),
-    )
-    mask = jnp.all(jnp.isfinite(jnp.asarray(vil_filled)), axis=0) & jnp.all(
-        valid > 0.9999, axis=0
-    )
-    if rainrate is None and apply_rainrate_mask:
-        rainrate_mask0 = rainrate_mask0 & mask
-
-    # cascade decomposition (non-normalized)
     bp_filter = cascade.get_method("gaussian")((m, n), n_cascade_levels, **filter_kwargs)
     weights_2d = bp_filter["weights_2d"].astype(jnp.float32)
 
-    def dec(f):
-        from pysteps_tpu.cascade.decomposition import decompose_core
-
-        levels, _, _ = decompose_core(f, weights_2d, normalize=False)
-        return levels
-
-    vil_dec = jnp.stack([dec(vil_aligned[i]) for i in range(vil.shape[0])], axis=1)
-    # (k, t, m, n)
-
-    # localized lag correlations of the differenced cascades
-    vil_diff = jnp.diff(vil_dec, axis=1)
-    gammas = []
-    for i in range(n_cascade_levels):
-        gi = []
-        for j in range(ar_order):
-            gi.append(
-                _moving_window_corrcoef(
-                    vil_diff[i, -1], vil_diff[i, -(j + 2)], ar_window_radius,
-                    jnp.ones((m, n), dtype=bool),
-                )
-            )
-        gammas.append(jnp.stack(gi))
-    gamma = jnp.stack(gammas)  # (k, ar_order, m, n)
-
-    if ar_order == 2:
-        g2 = autoregression.adjust_lag2_corrcoef2(gamma[:, 0], gamma[:, 1])
-        gamma = jnp.stack([gamma[:, 0], g2], axis=1)
-        phi = jax.vmap(_estimate_ar2_params)(gamma)  # (k, 4, m, n)
-    else:
-        phi = jax.vmap(_estimate_ar1_params)(gamma)
-
-    window0 = vil_dec[:, -(ar_order + 1) :]
+    # the whole init — alignment, validity, decomposition, localized lag
+    # correlations and the per-pixel AR solve — is ONE fused jit: the
+    # eager per-level/per-lag loops cost ~180 tunnel dispatches (~9 s of
+    # the previous ~11 s warm forecast)
+    window0, phi, mask, rr_auto_mask = _anvil_init(
+        vil_j, velocity_j, weights_2d, finite_all,
+        int(ar_order), int(ar_window_radius),
+        int(extrap_kwargs.get("n_iter", 1)),
+        int(extrap_kwargs.get("interp_order", 1)),
+    )
+    if rainrate is None and apply_rainrate_mask:
+        rainrate_mask0 = rr_auto_mask
 
     if isinstance(timesteps, int):
         int_steps = timesteps
