@@ -115,3 +115,36 @@ def detection(
         mask = np.isfinite(np.asarray(input_image))
         return points, mask, None
     return points
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "max_corners", "min_distance", "block_size", "buffer_mask",
+    ),
+)
+def _shitomasi_batch_core(images, max_corners, quality_level, min_distance,
+                          block_size, buffer_mask=0):
+    return jax.vmap(
+        lambda img: _shitomasi_core(
+            img, max_corners, quality_level, min_distance, block_size,
+            buffer_mask,
+        )
+    )(images)
+
+
+def detection_batch(input_images, max_corners=1000, max_num_features=None,
+                    quality_level=0.01, min_distance=10, block_size=5,
+                    buffer_mask=5, use_cmask=True, **kwargs):
+    """Corner detection over a (T, m, n) stack in ONE dispatch.  Returns
+    a list of (N_t, 2) arrays (valid corners per frame)."""
+    if max_num_features is not None:
+        max_corners = max_num_features
+    buf = int(buffer_mask) if (use_cmask and buffer_mask > 0) else 0
+    pts, valid = _shitomasi_batch_core(
+        jnp.asarray(input_images, jnp.float32), int(max_corners),
+        float(quality_level), int(min_distance), int(block_size), buf,
+    )
+    pts = np.asarray(pts)
+    valid = np.asarray(valid)
+    return [pts[t][valid[t]] for t in range(pts.shape[0])]

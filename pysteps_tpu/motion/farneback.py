@@ -80,11 +80,8 @@ def _poly_exp(img, n=7, sigma=1.5):
     return A, b
 
 
-@functools.partial(
-    jax.jit, static_argnames=("n_iter", "poly_n", "winsize", "max_disp")
-)
-def _flow_iteration(img1, img2, flow0, n_iter, poly_n, poly_sigma, winsize,
-                    max_disp=None):
+def _flow_iteration_impl(img1, img2, flow0, n_iter, poly_n, poly_sigma,
+                         winsize, max_disp=None):
     m, n = img1.shape
     A1, b1 = _poly_exp(img1, poly_n, poly_sigma)
     A2, b2 = _poly_exp(img2, poly_n, poly_sigma)
@@ -136,6 +133,64 @@ def _flow_iteration(img1, img2, flow0, n_iter, poly_n, poly_sigma, winsize,
     return flow
 
 
+@functools.partial(
+    jax.jit, static_argnames=("n_iter", "poly_n", "winsize", "max_disp")
+)
+def _flow_iteration(img1, img2, flow0, n_iter, poly_n, poly_sigma, winsize,
+                    max_disp=None):
+    return _flow_iteration_impl(
+        img1, img2, flow0, n_iter, poly_n, poly_sigma, winsize, max_disp
+    )
+
+
+def _pyr_gauss(img):
+    """sigma=1 Gaussian blur (9-tap separable, reflect padding) for the
+    pyramid downsampling — matches scipy.ndimage.gaussian_filter(1.0,
+    mode="mirror") to ~1e-4."""
+    x = np.arange(-4, 5, dtype=np.float64)
+    k = np.exp(-0.5 * x**2)
+    k = jnp.asarray(k / k.sum(), jnp.float32)
+    f = jnp.pad(img, 4, mode="reflect")[None, None]
+    out = jax.lax.conv_general_dilated(f, k[None, None, :, None], (1, 1), "VALID")
+    out = jax.lax.conv_general_dilated(out, k[None, None, None, :], (1, 1), "VALID")
+    return out[0, 0]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "levels", "num_iterations", "poly_n", "winsize", "use_shift",
+    ),
+)
+def _farneback_full(im1, im2, levels, num_iterations, poly_n, poly_sigma,
+                    winsize, use_shift):
+    """The whole coarse-to-fine solve in ONE compiled program — the
+    per-level host loop cost one tunnel dispatch (+ transfers) per
+    pyramid level."""
+    pyr = [(im1, im2)]
+    for _ in range(levels - 1):
+        a, b = pyr[-1]
+        if min(a.shape) < 2 * winsize:
+            break
+        pyr.append((_pyr_gauss(a)[::2, ::2], _pyr_gauss(b)[::2, ::2]))
+
+    flow = jnp.zeros((2,) + pyr[-1][0].shape, jnp.float32)
+    for lvl in range(len(pyr) - 1, -1, -1):
+        a, b = pyr[lvl]
+        md = min(16, min(a.shape) // 2) if use_shift else None
+        flow = _flow_iteration_impl(
+            a, b, flow, num_iterations, poly_n, poly_sigma, winsize, md
+        )
+        if lvl > 0:
+            flow = (
+                jax.image.resize(
+                    flow, (2,) + pyr[lvl - 1][0].shape, method="bilinear"
+                )
+                * 2.0
+            )
+    return flow
+
+
 def farneback(
     input_images,
     pyr_scale=0.5,
@@ -180,35 +235,12 @@ def farneback(
     im1 = np.nan_to_num((im1 - lo) * scale)
     im2 = np.nan_to_num((im2 - lo) * scale)
 
-    # image pyramid by factor 2
-    from scipy.ndimage import gaussian_filter
-
-    pyr = [(im1, im2)]
-    for _ in range(levels - 1):
-        a, b = pyr[-1]
-        if min(a.shape) < 2 * winsize:
-            break
-        a = gaussian_filter(a, 1.0, mode="mirror")[::2, ::2]
-        b = gaussian_filter(b, 1.0, mode="mirror")[::2, ::2]
-        pyr.append((a, b))
-
     use_shift = jax.default_backend() != "cpu"
-    flow = jnp.zeros((2,) + pyr[-1][0].shape, jnp.float32)
-    for lvl in range(len(pyr) - 1, -1, -1):
-        a, b = pyr[lvl]
-        md = min(16, min(a.shape) // 2) if use_shift else None
-        flow = _flow_iteration(
-            jnp.asarray(a), jnp.asarray(b), flow,
-            int(num_iterations), int(poly_n), float(poly_sigma), int(winsize),
-            md,
-        )
-        if lvl > 0:
-            flow = (
-                jax.image.resize(
-                    flow, (2,) + pyr[lvl - 1][0].shape, method="bilinear"
-                )
-                * 2.0
-            )
+    flow = _farneback_full(
+        jnp.asarray(im1, jnp.float32), jnp.asarray(im2, jnp.float32),
+        int(levels), int(num_iterations), int(poly_n), float(poly_sigma),
+        int(winsize), use_shift,
+    )
 
     flow = np.asarray(flow)
     if smoothing_sigma and smoothing_sigma > 0:

@@ -137,10 +137,7 @@ def _track_level(I, J, Ix, Iy, points, guesses, half_win, n_iter):
     return guesses + v, ok, resid
 
 
-@functools.partial(
-    jax.jit, static_argnames=("nr_levels", "half_win", "n_iter")
-)
-def _pyramidal_lk(prvs, next_img, points, nr_levels, half_win, n_iter):
+def _pyr_lk_impl(prvs, next_img, points, nr_levels, half_win, n_iter):
     pyr_I = build_pyramid(prvs, nr_levels)
     pyr_J = build_pyramid(next_img, nr_levels)
     N = points.shape[0]
@@ -156,6 +153,83 @@ def _pyramidal_lk(prvs, next_img, points, nr_levels, half_win, n_iter):
         if lvl > 0:
             d = d * 2.0
     return d, ok_all, resid
+
+
+def _rescale255(img):
+    img = jnp.where(jnp.isfinite(img), img, jnp.nanmin(img))
+    lo, hi = jnp.min(img), jnp.max(img)
+    return (img - lo) / jnp.maximum(hi - lo, 1e-9) * 255.0
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nr_levels", "half_win", "n_iter")
+)
+def _pyramidal_lk(prvs, next_img, points, nr_levels, half_win, n_iter):
+    return _pyr_lk_impl(prvs, next_img, points, nr_levels, half_win, n_iter)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nr_levels", "half_win", "n_iter")
+)
+def _pyramidal_lk_batch(prvs_b, next_b, points_b, nr_levels, half_win,
+                        n_iter):
+    """All frame pairs tracked in ONE dispatch: per-pair [0,255] rescale
+    fused in, pyramids and patch einsums vmapped over the pair axis."""
+    def one(a, b, p):
+        return _pyr_lk_impl(
+            _rescale255(a), _rescale255(b), p, nr_levels, half_win, n_iter
+        )
+
+    return jax.vmap(one)(prvs_b, next_b, points_b)
+
+
+def _filter_tracks(points, d, ok, resid, n_real, shape):
+    m, n = shape
+    end = points + d
+    inside = (
+        (end[:, 0] >= 0) & (end[:, 0] <= n - 1)
+        & (end[:, 1] >= 0) & (end[:, 1] <= m - 1)
+    )
+    ok = np.asarray(ok & inside)[:n_real]
+    resid = np.asarray(resid)[:n_real]
+    # residual-based rejection (OpenCV status analogue), adaptive vs the
+    # population median
+    if ok.sum() > 4:
+        med = float(np.median(resid[ok]))
+        ok = ok & (resid <= max(5.0 * med, 2.0))
+    return points[:n_real][ok], np.asarray(d)[:n_real][ok]
+
+
+def track_features_batch(prvs_stack, next_stack, points_list,
+                         winsize=(50, 50), nr_levels=3, criteria=None,
+                         **kwargs):
+    """Track sparse points for a batch of frame pairs in one compiled
+    dispatch (the per-pair loop costs ~0.2 s of tunnel latency per pair
+    otherwise).  points_list: per-pair (N_t, 2) arrays; returns a list
+    of (xy, uv) pairs."""
+    n_pairs = len(points_list)
+    half_win = max(int(winsize[0]) // 2, 2)
+    n_iter = 20 if criteria is None else int(criteria[1]) if len(criteria) > 1 else 20
+    n_reals = [p.shape[0] for p in points_list]
+    n_max = max(max(n_reals), 1)
+    n_max += -n_max % 32
+    padded = np.zeros((n_pairs, n_max, 2), np.float32)
+    for t, p in enumerate(points_list):
+        if p.shape[0]:
+            padded[t, : p.shape[0]] = np.asarray(p, np.float32)
+    d, ok, resid = _pyramidal_lk_batch(
+        jnp.asarray(prvs_stack, jnp.float32),
+        jnp.asarray(next_stack, jnp.float32),
+        jnp.asarray(padded), int(nr_levels), half_win, n_iter,
+    )
+    d = np.asarray(d)
+    ok = np.asarray(ok)
+    resid = np.asarray(resid)
+    shape = np.asarray(prvs_stack).shape[1:]
+    return [
+        _filter_tracks(padded[t], d[t], ok[t], resid[t], n_reals[t], shape)
+        for t in range(n_pairs)
+    ]
 
 
 def track_features(

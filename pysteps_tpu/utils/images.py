@@ -42,3 +42,18 @@ def morph_opening(input_image, thr, n):
     return _morph_opening_core(
         jnp.asarray(input_image, jnp.float32), jnp.float32(thr), int(n)
     )
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _morph_opening_batch_core(fields, thrs, n):
+    return jax.vmap(lambda f, t: _morph_opening_core(f, t, n))(fields, thrs)
+
+
+def morph_opening_batch(fields, thrs, n):
+    """Morphological opening of a (T, m, n) stack with per-frame
+    thresholds in ONE dispatch (the per-frame eager calls cost one
+    tunnel round-trip each)."""
+    return _morph_opening_batch_core(
+        jnp.asarray(fields, jnp.float32),
+        jnp.asarray(thrs, jnp.float32), int(n),
+    )
