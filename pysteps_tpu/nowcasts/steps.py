@@ -947,8 +947,33 @@ def _steps_scan(
     # re-binding instead of a whole-state concatenate copy
     ar_order = window.shape[1]
     lags0 = tuple(window[:, i] for i in range(ar_order))
+    # optional bf16 AR-state carry (PYSTEPS_TPU_BF16_STATE=1): the lag
+    # arrays dominate the scan's HBM traffic (roofline: the pipeline is
+    # memory-bound); storing them as split-bf16 halves those bytes.  The
+    # carry DTYPE is structural, so XLA cannot elide the casts the way it
+    # elides in-graph f32->bf16->f32 round trips.
+    bf16_state = os.environ.get("PYSTEPS_TPU_BF16_STATE", "0") == "1"
+
+    def _pack_lag(x):
+        if not bf16_state:
+            return x
+        if jnp.iscomplexobj(x):
+            # re/im stacked on axis -3 so the member axis stays leading
+            # (the lag arrays are vmapped over members)
+            return jnp.stack([x.real, x.imag], axis=-3).astype(jnp.bfloat16)
+        return x.astype(jnp.bfloat16)
+
+    def _unpack_lag(x):
+        if not bf16_state:
+            return x
+        f = x.astype(jnp.float32)
+        if spectral:
+            re, im = jnp.moveaxis(f, -3, 0)
+            return jax.lax.complex(re, im)
+        return f
+
     cascades0 = tuple(
-        jnp.broadcast_to(lag, (E,) + lag.shape) for lag in lags0
+        _pack_lag(jnp.broadcast_to(lag, (E,) + lag.shape)) for lag in lags0
     )
     # the CDF-matching target is the fixed latest observation: sort once
     pm_match, pm_state = prepare_cdf_matcher(precip_last)
@@ -989,11 +1014,13 @@ def _steps_scan(
         def member(key, casc_j, mask_j, disp_j, eps_par_j, eps_perp_j):
             key, k_noise = jax.random.split(key)
             if noise:
+                casc_j = tuple(_unpack_lag(c) for c in casc_j)
                 casc_j, field = _member_update(
                     k_noise, casc_j, phi, noise_filt, noise_filt_shape,
                     use_full_fft, weights_2d, noise_std_coeffs,
                     means_last, stds_last, cfg_flags,
                 )
+                casc_j = tuple(_pack_lag(c) for c in casc_j)
             else:
                 casc_j = det_window
                 field = det_field
