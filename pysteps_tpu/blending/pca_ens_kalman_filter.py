@@ -88,6 +88,66 @@ class ForecastState:
     timestep: int = 0
 
 
+class ForecastInitialization:
+    """Background-ensemble generation (reference:
+    pca_ens_kalman_filter.py:251-583) — a thin adapter over the cycling
+    nowcaster with the combination disabled; kept for class-API parity
+    with the reference architecture."""
+
+    def __init__(self, obs_precip, velocity, config, forecast_horizon,
+                 **kwargs):
+        self.obs_precip = np.asarray(obs_precip, np.float32)
+        self.velocity = velocity
+        self.config = config
+        self.forecast_horizon = forecast_horizon
+        self.kwargs = kwargs
+
+    def compute_background(self):
+        """Stochastic nowcast over the horizon; (E, T, m, n) with the t0
+        analysis dropped."""
+        cfg = dataclasses.replace(self.config, enable_combination=False)
+        E = cfg.n_ens_members
+        nwp = np.broadcast_to(
+            self.obs_precip[-1],
+            (1, int(self.forecast_horizon) + 1) + self.obs_precip.shape[1:],
+        )
+        out = EnKFCombinationNowcaster(
+            self.obs_precip, nwp, self.velocity, self.forecast_horizon,
+            enkf_combination_config=cfg, **self.kwargs,
+        ).compute_forecast()
+        return np.nan_to_num(
+            np.asarray(out)[:, 1:], nan=float(np.nanmin(self.obs_precip))
+        )
+
+
+class ForecastModel:
+    """One combination cycle (reference: pca_ens_kalman_filter.py:620):
+    correction via the (masked) EnKF, forecast step as passthrough —
+    the fused scan in EnKFCombinationNowcaster does the real per-member
+    work; this class is the reference-architecture surface."""
+
+    def __init__(self, config, params, enkf):
+        self.config = config
+        self.params = params
+        self.enkf = enkf
+
+    def correction_step(self, state, background_t, nwp_t, horizon):
+        key, sub = jax.random.split(state.rng_key)
+        analysis, _ = self.enkf.correct_step(
+            np.asarray(background_t), np.asarray(nwp_t),
+            resampled_forecast=np.asarray(background_t).copy(), rng_key=sub,
+        )
+        return ForecastState(
+            analysis=analysis, rng_key=key, timestep=state.timestep + 1
+        )
+
+    def forecast_step(self, state, background_t):
+        return ForecastState(
+            analysis=background_t, rng_key=state.rng_key,
+            timestep=state.timestep + 1,
+        )
+
+
 def _square_dilate(mask, size):
     """Binary dilation with a (size x size) square structuring element
     (reference uses scipy binary_dilation with np.ones)."""

@@ -298,7 +298,8 @@ def test_pca_enkf_class_api():
         precip, None, nwp, None, velocity, 3, n_ens_members=2,
         n_cascade_levels=4, precip_thr=-10.0, seed=11,
     )
-    assert out_cls.shape == (2, 3, 64, 64)
+    # reference contract: output series starts at the t0 analysis
+    assert out_cls.shape == (2, 4, 64, 64)
     np.testing.assert_allclose(np.asarray(out_cls), np.asarray(out_flat),
                                atol=1e-5)
     # the auxiliary classes expose the reference architecture
