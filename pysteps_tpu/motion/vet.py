@@ -19,7 +19,7 @@ import numpy as np
 import optax
 from scipy.ndimage import zoom
 
-from pysteps_tpu.ops.warp import bilinear_warp, warp_shifted
+from pysteps_tpu.ops.warp import bilinear_warp, warp_shifted, warp_shifted_multi
 
 
 def round_int(scalar):
@@ -207,12 +207,14 @@ def _make_cost(
     so the warp only covers the RESIDUAL displacement and ``max_disp``
     stays small (warp cost is linear in max_disp).
     """
-    m, n = template.shape
+    m, n = template.shape[-2:]
     yy, xx = jnp.meshgrid(
         jnp.arange(m, dtype=jnp.float32), jnp.arange(n, dtype=jnp.float32),
         indexing="ij",
     )
     gi, gj = float(center_shift[0]), float(center_shift[1])
+
+    multi = template.ndim == 3  # (P, m, n) stacked pairs, one shared flow
 
     def cost(sector_disp_flat):
         d = sector_disp_flat.reshape((2,) + tuple(sectors))
@@ -220,19 +222,33 @@ def _make_cost(
         # morph convention: displacement refers to the destination, the
         # warped image samples at x - d (reference: _vet.pyx::_warp)
         if max_disp is not None:
-            warped = warp_shifted(
-                template,
-                jnp.stack([-(disp[1] - gj), -(disp[0] - gi)]),
-                int(max_disp),
-                mode="nearest",
-            )
+            shift = jnp.stack([-(disp[1] - gj), -(disp[0] - gi)])
+            if multi:
+                # all image pairs share ONE displacement: a single
+                # multi-channel shift-resample pass instead of P
+                # sequential warps per Adam step
+                warped = warp_shifted_multi(
+                    template, shift, int(max_disp), mode="nearest"
+                )
+            else:
+                warped = warp_shifted(
+                    template, shift, int(max_disp), mode="nearest"
+                )
         else:
             cy = yy - disp[0]
             cx = xx - disp[1]
-            warped = bilinear_warp(template, cy, cx, mode="nearest")
+            if multi:
+                warped = jax.vmap(
+                    lambda t: bilinear_warp(t, cy, cx, mode="nearest")
+                )(template)
+            else:
+                warped = bilinear_warp(template, cy, cx, mode="nearest")
         resid = jnp.where(mask, 0.0, (warped - target) ** 2)
         sector_area = (m // sectors[0]) * (n // sectors[1])
-        return jnp.sum(resid) + smooth_gain * _smoothness_penalty(d) * sector_area
+        n_pairs = template.shape[0] if multi else 1
+        return jnp.sum(resid) + (
+            smooth_gain * _smoothness_penalty(d) * sector_area * n_pairs
+        )
 
     return jax.jit(jax.value_and_grad(cost))
 
@@ -450,18 +466,35 @@ def vet(
             jj = np.clip(np.arange(n) - gshift[1], 0, n - 1)
             return img[ii][:, jj]
 
-        pairs_cost = []
-        for a, b in zip(range(_imgs.shape[0] - 1), range(1, _imgs.shape[0])):
-            pairs_cost.append(
-                cost_factory(
-                    jnp.asarray(_preshift(_imgs[a]), jnp.float32),
-                    jnp.asarray(_imgs[b], jnp.float32),
-                    jnp.asarray(_mask),
-                    smooth_gain,
-                    (int(si), int(sj)),
-                    interp_arrays,
-                )
+        if mesh is None:
+            # all consecutive pairs share the flow: stack them into ONE
+            # multi-channel cost (one warp pass per Adam step)
+            templates = jnp.asarray(
+                np.stack([_preshift(_imgs[a]) for a in range(_imgs.shape[0] - 1)]),
+                jnp.float32,
             )
+            targets = jnp.asarray(_imgs[1:], jnp.float32)
+            pairs_cost = [
+                cost_factory(
+                    templates, targets, jnp.asarray(_mask), smooth_gain,
+                    (int(si), int(sj)), interp_arrays,
+                )
+            ]
+        else:
+            pairs_cost = []
+            for a, b in zip(
+                range(_imgs.shape[0] - 1), range(1, _imgs.shape[0])
+            ):
+                pairs_cost.append(
+                    cost_factory(
+                        jnp.asarray(_preshift(_imgs[a]), jnp.float32),
+                        jnp.asarray(_imgs[b], jnp.float32),
+                        jnp.asarray(_mask),
+                        smooth_gain,
+                        (int(si), int(sj)),
+                        interp_arrays,
+                    )
+                )
 
         # on-device Adam minimization of the jitted cost (the reference uses
         # scipy CG on the Cython cost+gradient; float32 device math breaks
