@@ -47,7 +47,7 @@ from pysteps_tpu.postprocessing.probmatching import (
     _prepare_cdf_target,
     prepare_cdf_matcher,
 )
-from pysteps_tpu.timeseries import autoregression, correlation
+from pysteps_tpu.timeseries import autoregression
 from pysteps_tpu.utils.check_norain import check_norain
 
 
@@ -386,7 +386,6 @@ def forecast(
         np.where(m_s > 0, 1.0 / np.maximum(m_s, 1e-12), 0.0), jnp.float32
     )
     fh_masks_j = jnp.asarray(fh_masks)
-    mask_norm = jnp.maximum(jnp.sum(fh_masks_j, axis=0), 1e-6)
 
     # per-window CDF-matching targets: the LOCAL slice of the latest
     # observation (reference: sseps.py:781-790)
