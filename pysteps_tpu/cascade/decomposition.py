@@ -59,7 +59,7 @@ def decompose_core(field, weights_2d, mask=None, normalize=True, subtract_mean=F
     return levels, means, stds
 
 
-def decompose_spectral_core(field_fft, weights_2d, shape, normalize=True):
+def decompose_spectral_core(field_fft, weights_2d, shape, normalize=True, packed=False):
     """Spectral-domain decomposition: keep levels as rfft2 half-planes.
 
     Mean subtraction acts on the DC bin only (exactly equivalent to the
@@ -67,7 +67,22 @@ def decompose_spectral_core(field_fft, weights_2d, shape, normalize=True):
     (reference: decomposition.py:230-231 computes the same statistics with
     utils.spectral.mean/std).
     Returns (levels_fft (k, m, n//2+1), means (k,), stds (k,)).
+
+    ``packed=True``: ``field_fft`` is in the (m, n//2) packed Hermitian
+    layout of ops/packfft (the filter bank ``weights_2d`` stays a real
+    (k, m, n//2+1) half-plane array); levels come back packed.
     """
+    if packed:
+        from pysteps_tpu.ops import packfft
+
+        levels_fft = packfft.mul_real(field_fft[None, :, :], weights_2d)
+        means = packfft.mean(levels_fft, shape)
+        stds = packfft.std(levels_fft, shape)
+        if normalize:
+            size = shape[0] * shape[1]
+            levels_fft = packfft.add_dc(levels_fft, -means * size)
+            levels_fft = levels_fft / jnp.maximum(stds[:, None, None], 1e-12)
+        return levels_fft, means, stds
     levels_fft = field_fft[None, :, :] * weights_2d
     means = spectral_utils.mean(levels_fft, shape)
     stds = spectral_utils.std(levels_fft, shape)
@@ -113,14 +128,21 @@ def recompose_core(levels, means, stds):
     )
 
 
-def recompose_spectral_core(levels_fft, means, stds, shape):
+def recompose_spectral_core(levels_fft, means, stds, shape, packed=False):
     """Spectral recompose + inverse FFT to the spatial field.
 
     On TPU the inverse transform runs as a DFT-matrix contraction on the
     MXU (ops/matfft.py), ~3x faster than XLA's vector-unit FFT for the
-    in-scan batched case."""
+    in-scan batched case.  ``packed=True``: levels are in the packed
+    Hermitian layout (ops/packfft) and the inverse transform consumes it
+    directly (exact-tiling 256-lane matmuls)."""
     size = shape[0] * shape[1]
     out_fft = jnp.sum(levels_fft * stds[:, None, None], axis=0)
+    if packed:
+        from pysteps_tpu.ops import packfft
+
+        out_fft = packfft.add_dc(out_fft, jnp.sum(means) * size)
+        return packfft.irfft2(out_fft, shape)
     out_fft = out_fft.at[0, 0].add(jnp.sum(means) * size)
     from pysteps_tpu.ops import matfft
 

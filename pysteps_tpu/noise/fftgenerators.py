@@ -226,7 +226,8 @@ def _spectral_white(key, input_shape):
 
 
 def _generate_fft_noise(
-    key, filt, input_shape, use_full_fft, domain="spatial", standardize=True
+    key, filt, input_shape, use_full_fft, domain="spatial", standardize=True,
+    packed=False,
 ):
     """Jittable core: white noise -> filter -> standardized noise.
 
@@ -238,8 +239,21 @@ def _generate_fft_noise(
     zeroed): when the consumer feeds the noise into a NORMALIZED cascade
     decomposition, any linear pre-scaling cancels in the per-level
     statistics, so the extra passes over the field are pure waste.
+
+    ``packed=True`` (spectral domain, even n, half-plane filter): draw and
+    return in the packed Hermitian (m, n//2) layout of ops/packfft — the
+    white draw needs no Hermitian correction there and the filter multiply
+    carries the folded-column fix.
     """
     m, n = input_shape
+    if packed and domain == "spectral" and not use_full_fft:
+        from pysteps_tpu.ops import packfft
+
+        fN = packfft.mul_real(packfft.white(key, input_shape), filt)
+        fN = packfft.zero_dc(fN)
+        if not standardize:
+            return fN
+        return fN / packfft.std(fN, input_shape)
     if use_full_fft:
         white = jax.random.normal(key, (m, n), dtype=jnp.float32)
         fN = jnp.fft.fft2(white) * filt

@@ -188,6 +188,7 @@ def _member_update(
     """
     has_noise = cfg_flags["noise"]
     spectral = cfg_flags.get("spectral", False)
+    packed = cfg_flags.get("packed", False)
     shape = cfg_flags.get("shape", noise_filt_shape)
     ssft_masks = cfg_flags.get("ssft_masks", None)
     if has_noise:
@@ -211,10 +212,10 @@ def _member_update(
             # cancels any linear pre-scaling (fftgenerators.py)
             eps_fft = _generate_fft_noise(
                 key, noise_filt, noise_filt_shape, use_full_fft,
-                domain="spectral", standardize=False,
+                domain="spectral", standardize=False, packed=packed,
             )
             eps_levels, _, _ = decompose_spectral_core(
-                eps_fft, weights_2d, shape, normalize=True
+                eps_fft, weights_2d, shape, normalize=True, packed=packed
             )
         else:
             eps = _generate_fft_noise(
@@ -228,7 +229,7 @@ def _member_update(
     cascades_j = _ar_step_lags(cascades_j, phi, eps=eps_levels)
     if spectral:
         field = recompose_spectral_core(
-            cascades_j[-1], means_last, stds_last, shape
+            cascades_j[-1], means_last, stds_last, shape, packed=packed
         )
     else:
         field = recompose_core(cascades_j[-1], means_last, stds_last)
@@ -934,15 +935,30 @@ def _steps_scan(
 ):
     m, n = precip_last.shape
     spectral = domain == "spectral"
+    # packed Hermitian layout (ops/packfft): the spectral state drops from
+    # n//2+1 to n//2 lane columns — at 512^2 that is 2 lane tiles instead
+    # of 3, ~33% of the dominant HBM traffic (PERFORMANCE.md roofline #1).
+    # SSFT noise generates spatially and re-transforms per step, so it
+    # stays on the unpacked path.
+    from pysteps_tpu.ops import packfft
+
+    packed = (
+        spectral
+        and ssft_masks is None
+        and not use_full_fft
+        and packfft.enabled(n)
+    )
     cfg_flags = {
         "noise": noise, "spectral": spectral, "shape": (m, n),
-        "ssft_masks": ssft_masks,
+        "ssft_masks": ssft_masks, "packed": packed,
     }
 
     if spectral:
         # lift the normalized spatial window into rfft2 half-planes once;
         # the AR state then stays spectral for the whole scan
         window = jnp.fft.rfft2(window)
+        if packed:
+            window = packfft.pack(window)
     # AR window as a tuple of lags: the per-step shift becomes a carry
     # re-binding instead of a whole-state concatenate copy
     ar_order = window.shape[1]
@@ -1000,7 +1016,8 @@ def _steps_scan(
             det_window = _ar_step_lags(det_window, phi)
             if spectral:
                 det_field = recompose_spectral_core(
-                    det_window[-1], means_last, stds_last, (m, n)
+                    det_window[-1], means_last, stds_last, (m, n),
+                    packed=packed,
                 )
             else:
                 det_field = recompose_core(
