@@ -99,13 +99,18 @@ def load_config_file(params_file=None, verbose=False, dryrun=False):
     if path is not None:
         try:
             with open(path) as f:
-                loaded = json.loads(_strip_json_comments(f.read()))
+                text = f.read()
+        except OSError as err:
+            warnings.warn(f"could not read rc file {path}: {err}; using defaults")
+        else:
+            # parse + schema errors RAISE, as in the reference loader
+            # (pysteps/__init__.py:195-207 raises RuntimeError with one
+            # line per jsonschema validation error)
+            loaded = json.loads(_strip_json_comments(text))
             _validate_rc(loaded)
             params.update(loaded)
             if verbose:
                 print(f"pysteps_tpu configuration loaded from {path}")
-        except (OSError, json.JSONDecodeError) as err:
-            warnings.warn(f"could not load rc file {path}: {err}; using defaults")
     if dryrun:
         return DotDict(params)
     global rcparams
@@ -113,27 +118,65 @@ def load_config_file(params_file=None, verbose=False, dryrun=False):
     return rcparams
 
 
-_SOURCE_REQUIRED_KEYS = (
-    "root_path",
-    "path_fmt",
-    "fn_pattern",
-    "fn_ext",
-    "importer",
-    "timestep",
-    "importer_kwargs",
-)
+_JSON_TYPES = {
+    "object": dict,
+    "array": list,
+    "string": str,
+    "boolean": bool,
+    "integer": int,
+    "number": (int, float),
+}
+
+
+def _schema_errors(instance, schema, path=()):
+    """Validate ``instance`` against the Draft-4 subset our schema uses
+    (type / required / properties / patternProperties), yielding
+    (path, message) pairs — the same error surface the reference's
+    ``Draft4Validator.iter_errors`` produces for its schema
+    (pysteps/__init__.py:195-207), without a jsonschema dependency."""
+    typ = schema.get("type")
+    if typ is not None:
+        pytype = _JSON_TYPES[typ]
+        ok = isinstance(instance, pytype)
+        if typ in ("integer", "number") and isinstance(instance, bool):
+            ok = False
+        if not ok:
+            yield path, f"{instance!r} is not of type '{typ}'"
+            return
+    if isinstance(instance, dict):
+        for req in schema.get("required", ()):
+            if req not in instance:
+                yield path, f"'{req}' is a required property"
+        props = schema.get("properties", {})
+        for key, sub in props.items():
+            if key in instance:
+                yield from _schema_errors(instance[key], sub, path + (key,))
+        for _pattern, sub in schema.get("patternProperties", {}).items():
+            # the rc schema uses the match-everything pattern ""
+            for key, value in instance.items():
+                if key not in props:
+                    yield from _schema_errors(value, sub, path + (key,))
+
+
+def _rc_schema():
+    schema_path = os.path.join(
+        os.path.dirname(__file__), "pysteps_tpu_rc_schema.json"
+    )
+    with open(schema_path) as f:
+        return json.load(f)
 
 
 def _validate_rc(params):
-    """Light-weight schema validation (reference validates against a
-    Draft-4 JSON schema, pysteps/pystepsrc_schema.json)."""
-    if not isinstance(params, dict):
-        raise ValueError("rc file must contain a JSON object")
-    sources = params.get("data_sources", {})
-    for name, src in sources.items():
-        missing = [k for k in _SOURCE_REQUIRED_KEYS if k not in src]
-        if missing:
-            warnings.warn(f"data source '{name}' missing keys: {missing}")
+    """Schema validation of the rc contents (reference:
+    pysteps/__init__.py:195-207 validates against pystepsrc_schema.json
+    with Draft4Validator and raises RuntimeError listing every error)."""
+    errors = list(_schema_errors(params, _rc_schema()))
+    if errors:
+        error_msg = "Error reading pystepsrc file."
+        for path, message in errors:
+            error_msg += "\nError in " + "/".join(path)
+            error_msg += ": " + message
+        raise RuntimeError(error_msg)
 
 
 rcparams = DotDict(json.loads(json.dumps(_DEFAULT_RC)))

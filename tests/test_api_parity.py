@@ -187,6 +187,47 @@ def test_config_fname_exists():
     assert os.path.isfile(config_fname())
 
 
+def test_rc_schema_validation(tmp_path):
+    """Malformed rc files are rejected with RuntimeError listing every
+    schema violation, as the reference's Draft-4 validation does
+    (pysteps/__init__.py:195-207)."""
+    import json
+
+    from pysteps_tpu.config import load_config_file
+
+    good = {
+        "outputs": {"path_workdir": "/tmp/x"},
+        "plot": {"motion_plot": "quiver", "colorscale": "pysteps"},
+        "data_sources": {
+            "src": {
+                "root_path": "/data",
+                "path_fmt": "%Y",
+                "fn_pattern": "f",
+                "fn_ext": "npz",
+                "importer": "npz",
+                "timestep": 5,
+                "importer_kwargs": {},
+            }
+        },
+    }
+    p = tmp_path / "rc_good"
+    p.write_text(json.dumps(good))
+    assert load_config_file(str(p), dryrun=True)["outputs"]["path_workdir"] == "/tmp/x"
+
+    bad = json.loads(json.dumps(good))
+    bad["data_sources"]["src"]["timestep"] = "five"  # wrong type
+    del bad["data_sources"]["src"]["importer"]  # missing required
+    del bad["plot"]  # missing required top-level
+    p_bad = tmp_path / "rc_bad"
+    p_bad.write_text(json.dumps(bad))
+    with pytest.raises(RuntimeError) as err:
+        load_config_file(str(p_bad), dryrun=True)
+    msg = str(err.value)
+    assert "'plot' is a required property" in msg
+    assert "'importer' is a required property" in msg
+    assert "data_sources/src/timestep" in msg and "not of type 'number'" in msg
+
+
 def test_steps_nowcaster_dataclasses():
     """StepsNowcasterParams/State are registered pytrees carrying the init
     outputs of the STEPS core."""
