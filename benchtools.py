@@ -47,14 +47,42 @@ def import_reference_pysteps(path="/root/reference"):
         def _unavailable(*a, **k):
             raise NotImplementedError("native extension not built")
 
-        for name, syms in [
-            ("pysteps.motion._proesmans", ["_compute_advection_field"]),
-            ("pysteps.motion._vet", ["_warp", "_cost_function"]),
-        ]:
+        # NumPy-vectorized ports of the Cython kernels (same algorithms,
+        # timing baselines): scripts/ref_native_numpy.py.  Falls back to
+        # unavailable-stubs if the port module cannot be imported.
+        try:
+            import os
+
+            sys.path.insert(
+                0,
+                os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"),
+            )
+            import ref_native_numpy as _rnn
+
+            impls = {
+                "pysteps.motion._proesmans": {
+                    "_compute_advection_field": _rnn._compute_advection_field
+                },
+                "pysteps.motion._vet": {
+                    "_warp": _rnn._warp,
+                    "_cost_function": _rnn._cost_function,
+                },
+            }
+        except Exception:  # noqa: BLE001
+            impls = {
+                "pysteps.motion._proesmans": {
+                    "_compute_advection_field": _unavailable
+                },
+                "pysteps.motion._vet": {
+                    "_warp": _unavailable,
+                    "_cost_function": _unavailable,
+                },
+            }
+        for name, syms in impls.items():
             if name not in sys.modules:
                 m = types.ModuleType(name)
-                for s in syms:
-                    setattr(m, s, _unavailable)
+                for s, fn in syms.items():
+                    setattr(m, s, fn)
                 sys.modules[name] = m
 
         if path not in sys.path:

@@ -124,7 +124,7 @@ def measure_model(pysteps, model, side):
 
 def measure_motion(pysteps, method, side, repeats=3):
     """Best-of-N wall time for one dense-flow retrieval."""
-    n_frames = 9 if method == "darts" else 3
+    n_frames = {"darts": 9, "proesmans": 2}.get(method, 3)
     _, precip_db, _ = bench._make_inputs(side, n_frames=n_frames)
     frames = np.asarray(precip_db, np.float64)
     fn = pysteps.motion.get_method(method)
@@ -165,7 +165,7 @@ def main():
                         ("linda", 256), ("blend", 256)]:
         jobs.append((f"{model}_{side}",
                      lambda m=model, s=side: measure_model(pysteps, m, s)))
-    for method in ("lucaskanade", "darts", "farneback"):
+    for method in ("lucaskanade", "darts", "farneback", "vet", "proesmans"):
         jobs.append((f"motion_{method}_512",
                      lambda m=method: measure_motion(pysteps, m, 512)))
 
@@ -176,17 +176,18 @@ def main():
             print(f"skip {key} (already measured)", flush=True)
             continue
         try:
-            _bank(store, key, fn())
+            entry = fn()
+            if key in ("motion_vet_512", "motion_proesmans_512"):
+                entry["note"] = (
+                    "reference Cython kernels (motion/_vet.pyx, "
+                    "_proesmans.pyx) unbuildable here (no Cython); timed "
+                    "via the NumPy-vectorized ports in "
+                    "scripts/ref_native_numpy.py (same algorithms, "
+                    "vectorized sweeps — a favorable CPU formulation)"
+                )
+            _bank(store, key, entry)
         except Exception as err:  # noqa: BLE001
             _bank(store, key, {"error": f"{type(err).__name__}: {err}"})
-
-    for method in ("vet", "proesmans"):
-        key = f"motion_{method}_512"
-        if key not in store:
-            _bank(store, key, {
-                "unavailable": "reference Cython extension "
-                f"(motion/_{method}.pyx) cannot be built: no Cython in "
-                "this environment"})
     return 0
 
 

@@ -28,7 +28,7 @@ top_n = int(sys.argv[2]) if len(sys.argv) > 2 else 40
 
 from ablate_bench import ABLATIONS  # noqa: E402  (same directory)
 
-precip_db, velocity = bench._make_inputs(512)
+_, precip_db, velocity = bench._make_inputs(512)
 kwargs = bench._steps_kwargs(96)
 kwargs.update(ABLATIONS[name])
 
