@@ -1136,8 +1136,24 @@ def _steps_scan(
     # buffer — no time-major stack + transpose pair (at 96x1024^2 those
     # two 4.8 GB arrays alive together OOMed the 16 GB HBM)
     out_buf0 = jnp.zeros((E, int_steps, m, n), jnp.float32)
+    # Unroll ar_order steps per scan iteration: the lag-tuple carry
+    # ROTATES each AR step (slot 0 <- slot 1), and a pass-through carry
+    # slot forces XLA to copy the whole buffer every iteration — the r4
+    # profiler trace showed 4 x (E, k, m, rf) f32 copies per step, ~17%
+    # of the scan.  After ar_order inner steps every slot holds a newly
+    # computed array, so the while-loop carries alias in place again.
+    unroll = (
+        ar_order if ar_order > 1 and int_steps % ar_order == 0 else 1
+    )
+
+    def step_group(carry_and_buf, g):
+        for j in range(unroll):
+            carry_and_buf, _ = step(carry_and_buf, g * unroll + j)
+        return carry_and_buf, None
+
     (carry_out, outputs), _ = jax.lax.scan(
-        step, (carry0, out_buf0), jnp.arange(int_steps, dtype=jnp.int32)
+        step_group, (carry0, out_buf0),
+        jnp.arange(int_steps // unroll, dtype=jnp.int32),
     )
     return carry_out, outputs
 

@@ -56,9 +56,18 @@ import numpy as np
 
 
 def enabled(n):
-    """Packing applies to even-width grids; PYSTEPS_TPU_NO_PACK=1 forces
-    the unpacked path (escape hatch, like PYSTEPS_TPU_NO_PALLAS)."""
-    return n % 2 == 0 and os.environ.get("PYSTEPS_TPU_NO_PACK", "0") != "1"
+    """Packing is OPT-IN (PYSTEPS_TPU_PACK=1), even-width grids only.
+
+    Measured negative result (r4, docs/PERFORMANCE.md "Packed spectral
+    layout"): the v5e profiler trace shows XLA lays the (…, m, 257)
+    spectral arrays out with the 257-axis on SUBLANES (padding 257→264,
+    ~3%), not lanes (257→384, 33%) — the whole-state copy ops shrink by
+    only 2% under packing — while the folded-column corrections (ky
+    flips + concatenates inside the hot fusions) cost ~+13% scan time.
+    Kept as infrastructure: the packed white draw and packed inverse-DFT
+    matmuls are exact and tested, and the layout wins if a future
+    backend pins the half-plane axis to lanes."""
+    return n % 2 == 0 and os.environ.get("PYSTEPS_TPU_PACK", "0") == "1"
 
 
 def _flip_ky(col):

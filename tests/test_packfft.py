@@ -122,9 +122,8 @@ def test_steps_spectral_packed_matches_unpacked_deterministic(monkeypatch):
             )
         )
 
-    monkeypatch.setenv("PYSTEPS_TPU_NO_PACK", "1")
     ref = run()
-    monkeypatch.delenv("PYSTEPS_TPU_NO_PACK")
+    monkeypatch.setenv("PYSTEPS_TPU_PACK", "1")
     got = run()
     np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-3)
 
@@ -150,9 +149,8 @@ def test_steps_spectral_packed_stochastic_stats(monkeypatch):
             )
         )
 
-    monkeypatch.setenv("PYSTEPS_TPU_NO_PACK", "1")
     ref = run()
-    monkeypatch.delenv("PYSTEPS_TPU_NO_PACK")
+    monkeypatch.setenv("PYSTEPS_TPU_PACK", "1")
     got = run()
     assert got.shape == ref.shape
     # ensemble-mean fields of the two formulations agree closely
