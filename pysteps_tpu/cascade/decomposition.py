@@ -136,17 +136,29 @@ def recompose_spectral_core(levels_fft, means, stds, shape, packed=False):
     in-scan batched case.  ``packed=True``: levels are in the packed
     Hermitian layout (ops/packfft) and the inverse transform consumes it
     directly (exact-tiling 256-lane matmuls)."""
+    from pysteps_tpu.ops import matfft
+
     size = shape[0] * shape[1]
-    out_fft = jnp.sum(levels_fft * stds[:, None, None], axis=0)
+    use_mat = matfft.use_matfft() and matfft.supported(shape)
+    if packed or use_mat:
+        out_fft = jnp.sum(levels_fft * stds[:, None, None], axis=0)
+    else:
+        # XLA-FFT path (beyond matfft's window, e.g. 2048^2+): unroll the
+        # k-level weighted sum.  The reduce formulation makes XLA pick a
+        # level-minor layout for the (E, k, m, n/2+1) cube inside the scan
+        # and materialize two tile-padded copies at 16x expansion — 8 GB
+        # each at 96x2048^2 (measured, r4) — OOMing HBM; k static
+        # multiply-adds fuse into one natural-layout pass instead.
+        out_fft = levels_fft[0] * stds[0]
+        for kk in range(1, levels_fft.shape[0]):
+            out_fft = out_fft + levels_fft[kk] * stds[kk]
     if packed:
         from pysteps_tpu.ops import packfft
 
         out_fft = packfft.add_dc(out_fft, jnp.sum(means) * size)
         return packfft.irfft2(out_fft, shape)
     out_fft = out_fft.at[0, 0].add(jnp.sum(means) * size)
-    from pysteps_tpu.ops import matfft
-
-    if matfft.use_matfft() and matfft.supported(shape):
+    if use_mat:
         return matfft.irfft2_mat(out_fft, shape)
     return jnp.fft.irfft2(out_fft, s=shape)
 

@@ -98,6 +98,13 @@ class StepsNowcasterConfig:
     return_output: bool = True
     member_chunk: Optional[int] = None
     mesh: Optional[object] = None  # jax.sharding.Mesh with an "ens" axis
+    # dtype of the returned (E, T, m, n) stack.  "bfloat16" halves the
+    # output buffer — the difference between fitting and not fitting a
+    # 96-member CONUS-scale (2048^2+) forecast in one chip's 15.75 GB HBM
+    # (96x12x2048^2 is 19.3 GB in f32, 9.7 GB in bf16; ~0.4% relative
+    # rounding, below radar observation error).  The compute path stays
+    # f32/c64 throughout — only the stored frames are rounded.
+    output_dtype: str = "float32"
 
 
 @functools.partial(
@@ -692,6 +699,7 @@ def _steps_forecast(precip, velocity, timesteps, cfg, domain_mask, vmax=None):
         n_iter=n_iter,
         interp_order=interp_order,
         need_det=cfg.noise_method is None or cfg.mask_method == "sprog",
+        out_dtype=cfg.output_dtype,
         E=E,
         member_chunk=(
             cfg.member_chunk
@@ -781,12 +789,13 @@ def _steps_forecast(precip, velocity, timesteps, cfg, domain_mask, vmax=None):
         E * k_levels * cfg.ar_order * m
         * (halfn * 8 if cfg.domain == "spectral" else n * 4)
     ) * 2  # x2: noise cascade carries the same shape
-    out_bytes = E * int_steps * m * n * 4
+    out_itemsize = 2 if cfg.output_dtype == "bfloat16" else 4
+    out_bytes = E * int_steps * m * n * out_itemsize
     outer_thr = int(
         os.environ.get("PYSTEPS_TPU_OUTER_CHUNK_BYTES", 10_500_000_000)
     )
     if mc and state_bytes + out_bytes > outer_thr:
-        out = jnp.zeros((E, int_steps, m, n), jnp.float32)
+        out = jnp.zeros((E, int_steps, m, n), cfg.output_dtype)
         upd = jax.jit(
             lambda buf, chunk, i: jax.lax.dynamic_update_slice(
                 buf, chunk, (i, 0, 0, 0)
@@ -920,7 +929,7 @@ def _steps_init(
         "noise_filt_shape", "use_full_fft", "int_steps", "noise", "mask_method",
         "probmatching", "domain", "vel_pert", "timestep_min", "mask_rim",
         "struct_radius", "n_iter", "interp_order", "p_par", "p_perp",
-        "need_det", "E", "member_chunk", "max_disp",
+        "need_det", "out_dtype", "E", "member_chunk", "max_disp",
     ),
 )
 def _steps_scan(
@@ -931,7 +940,8 @@ def _steps_scan(
     domain_mask, eps_par, eps_perp, V_n, V_perp, vsf, p_par, p_perp,
     int_steps, noise, mask_method, probmatching, domain, vel_pert,
     timestep_min, mask_rim, struct_radius, n_iter, interp_order, need_det, E,
-    member_chunk=None, max_disp=None, t_offset=0, carry_init=None,
+    out_dtype="float32", member_chunk=None, max_disp=None, t_offset=0,
+    carry_init=None,
 ):
     m, n = precip_last.shape
     spectral = domain == "spectral"
@@ -1120,7 +1130,9 @@ def _steps_scan(
             )(*member_args)
 
         out_buf = jax.lax.dynamic_update_slice(
-            out_buf, out_fields[:, None], (0, t_loc, 0, 0)
+            out_buf,
+            out_fields[:, None].astype(out_buf.dtype),
+            (0, t_loc, 0, 0),
         )
         return (
             (cascades, det_window, mask_prec, keys, displacement),
@@ -1135,7 +1147,7 @@ def _steps_scan(
     # lax.scan aliases carries in place, so the full output costs ONE
     # buffer — no time-major stack + transpose pair (at 96x1024^2 those
     # two 4.8 GB arrays alive together OOMed the 16 GB HBM)
-    out_buf0 = jnp.zeros((E, int_steps, m, n), jnp.float32)
+    out_buf0 = jnp.zeros((E, int_steps, m, n), out_dtype)
     # Unroll ar_order steps per scan iteration: the lag-tuple carry
     # ROTATES each AR step (slot 0 <- slot 1), and a pass-through carry
     # slot forces XLA to copy the whole buffer every iteration — the r4
@@ -1192,6 +1204,7 @@ def forecast(
     return_output=True,
     member_chunk=None,
     mesh=None,
+    output_dtype="float32",
 ):
     """STEPS nowcast with the reference's flat signature
     (reference: steps.py:1273-1558).  Returns (n_ens_members, T, m, n)."""
@@ -1226,6 +1239,7 @@ def forecast(
         return_output=return_output,
         member_chunk=member_chunk,
         mesh=mesh,
+        output_dtype=output_dtype,
     )
     nowcaster = StepsNowcaster(precip, velocity, timesteps, config)
     return nowcaster.compute_forecast()

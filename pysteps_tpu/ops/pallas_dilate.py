@@ -28,11 +28,16 @@ INTERPRET = False
 _BIG = 1e9
 
 
-def _rim_kernel(kr, r, halo, n, tile_m, mask_ref, out_ref):
+def _rim_kernel(kr, r, halo, n, tile_m, bands_ref, out_ref):
+    """Each grid step sees its own pre-stacked overlapping row band
+    (1, tile_m + 2*halo, n): overlapping bands cannot be expressed as
+    BlockSpec tiles of the flat field, a whole-field VMEM block overflows
+    the 16 MB scoped stack at 2048^2 (measured 36.5 MB with the out
+    tiles), and the ANY-memory-space + in-kernel DMA alternative does not
+    compose with the member vmap the STEPS scan wraps around this call."""
     R = kr + r
     band = tile_m + 2 * halo
-    i0 = pl.program_id(0) * tile_m
-    buf = mask_ref[pl.ds(pl.multiple_of(i0, 8), band), :]
+    buf = bands_ref[0]
 
     d = jnp.where(buf > 0, 0.0, _BIG)
     row = jax.lax.broadcasted_iota(jnp.int32, (band, n), 0)
@@ -111,15 +116,39 @@ def dilated_rim_pallas(mask, kr, r):
     m, n = mask.shape
     kr, r = int(kr), int(r)
     halo = -(-(kr + r) // 8) * 8  # round the L1 radius up to sublane chunks
-    tile_m = 256 if m % 256 == 0 and m > 256 else m
+    # VMEM: double-buffered band + out blocks plus ~3 live (band, n)
+    # stencil temporaries must stay under the 16 MB scoped stack (tile 256
+    # at 2048 cols measured 18.52 MB); pick the largest tile fitting the
+    # 5*band + 2*tile estimate in ~10 MB
+    tile_m = None
+    for cand in (512, 256, 128, 64, 32, 16, 8):
+        if m % cand == 0 and (
+            5 * (cand + 2 * halo) + 2 * cand
+        ) * n * 4 <= 10 * 1024 * 1024:
+            tile_m = cand
+            break
+    if tile_m is None and (3 * m + 2 * halo) * n * 4 <= 10 * 1024 * 1024:
+        tile_m = m  # no power-of-2 tile divides m, but one band fits
+    if tile_m is None:
+        raise ValueError(f"rim bands too wide for VMEM at shape {(m, n)}")
+    band = tile_m + 2 * halo
     padded = jnp.pad(mask.astype(jnp.float32), ((halo, halo), (0, 0)))
+    # pre-stack the overlapping bands: (G, band, n); one extra ~1.1x
+    # field-sized HBM pass, ~free next to the R-iteration stencil
+    n_tiles = m // tile_m
+    bands = jnp.stack(
+        [
+            jax.lax.dynamic_slice(padded, (i * tile_m, 0), (band, n))
+            for i in range(n_tiles)
+        ]
+    )
     kernel = functools.partial(_rim_kernel, kr, r, halo, n, tile_m)
     return pl.pallas_call(
         kernel,
-        grid=(m // tile_m,),
+        grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(
-                (m + 2 * halo, n), lambda i: (0, 0), memory_space=pltpu.VMEM
+                (1, band, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
             )
         ],
         out_specs=pl.BlockSpec(
@@ -127,4 +156,4 @@ def dilated_rim_pallas(mask, kr, r):
         ),
         out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
         interpret=INTERPRET,
-    )(padded)
+    )(bands)

@@ -8,6 +8,12 @@ single-vreg ``take_along_axis`` gather (the only gather shape the TPU
 vectorizes) plus range masks.  Compared with the XLA shift-decomposition
 (ops/warp.py::_axis_resample) this re-reads ~(2D+8)/8 rows per tile from
 VMEM instead of streaming 2D+2 full-field copies from HBM.
+
+Grids whose full field exceeds the ~16 MB scoped-VMEM stack (2048^2 f32
+is 16.78 MB) are split into LANE strips: axis-0 resampling is columnwise
+independent, so a (m, n_strip) field block with the strip index as the
+OUTER grid dimension (Mosaic hoists the unchanged field copy across the
+inner row-tile loop) gives identical results with bounded VMEM.
 """
 
 import functools
@@ -18,6 +24,26 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _TILE = 8  # f32 sublane count — also the max vreg-gather span
+INTERPRET = False  # tests run the kernels via the Pallas interpreter
+# field-block byte budget: Mosaic DOUBLE-BUFFERS blocks whose index map
+# changes across the grid, so the strip path holds 2x this next to the
+# small (8, strip) tiles — 6 MB keeps the stack well under the 16 MB
+# scoped-VMEM limit (measured: an 8 MB budget overflowed by 192 KB)
+_FIELD_VMEM_BUDGET = 6 * 1024 * 1024
+
+
+def _lane_strip(m, n):
+    """Widest lane strip (multiple of 128, divisor of n) whose (m, strip)
+    f32 field block fits the VMEM budget; n itself when the whole field
+    fits.  Raises ValueError when even a 128-lane strip is too tall —
+    callers catch and take the XLA shift path."""
+    if m * n * 4 <= _FIELD_VMEM_BUDGET:
+        return n
+    max_strip = _FIELD_VMEM_BUDGET // (m * 4)
+    for strip in range(max_strip - max_strip % 128, 0, -128):
+        if n % strip == 0:
+            return strip
+    raise ValueError(f"no lane strip fits VMEM for shape {(m, n)}")
 
 
 def _resample0_kernel(D, m, n, field_ref, idx_ref, frac_ref, out_ref):
@@ -59,19 +85,29 @@ def pallas_resample0(field, idx0, frac, D):
     m, n = field.shape
     assert m % _TILE == 0, "rows must be a multiple of 8"
     D = int(-(-D // _TILE) * _TILE)  # round up so chunk starts stay aligned
-    kernel = functools.partial(_resample0_kernel, D, m, n)
+    strip = _lane_strip(m, n)
+    kernel = functools.partial(_resample0_kernel, D, m, strip)
+    if strip == n:
+        grid = (m // _TILE,)
+        f_spec = pl.BlockSpec((m, n), lambda i: (0, 0),
+                              memory_space=pltpu.VMEM)
+        t_spec = pl.BlockSpec((_TILE, n), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)
+    else:
+        # strip index OUTER so the (m, strip) field block is copied once
+        # per strip, not once per row tile
+        grid = (n // strip, m // _TILE)
+        f_spec = pl.BlockSpec((m, strip), lambda j, i: (0, j),
+                              memory_space=pltpu.VMEM)
+        t_spec = pl.BlockSpec((_TILE, strip), lambda j, i: (i, j),
+                              memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
-        grid=(m // _TILE,),
-        in_specs=[
-            pl.BlockSpec((m, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TILE, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TILE, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (_TILE, n), lambda i: (i, 0), memory_space=pltpu.VMEM
-        ),
+        grid=grid,
+        in_specs=[f_spec, t_spec, t_spec],
+        out_specs=t_spec,
         out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+        interpret=INTERPRET,
     )(field.astype(jnp.float32), idx0.astype(jnp.int32), frac.astype(jnp.float32))
 
 
@@ -108,10 +144,10 @@ def _chunk_lerp(field_ref, idx0, idx1, frac, n):
     return acc0 * (1.0 - frac) + acc1 * frac
 
 
-def _warp_v_kernel(D, m, n, field_ref, dy_ref, out_ref):
+def _warp_v_kernel(D, m, n, pid_axis, field_ref, dy_ref, out_ref):
     """Vertical resample with in-kernel coordinates: out(i,j) =
     lerp(field[floor(i+dy), j], field[floor(i+dy)+1, j])."""
-    i0 = pl.program_id(0) * _TILE
+    i0 = pl.program_id(pid_axis) * _TILE
     row = i0 + jax.lax.broadcasted_iota(jnp.int32, (_TILE, n), 0)
     cy = row.astype(jnp.float32) + dy_ref[:]
     y0 = jnp.floor(cy)
@@ -122,29 +158,58 @@ def _warp_v_kernel(D, m, n, field_ref, dy_ref, out_ref):
     out_ref[:] = _chunk_lerp(field_ref, idx0, idx1, frac, n)
 
 
-def _warp_h_kernel(D, m, n, masked, ct_ref, dxt_ref, dyt_ref, cval_ref, out_ref):
+def _warp_h_kernel(D, m, n, masked, pid_axis, strip, ct_ref, dxt_ref, dyt_ref,
+                   cval_ref, out_ref):
     """Horizontal resample on the TRANSPOSED intermediate (n, m): sublane
     index = original column j, lanes = original row i.  When ``masked``,
     applies the constant-mode out-of-domain fill using both displacement
     components (the mask is evaluated at the original (i, j) position,
     matching ops.warp.warp_shifted)."""
-    j0 = pl.program_id(0) * _TILE
-    colj = j0 + jax.lax.broadcasted_iota(jnp.int32, (_TILE, m), 0)
+    j0 = pl.program_id(pid_axis) * _TILE
+    # lane axis = original row index; global offset of this lane strip
+    lane0 = pl.program_id(0) * strip if pid_axis else 0
+    colj = j0 + jax.lax.broadcasted_iota(jnp.int32, (_TILE, strip), 0)
     cx = colj.astype(jnp.float32) + dxt_ref[:]
     x0 = jnp.floor(cx)
     frac = cx - x0
     x0i = jnp.clip(x0.astype(jnp.int32), colj - D, colj + D)
     idx0 = jnp.clip(x0i, 0, n - 1)
     idx1 = jnp.clip(x0i + 1, 0, n - 1)
-    out = _chunk_lerp(ct_ref, idx0, idx1, frac, m)
+    out = _chunk_lerp(ct_ref, idx0, idx1, frac, strip)
     if masked:
-        rowi = jax.lax.broadcasted_iota(jnp.int32, (_TILE, m), 1).astype(
-            jnp.float32
-        )
+        rowi = (
+            lane0
+            + jax.lax.broadcasted_iota(jnp.int32, (_TILE, strip), 1)
+        ).astype(jnp.float32)
         cy = rowi + dyt_ref[:]
         inside = (cy >= 0) & (cy <= m - 1) & (cx >= 0) & (cx <= n - 1)
         out = jnp.where(inside, out, cval_ref[0, 0])
     out_ref[:] = out
+
+
+def _strip_specs(rows, lanes, strip):
+    """(grid, field_spec, tile_spec, scalar_spec, row_pid_axis) for a
+    rows x lanes array resampled along sublanes, lane axis split into
+    ``strip``-wide blocks (strip == lanes: original 1-D grid)."""
+    if strip == lanes:
+        return (
+            (rows // _TILE,),
+            pl.BlockSpec((rows, lanes), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TILE, lanes), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            0,
+        )
+    return (
+        (lanes // strip, rows // _TILE),
+        pl.BlockSpec((rows, strip), lambda j, i: (0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((_TILE, strip), lambda j, i: (i, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1), lambda j, i: (0, 0), memory_space=pltpu.VMEM),
+        1,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("D", "masked"))
@@ -160,31 +225,27 @@ def warp_fused_pallas(field, dy, disp_t, D, cval, masked=True):
     m, n = field.shape
     assert m % _TILE == 0 and n % _TILE == 0
     D = int(-(-D // _TILE) * _TILE)
+    strip_v = _lane_strip(m, n)
+    grid, f_spec, t_spec, _, pid_axis = _strip_specs(m, n, strip_v)
     C = pl.pallas_call(
-        functools.partial(_warp_v_kernel, D, m, n),
-        grid=(m // _TILE,),
-        in_specs=[
-            pl.BlockSpec((m, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TILE, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (_TILE, n), lambda i: (i, 0), memory_space=pltpu.VMEM
-        ),
+        functools.partial(_warp_v_kernel, D, m, strip_v, pid_axis),
+        grid=grid,
+        in_specs=[f_spec, t_spec],
+        out_specs=t_spec,
         out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+        interpret=INTERPRET,
     )(field.astype(jnp.float32), dy.astype(jnp.float32))
+    strip_h = _lane_strip(n, m)
+    grid, f_spec, t_spec, s_spec, pid_axis = _strip_specs(n, m, strip_h)
     out_t = pl.pallas_call(
-        functools.partial(_warp_h_kernel, D, m, n, bool(masked)),
-        grid=(n // _TILE,),
-        in_specs=[
-            pl.BlockSpec((n, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TILE, m), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TILE, m), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (_TILE, m), lambda i: (i, 0), memory_space=pltpu.VMEM
+        functools.partial(
+            _warp_h_kernel, D, m, n, bool(masked), pid_axis, strip_h
         ),
+        grid=grid,
+        in_specs=[f_spec, t_spec, t_spec, s_spec],
+        out_specs=t_spec,
         out_shape=jax.ShapeDtypeStruct((n, m), jnp.float32),
+        interpret=INTERPRET,
     )(
         C.T,
         disp_t[0].astype(jnp.float32),

@@ -86,3 +86,65 @@ def test_matfft_irfft2_matches_xla():
             matfft.irfft2_mat(jnp.asarray(spec), shape, precision="highest")
         )
         np.testing.assert_allclose(got, ref, atol=1e-4 * max(1.0, np.abs(ref).max()))
+
+
+class TestPallasWarpStrips:
+    """Strip-tiled resample/warp kernels (2048^2+ VMEM fix) vs the XLA
+    shift path, in interpret mode."""
+
+    @pytest.fixture(autouse=True)
+    def _interpret_warp(self, monkeypatch):
+        from pysteps_tpu.ops import pallas_warp
+
+        monkeypatch.setattr(pallas_warp, "INTERPRET", True)
+
+    def _disp(self, shape, seed=0, amp=5.0):
+        rng = np.random.default_rng(seed)
+        y = np.linspace(0, 2 * np.pi, shape[0])[:, None]
+        x = np.linspace(0, 2 * np.pi, shape[1])[None, :]
+        dy = amp * np.sin(y + 0.3) * np.cos(2 * x)
+        dx = amp * np.cos(2 * y) * np.sin(x + 0.1)
+        field = rng.normal(0.0, 3.0, shape).astype(np.float32)
+        return field, dx.astype(np.float32), dy.astype(np.float32)
+
+    def test_resample0_strip_matches_whole_field(self, monkeypatch):
+        from pysteps_tpu.ops import pallas_warp
+
+        shape = (64, 256)
+        field, _, dy = self._disp(shape, seed=1)
+        i_grid = np.arange(shape[0])[:, None].astype(np.float32)
+        cy = i_grid + dy
+        idx0 = np.floor(cy).astype(np.int32)
+        frac = (cy - np.floor(cy)).astype(np.float32)
+        whole = np.asarray(pallas_warp.axis_resample_pallas(
+            jnp.asarray(field), jnp.asarray(idx0), jnp.asarray(frac), 8, 0))
+        # force the strip path: budget below 64*256*4 = 64 KiB
+        monkeypatch.setattr(pallas_warp, "_FIELD_VMEM_BUDGET", 40 * 1024)
+        assert pallas_warp._lane_strip(*shape) == 128
+        striped = np.asarray(pallas_warp.axis_resample_pallas(
+            jnp.asarray(field), jnp.asarray(idx0), jnp.asarray(frac), 8, 0))
+        np.testing.assert_allclose(striped, whole, atol=1e-6)
+
+    def test_fused_warp_strip_matches_warp_shifted(self, monkeypatch):
+        from pysteps_tpu.ops import pallas_warp
+        from pysteps_tpu.ops import warp as warp_mod
+
+        shape = (64, 128)
+        field, dx, dy = self._disp(shape, seed=2, amp=4.0)
+        disp = jnp.stack([jnp.asarray(dx), jnp.asarray(dy)])
+        ref = np.asarray(warp_mod.warp_shifted(
+            jnp.asarray(field), disp, 8, mode="constant", cval=-15.0))
+        disp_t = jnp.stack([disp[0].T, disp[1].T])
+        monkeypatch.setattr(pallas_warp, "_FIELD_VMEM_BUDGET", 33 * 1024)
+        got = np.asarray(pallas_warp.warp_fused_pallas(
+            jnp.asarray(field), jnp.asarray(dy), disp_t, 8, -15.0))
+        np.testing.assert_allclose(got, ref, atol=1e-4)
+
+    def test_lane_strip_bounds(self):
+        from pysteps_tpu.ops import pallas_warp
+
+        assert pallas_warp._lane_strip(2048, 2048) == 512
+        assert pallas_warp._lane_strip(4096, 4096) == 256
+        assert pallas_warp._lane_strip(512, 512) == 512
+        with pytest.raises(ValueError):
+            pallas_warp._lane_strip(3 * 1024 * 1024, 384)
