@@ -53,7 +53,12 @@ HEADLINE_CONFIGS = [
 # banked as their own entries (the 512 headline stays comparable across
 # rounds), attempted after the headline climb
 LARGE_CONFIGS = [
-    (96, 1024, 12),
+    (96, 1024, 16),
+    # CONUS-scale: 1-km ~2048^2 (BASELINE.json north star).  bf16 output
+    # stack (f32 would be 19.3 GB > 15.75 GB HBM) + outer member chunks
+    # of 4 (chunks of 6 and 8 measured RESOURCE_EXHAUSTED next to the
+    # 9.7 GB output buffer)
+    (96, 2048, 4),
 ]
 # the full unchunked 96x512 dispatch is the config observed to wedge the
 # axon service; it runs LAST, as a pure bonus upgrade of the already-
@@ -66,7 +71,9 @@ SECONDARY = [
     ("steps24", {"side": 512}, "steps24ref_8m_512_spatial_parametric"),
     ("anvil", {"side": 512}, "anvil_512"),
     ("linda", {"side": 256}, "linda_256"),
+    ("linda", {"side": 512}, "linda_512"),
     ("blend", {"side": 256, "members": 96}, "blend_256"),
+    ("blend", {"side": 512, "members": 96}, "blend_512"),
 ]
 # motion solvers: ours on TPU vs the reference's OpenCV/Cython paths.
 # vet/proesmans reference extensions cannot be built here (no Cython);
@@ -153,6 +160,9 @@ def run_child_steps(n_members, side, member_chunk=None, noise="nonparametric"):
     kwargs = _steps_kwargs(n_members, noise)
     if member_chunk:
         kwargs["member_chunk"] = member_chunk
+    if n_members * N_TIMESTEPS * side * side * 4 > 12_000_000_000:
+        # full f32 output stack would not fit next to the scan state
+        kwargs["output_dtype"] = "bfloat16"
     # device-resident inputs: measures compute throughput (a production
     # pipeline uploads the radar fields once); over the axon tunnel
     # (~18 MB/s) per-call H2D would dominate the fixed cost
@@ -263,10 +273,21 @@ def run_child_motion(method, side):
 
 
 def run_child_scaling():
-    """Ensemble-scaling sweep on the virtual CPU mesh: E=32 members over
-    1/2/4/8 "ens" shards.  On a single real chip this is a correctness +
-    partitioning proxy (host cores back the virtual devices); on a real
-    multi-chip slice the same code path gives true scaling numbers."""
+    """WEAK-scaling sweeps on the virtual CPU mesh (fixed per-device work).
+
+    The r3 strong-scaling proxy was uninterpretable (VERDICT r3 Weak #3):
+    fixed TOTAL work spread over 8 virtual devices backed by 2 host cores
+    measures the Amdahl floor of fixed per-call cost, not partition
+    overhead.  Here per-device work is FIXED (members/device for the ens
+    axis, rows/device for the y axis) while host compute capacity stays
+    constant, so ideal wall time grows LINEARLY with shard count and
+
+        efficiency(N) = N * t(1) / t(N)
+
+    isolates partition overhead (collectives, halo recompute, padding
+    waste) — the quantity that transfers to a real multi-chip slice.  The
+    ICI cost model in docs/PERFORMANCE.md converts the per-step collective
+    byte counts to v5e link time to extrapolate real-chip efficiency."""
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
     )
@@ -275,56 +296,114 @@ def run_child_scaling():
     jax.config.update("jax_platforms", "cpu")
 
     from pysteps_tpu import nowcasts
-    from pysteps_tpu.parallel import make_mesh
+    from pysteps_tpu.parallel import make_mesh, sharded_steps
 
-    _, precip_db, velocity = _make_inputs(128)
-    kwargs = dict(
-        n_ens_members=32, n_cascade_levels=6, precip_thr=-10.0,
-        kmperpixel=1.0, timestep=5, seed=42, domain="spectral",
-    )
+    def _best_of(fn, repeats):
+        """warmup + best-of-N timed runs: the 2-core host oversubscribed
+        with up to 8 virtual devices schedules noisily; min is the
+        contention-free estimate."""
+        import jax.numpy as jnp
+
+        float(jnp.nanmean(jnp.asarray(fn())))
+        best = None
+        for _ in range(repeats):
+            t0 = time.time()
+            float(jnp.nanmean(jnp.asarray(fn())))
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        return best
+
+    # one virtual device executes on ~one host core, so compute capacity
+    # GROWS with shard count until the physical cores are covered —
+    # ideal weak-scaling wall is N*t1/min(N, C), not N*t1 (measured:
+    # 2-shard walls ~= 1-shard walls on this 2-core host)
+    n_cores = os.cpu_count() or 2
+
+    def _eff(wall):
+        t1 = wall[1]
+        return {
+            s: round(s * t1 / (min(s, n_cores) * t), 4)
+            for s, t in wall.items()
+        }
+
+    # --- ens axis: 12 members/device at 256^2 (the scan is pure data
+    # parallelism over members; overhead = partitioned-program fixed cost)
+    _, precip_db, velocity = _make_inputs(256)
     f = nowcasts.get_method("steps")
-    results = {}
+    ens_wall, ens_eff = {}, {}
     for shards in (1, 2, 4, 8):
         mesh = make_mesh(ens=shards)
-        t, _ = _measure(
-            lambda seed: f(precip_db[:3], velocity, 6, mesh=mesh, **kwargs), 0
+        t = _best_of(
+            lambda: f(
+                precip_db[:3], velocity, 12, mesh=mesh,
+                n_ens_members=12 * shards, n_cascade_levels=6,
+                precip_thr=-10.0, kmperpixel=1.0, timestep=5, seed=42,
+                domain="spectral",
+            ),
+            3,
         )
-        results[shards] = t
-    base = results[1]
-    eff = {s: round(base / (results[s] * s), 4) for s in results}
+        ens_wall[shards] = round(t, 3)
+    ens_eff = _eff(ens_wall)
 
-    # spatial sweep: the fully y-sharded STEPS scan (halo advection,
-    # distributed inverse FFT, psum matching) at 1/2/4/8 row shards —
-    # fixed problem size, so ideal scaling halves the wall time per
-    # doubling (the CPU mesh is a correctness/partitioning proxy; real
-    # efficiency numbers need a multi-chip slice)
-    from pysteps_tpu.parallel import sharded_steps
-
-    spatial = {}
+    # --- y axis: 128 rows/device x 512 cols, E=8 (halo advection,
+    # distributed FFT transposes, psum CDF matching all scale with rows)
+    y_wall, y_eff = {}, {}
     for shards in (1, 2, 4, 8):
+        rows = 128 * shards
+        rng = np.random.RandomState(7)
+        frames = np.stack([
+            np.roll(np.roll(_weak_base_field(rows, 512), 2 * k, 0), k, 1)
+            for k in range(3)
+        ])
+        pdb = np.where(
+            frames >= 0.1, 10.0 * np.log10(np.maximum(frames, 0.1)), -15.0
+        ).astype(np.float32) + 0.1 * rng.randn(3, rows, 512).astype(np.float32)
+        vel = np.zeros((2, rows, 512), np.float32)
+        vel[0], vel[1] = 2.0, 1.0
         mesh = make_mesh(ens=1, y=shards)
-        t, _ = _measure(
-            lambda seed: sharded_steps.forecast(
-                precip_db[:3], velocity, 6, mesh,
+        t = _best_of(
+            lambda: sharded_steps.forecast(
+                pdb, vel, 6, mesh,
                 n_ens_members=8, n_cascade_levels=6,
                 precip_thr=-10.0, kmperpixel=1.0, timestep=5, seed=0,
             ),
-            0,
+            2,
         )
-        spatial[shards] = t
-    base_sp = spatial[1]
-    eff_sp = {s: round(base_sp / (spatial[s] * s), 4) for s in spatial}
+        y_wall[shards] = round(t, 3)
+    y_eff = _eff(y_wall)
+
     print(
         "SCALING "
         + json.dumps(
             {
-                "wall_s": results,
-                "efficiency": eff,
-                "spatial_wall_s": spatial,
-                "spatial_efficiency": eff_sp,
+                "mode": "weak (fixed per-device work; one virtual device "
+                        "executes on ~1 host core, so ideal wall = "
+                        f"N*t1/min(N, {n_cores} cores); efficiency = "
+                        "ideal/measured isolates partition overhead)",
+                "ens_per_device": "12 members x 256^2 x 12 steps",
+                "ens_wall_s": ens_wall,
+                "ens_efficiency": ens_eff,
+                "y_per_device": "128 rows x 512 cols x 8 members x 6 steps",
+                "y_wall_s": y_wall,
+                "y_efficiency": y_eff,
             }
         )
     )
+
+
+def _weak_base_field(rows, cols):
+    """Synthetic rain field at (rows, cols) for the weak-scaling sweep —
+    same construction as tests/helpers.make_synthetic_sequence's base
+    frame, inlined for rectangular shapes."""
+    y = np.linspace(0, 4 * np.pi, rows)[:, None]
+    x = np.linspace(0, 4 * np.pi, cols)[None, :]
+    field = (
+        10.0 * np.maximum(0.0, np.sin(y) * np.cos(0.7 * x))
+        + 5.0 * np.maximum(0.0, np.cos(1.3 * y + 1.0) * np.sin(0.9 * x + 2.0))
+    )
+    rng = np.random.RandomState(13)
+    field = field * (0.7 + 0.6 * rng.rand(rows, cols))
+    return np.where(field > 1.0, field, 0.0).astype(np.float32)
 
 
 # ------------------------------------------------------- main machinery
@@ -563,7 +642,7 @@ def main():
             frames = 24 * N_TIMESTEPS
         rate = frames / res
         ref = _ref_rate(ref_key)
-        bank.add(model, {
+        bank.add(f"{model}_{side}", {
             "metric": f"{model}_{side}px_throughput",
             "value": round(rate, 2),
             "unit": "member-frames/s/chip",

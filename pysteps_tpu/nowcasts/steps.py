@@ -791,8 +791,12 @@ def _steps_forecast(precip, velocity, timesteps, cfg, domain_mask, vmax=None):
     ) * 2  # x2: noise cascade carries the same shape
     out_itemsize = 2 if cfg.output_dtype == "bfloat16" else 4
     out_bytes = E * int_steps * m * n * out_itemsize
+    # 12.5 GB: 96x1024^2 spectral (state 6.45 + out 4.8 = 11.25 GB) runs
+    # UNCHUNKED with in-scan member_chunk=12 transient bounding — measured
+    # 377 vs 303 mf/s for the outer-chunked path (r4); 96x2048^2 (61 GB)
+    # still switches to outer chunking
     outer_thr = int(
-        os.environ.get("PYSTEPS_TPU_OUTER_CHUNK_BYTES", 10_500_000_000)
+        os.environ.get("PYSTEPS_TPU_OUTER_CHUNK_BYTES", 12_500_000_000)
     )
     if mc and state_bytes + out_bytes > outer_thr:
         out = jnp.zeros((E, int_steps, m, n), cfg.output_dtype)

@@ -155,14 +155,15 @@ def main():
     }
 
     jobs = []
-    for side in (128, 256, 512, 1024):
+    for side in (128, 256, 512, 1024, 2048):
         jobs.append((f"steps_8m_{side}",
                      lambda s=side: measure_steps(pysteps, s, 8)))
     jobs.append(("steps24ref_8m_512_spatial_parametric",
                  lambda: measure_steps(pysteps, 512, 8, "spatial",
                                        "parametric")))
     for model, side in [("extrap", 512), ("sprog", 512), ("anvil", 512),
-                        ("linda", 256), ("blend", 256)]:
+                        ("linda", 256), ("linda", 512),
+                        ("blend", 256), ("blend", 512)]:
         jobs.append((f"{model}_{side}",
                      lambda m=model, s=side: measure_model(pysteps, m, s)))
     for method in ("lucaskanade", "darts", "farneback", "vet", "proesmans"):
