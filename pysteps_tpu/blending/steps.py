@@ -804,8 +804,20 @@ def forecast(
         }
     elif noise_method is not None:
         init_noise, _ = noise.get_method(noise_method)
-        pert_gen = init_noise(np.asarray(precip_aligned), **noise_kwargs)
+        # parametric: device array in, only the radial spectrum crosses
+        # the tunnel (noise/fftgenerators.py device path)
+        noise_src = (
+            jnp.asarray(precip_aligned)
+            if noise_method == "parametric"
+            else np.asarray(precip_aligned)
+        )
+        pert_gen = init_noise(noise_src, **noise_kwargs)
         noise_filt = jnp.asarray(pert_gen["field"], jnp.float32)
+        if pert_gen.get("use_full_fft") and noise_filt.ndim == 2:
+            # the scan multiplies rfft2 half-planes; a full-fft filter
+            # magnitude is Hermitian-symmetric, so its left half IS the
+            # rfft filter (same slice as nowcasts/steps.py)
+            noise_filt = noise_filt[:, : n // 2 + 1]
     else:
         noise_filt = jnp.ones((m, n // 2 + 1), jnp.float32)
     noise_std_coeffs = jnp.ones(n_cascade_levels, jnp.float32)

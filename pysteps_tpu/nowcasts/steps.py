@@ -644,7 +644,16 @@ def _steps_forecast(precip, velocity, timesteps, cfg, domain_mask, vmax=None):
             }
         else:
             init_noise, _ = noise.get_method(cfg.noise_method)
-            pert_gen = init_noise(np.asarray(precip_aligned), **cfg.noise_kwargs)
+            # parametric: pass the DEVICE array — the filter init computes
+            # its radial spectrum on device and fetches only ~L/2 floats
+            # (np.asarray here cost a full D2H of the aligned stack plus a
+            # field-sized filter H2D, ~0.4 s of per-call fixed cost)
+            noise_src = (
+                precip_aligned
+                if cfg.noise_method == "parametric"
+                else np.asarray(precip_aligned)
+            )
+            pert_gen = init_noise(noise_src, **cfg.noise_kwargs)
             noise_filt = jnp.asarray(pert_gen["field"], jnp.float32)
             use_full_fft = bool(pert_gen.get("use_full_fft", False))
             if (

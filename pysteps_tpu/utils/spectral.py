@@ -22,7 +22,9 @@ def _radial_bins(m, n):
     side = max(m, n)
     n_bins = int(side / 2) + 1 if side % 2 == 1 else int(side / 2)
     counts = np.bincount(r_grid.ravel(), minlength=n_bins)[:n_bins]
-    return jnp.asarray(r_grid), n_bins, jnp.asarray(np.maximum(counts, 1))
+    # r_max precomputed host-side so rapsd stays traceable under jit
+    r_max = int(r_grid.max())
+    return jnp.asarray(r_grid), n_bins, jnp.asarray(np.maximum(counts, 1)), r_max
 
 
 def rapsd(
@@ -46,14 +48,14 @@ def rapsd(
     if fft is None:
         fft = fft_method is not None
     m, n = field.shape
-    r_grid, n_bins, counts = _radial_bins(m, n)
+    r_grid, n_bins, counts, r_max = _radial_bins(m, n)
     if fft:
         psd = jnp.fft.fftshift(jnp.fft.fft2(field))
         psd = jnp.abs(psd) ** 2 / psd.size
     else:
         psd = field
     sums = jax.ops.segment_sum(
-        psd.ravel(), r_grid.ravel(), num_segments=max(n_bins, int(r_grid.max()) + 1)
+        psd.ravel(), r_grid.ravel(), num_segments=max(n_bins, r_max + 1)
     )[:n_bins]
     result = sums / counts
     if normalize:

@@ -483,3 +483,24 @@ def test_steps_blending_velocity_perturbation(blending_data):
     spread_pert = np.mean(np.std(fc, axis=0))
     spread_nopert = np.mean(np.std(fc_nopert, axis=0))
     assert spread_pert > spread_nopert + 1e-4
+
+
+def test_steps_blending_parametric_noise(blending_data):
+    """Parametric (power-law) noise through blending: the full-fft filter
+    must be sliced to the rfft half-plane the scan multiplies (r4 fix —
+    previously a shape error), and the device-path fit must run."""
+    from pysteps_tpu import blending
+
+    db, velocity, nwp = blending_data
+    fc = np.asarray(
+        blending.get_method("steps")(
+            db[:3], nwp[None], velocity, velocity[None], 2, 5,
+            n_ens_members=2, n_cascade_levels=6,
+            precip_thr=-10.0, kmperpixel=1.0,
+            noise_method="parametric", seed=42,
+        )
+    )
+    assert fc.shape == (2, 2, 128, 128)
+    assert np.all(np.isfinite(fc))
+    crps = probscores.CRPS(fc[:, -1], db[4])
+    assert crps < 3.0, f"parametric blended CRPS {crps}"
