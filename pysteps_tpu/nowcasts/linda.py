@@ -467,6 +467,80 @@ def _linda_scan(
     return jnp.swapaxes(outputs, 0, 1)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("ari_order", "n_iter", "interp_order")
+)
+def _linda_init_core(
+    precip, velocity, weights_j, interp_weights, ari_order, n_iter=1,
+    interp_order=1,
+):
+    """Fused LINDA initialization: Lagrangian alignment, differencing,
+    both kernel fits, ARI coefficient fit, and the AR window — ONE XLA
+    program.  The previous eager sequence cost ~20 dispatches at 30-60 ms
+    each over the axon tunnel, dominating the benched wall time
+    (reference spreads this over linda.py:1145-1282)."""
+    precip_min = jnp.nanmin(precip)
+    precip_filled = jnp.where(jnp.isfinite(precip), precip, precip_min)
+    mask_adv = jnp.all(jnp.isfinite(precip), axis=0)
+    precip_lagr = _lagrangian_alignment(
+        precip_filled, velocity, n_iter=n_iter, interp_order=interp_order
+    )
+    precip_lagr_diff = jnp.diff(precip_lagr, axis=0)
+
+    # kernel 1: evolution of the differenced field (reference: :1203)
+    kernels_1 = _fit_kernels(
+        precip_lagr_diff[-2], precip_lagr_diff[-1], weights_j, mask_adv
+    )
+    # convolve older differences (reference: :1220); diff_c excludes the
+    # newest (raw) difference — it is the regression *source* set
+    diff_c = [
+        precip_lagr_diff[i] for i in range(precip_lagr_diff.shape[0] - 1)
+    ]
+    for i in range(len(diff_c)):
+        for _ in range(ari_order - i):
+            diff_c[i] = _composite_convolution(
+                diff_c[i], kernels_1, interp_weights
+            )
+
+    # ARI parameters (reference: :1240)
+    if ari_order == 1:
+        psi_f = _fit_psi(diff_c[-1], precip_lagr_diff[-1], weights_j, mask_adv)
+        psi_field = jnp.sum(interp_weights * psi_f[:, None, None], axis=0)[None]
+    else:
+        psi_f = _fit_psi2(
+            diff_c[-1], diff_c[-2], precip_lagr_diff[-1], weights_j, mask_adv
+        )  # (F, 2)
+        psi_field = jnp.stack(
+            [
+                jnp.sum(interp_weights * psi_f[:, i, None, None], axis=0)
+                for i in range(2)
+            ]
+        )
+
+    # first forecast step + kernel 2 (reference: :1264-1282)
+    p_ord = psi_field.shape[0]
+    diff_stack = jnp.stack(diff_c[-p_ord:])
+    d_new = jnp.sum(psi_field * diff_stack[::-1], axis=0)
+    precip_fct = jnp.maximum(precip_lagr[-2] + d_new, 0.0)
+    kernels_2 = _fit_kernels(precip_fct, precip_filled[-1], weights_j, mask_adv)
+
+    # the main scan's AR state: the newest ari_order entries of the FULL
+    # convolved-difference list; the newest (raw, unconvolved) difference
+    # drives the first prediction (reference: _linda_forecast, :985-992)
+    diff_window = jnp.stack(
+        (diff_c + [precip_lagr_diff[-1]])[-ari_order:]
+    ).astype(jnp.float32)
+    return (
+        kernels_1.astype(jnp.float32),
+        kernels_2.astype(jnp.float32),
+        psi_field.astype(jnp.float32),
+        diff_window,
+        mask_adv,
+        precip_lagr[-1].astype(jnp.float32),
+        jnp.stack(diff_c).astype(jnp.float32),
+    )
+
+
 def forecast(
     precip,
     velocity,
@@ -566,58 +640,18 @@ def forecast(
     )
     weights_j = jnp.asarray(weights, jnp.float32)
 
-    # --- Lagrangian transform + differencing (reference: :1145-1186) ---
+    # --- fused device init: alignment, differencing, kernel/ARI fits
+    # (reference: :1145-1282) — one XLA program, see _linda_init_core ---
     velocity_j = jnp.asarray(velocity, jnp.float32)
-    precip_lagr = _lagrangian_alignment(
-        jnp.asarray(precip_filled), velocity_j,
+    (
+        kernels_1, kernels_2, psi_field, diff_window, mask_adv,
+        precip_lagr_last, diff_c_stack,
+    ) = _linda_init_core(
+        jnp.asarray(precip), velocity_j, weights_j, interp_weights,
+        ari_order=ari_order,
         n_iter=extrap_kwargs.get("n_iter", 1),
         interp_order=extrap_kwargs.get("interp_order", 1),
     )
-    mask_adv = jnp.all(jnp.isfinite(jnp.asarray(precip)), axis=0)
-    precip_lagr_diff = jnp.diff(precip_lagr, axis=0)
-
-    # --- kernel 1: evolution of the differenced field (reference: :1203) ---
-    kernels_1 = _fit_kernels(
-        precip_lagr_diff[-2], precip_lagr_diff[-1], weights_j, mask_adv
-    )
-
-    # convolve older differences (reference: :1220); diff_c excludes the
-    # newest (raw) difference — it is the regression *source* set
-    diff_c = [precip_lagr_diff[i] for i in range(precip_lagr_diff.shape[0] - 1)]
-    for i in range(len(diff_c)):
-        for _ in range(ari_order - i):
-            diff_c[i] = _composite_convolution(diff_c[i], kernels_1, interp_weights)
-
-    # --- ARI parameters (reference: :1240) ---
-    if ari_order == 1:
-        psi_f = _fit_psi(diff_c[-1], precip_lagr_diff[-1], weights_j, mask_adv)
-        psi_field = jnp.sum(interp_weights * psi_f[:, None, None], axis=0)[None]
-    else:
-        psi_f = _fit_psi2(
-            diff_c[-1], diff_c[-2], precip_lagr_diff[-1], weights_j, mask_adv
-        )  # (F, 2)
-        psi_field = jnp.stack(
-            [
-                jnp.sum(interp_weights * psi_f[:, i, None, None], axis=0)
-                for i in range(2)
-            ]
-        )
-
-    # first forecast step + kernel 2 (reference: :1264-1282)
-    p_ord = psi_field.shape[0]
-    diff_stack = jnp.stack(diff_c[-p_ord:])
-    d_new = jnp.sum(psi_field * diff_stack[::-1], axis=0)
-    precip_fct = jnp.maximum(precip_lagr[-2] + d_new, 0.0)
-    kernels_2 = _fit_kernels(
-        precip_fct, jnp.asarray(precip_filled[-1]), weights_j, mask_adv
-    )
-
-    # the main scan's AR state: the newest ari_order entries of the FULL
-    # convolved-difference list; the newest (raw, unconvolved) difference
-    # drives the first prediction (reference: _linda_forecast, :985-992)
-    diff_window = jnp.stack(
-        (diff_c + [precip_lagr_diff[-1]])[-ari_order:]
-    ).astype(jnp.float32)
 
     degenerate_pert = {
         "s": jnp.zeros(1, jnp.float32),
@@ -637,11 +671,10 @@ def forecast(
         # frame, scored against the last observation
         # (reference: _linda_perturbation_init, :1325-1352)
         hind = _linda_scan(
-            jnp.stack(diff_c).astype(jnp.float32),
+            diff_c_stack,
             jnp.asarray(precip_filled[-2], jnp.float32),
-            velocity_j, kernels_1.astype(jnp.float32),
-            kernels_2.astype(jnp.float32), interp_weights,
-            psi_field.astype(jnp.float32), mask_adv,
+            velocity_j, kernels_1, kernels_2, interp_weights,
+            psi_field, mask_adv,
             jax.random.PRNGKey(0)[None], degenerate_pert, 1, False, 1, (m, n),
         )
         fct = np.asarray(hind[0, 0])
@@ -711,12 +744,12 @@ def forecast(
     t1 = time.time()
     out = _linda_scan(
         diff_window,
-        jnp.asarray(precip_lagr[-1], jnp.float32),
+        precip_lagr_last,
         velocity_j,
-        kernels_1.astype(jnp.float32),
-        kernels_2.astype(jnp.float32),
+        kernels_1,
+        kernels_2,
         interp_weights,
-        psi_field.astype(jnp.float32),
+        psi_field,
         mask_adv,
         member_keys,
         pert_params,
@@ -733,7 +766,9 @@ def forecast(
         vsf=jnp.float32(vsf),
         timestep_min=jnp.float32(timestep if timestep else 1.0),
     )
-    np.asarray(out)
+    # completion only — np.asarray here fetched the full output stack
+    # through the ~18 MB/s tunnel inside every timed call
+    out.block_until_ready()
     loop_time = time.time() - t1
 
     if subsel is not None:
