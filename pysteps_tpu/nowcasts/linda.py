@@ -97,16 +97,28 @@ def _conv_same(field, kernel):
 
 
 def _composite_convolution(field, kernels, weights):
-    """Localized convolution: grouped conv over all feature kernels +
-    weighted sum (reference: linda.py:403)."""
-    F = kernels.shape[0]
-    out = jax.lax.conv_general_dilated(
-        jnp.broadcast_to(field[None, None], (1, F) + field.shape),
-        kernels[:, None],
-        (1, 1),
-        "SAME",
-        feature_group_count=F,
-    )[0]
+    """Localized convolution: FFT conv over all feature kernels +
+    weighted sum (reference: linda.py:403).
+
+    A single-channel 33^2 spatial conv is VPU-bound on TPU (~30-45 ms at
+    256^2 — it dominated the benched LINDA scan); the FFT formulation is
+    ~2 batched transforms.  Zero-padding by ks-1 makes the circular FFT
+    convolution exactly equal to SAME zero-padded convolution (the
+    centred kernel's wraparound taps land in the zero margin), and the
+    rendered Gaussian kernel is centro-symmetric, so correlation ==
+    convolution."""
+    m, n = field.shape
+    ks = _KERNEL_SIZE
+    pm, pn = m + ks - 1, n + ks - 1
+    fpad = jnp.pad(field, ((0, ks - 1), (0, ks - 1)))
+    kpad = jnp.roll(
+        jnp.pad(kernels, ((0, 0), (0, pm - ks), (0, pn - ks))),
+        (-(ks // 2), -(ks // 2)),
+        axis=(1, 2),
+    )
+    out = jnp.fft.irfft2(
+        jnp.fft.rfft2(fpad)[None] * jnp.fft.rfft2(kpad), s=(pm, pn)
+    )[:, :m, :n]
     return jnp.sum(out * weights, axis=0)
 
 
