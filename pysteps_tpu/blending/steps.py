@@ -50,7 +50,7 @@ from pysteps_tpu.noise.motion import (
 )
 from pysteps_tpu.nowcasts import utils as nowcast_utils
 from pysteps_tpu.nowcasts.steps import _estimate_params, _lagrangian_alignment
-from pysteps_tpu.ops.warp import warp, warp_shifted_multi
+from pysteps_tpu.ops.warp import warp, warp_shifted
 from pysteps_tpu.postprocessing.probmatching import _match_cdf_core
 from pysteps_tpu.timeseries import autoregression
 from pysteps_tpu.utils import tapering
@@ -340,6 +340,21 @@ def _blending_scan(
         eps_par = jnp.zeros(E, jnp.float32)
         eps_perp = jnp.zeros(E, jnp.float32)
 
+    # hoisted sorted intensity distributions for resampled CDF matching:
+    # the radar sort is call-constant and the NWP sorts depend only on
+    # (t, model) — in-scan they cost 2 of the 4 per-step sorts the r4
+    # trace found (~150 ms of a 1.0 s device scan at 96x256^2)
+    if probmatching == "cdf" and resample_distribution:
+        rsort_desc = jnp.sort(precip_last.ravel())[::-1]
+        nsorts_desc = jnp.sort(
+            jnp.where(jnp.isnan(nwp_fields), precip_min, nwp_fields).reshape(
+                nwp_fields.shape[0], nwp_fields.shape[1], -1
+            ),
+            axis=-1,
+        )[..., ::-1]
+    else:
+        rsort_desc = nsorts_desc = None
+
     def step(carry, t):
         cascades = carry.cascades
         noise_casc = carry.noise_cascades
@@ -388,61 +403,18 @@ def _blending_scan(
                     eps_par_j * g_par * v_n + eps_perp_j * g_perp * v_perp
                 ) / vsf
 
-            # --- advect both Lagrangian components (reference: :2349) ---
-            if max_disp is not None:
-                disp_j = integrate_displacement_coarse(
-                    vel_j, disp_j, 1.0, max_disp=max_disp, coarse=coarse
-                )
-                disp_full = upsample_displacement(disp_j, (m, n), coarse)
-                # one coordinate computation for every level of both
-                # Lagrangian components
-                stack = [] if external else [casc_j[:, -1]]
-                if use_noise:
-                    stack.append(noise_j[:, -1])
-                if stack:
-                    warped = warp_shifted_multi(
-                        jnp.concatenate(stack), disp_full, max_disp, cval=0.0
-                    )
-                if external:
-                    # externally supplied nowcast ensemble: already advected
-                    # (reference: nowcasting_method="external_nowcast",
-                    # blending/steps.py:113-121,676-700)
-                    extrap_lvls = ext_j
-                    noise_lvls = (
-                        warped if use_noise else jnp.zeros((k_levels, m, n))
-                    )
-                else:
-                    extrap_lvls = warped[:k_levels]
-                    noise_lvls = (
-                        warped[k_levels:]
-                        if use_noise
-                        else jnp.zeros((k_levels, m, n))
-                    )
-            else:
-                disp_j = integrate_displacement(vel_j, disp_j, 1.0)
-                if external:
-                    extrap_lvls = ext_j
-                else:
-                    extrap_lvls = jax.vmap(
-                        lambda f: warp(f, disp_j, order=1, cval=0.0)
-                    )(casc_j[:, -1])
-                if use_noise:
-                    noise_lvls = jax.vmap(
-                        lambda f: warp(f, disp_j, order=1, cval=0.0)
-                    )(noise_j[:, -1])
-                else:
-                    noise_lvls = jnp.zeros((k_levels, m, n))
-
-            # --- blend cascades (reference: :2768) ---
+            # --- blend weights + recomposition coefficients first: the
+            # per-level blend weights are SCALARS, warping is linear, and
+            # the warped levels feed only the recomposed output (the AR
+            # carry stays Eulerian) — so the k-level weighted sums
+            # commute with the warp and 2k per-level warps collapse into
+            # ONE composite-field warp per member-step (the r4 trace
+            # showed the per-level warps were ~42% of the scan's device
+            # time).  Exact: same sampling coordinates, and cval=0 scales
+            # through the weighted sum. ---
             w = weights_t[t, model_j]  # (3, k): extrap, nwp, noise
             nwp_lvls = nwp_cascades[t, model_j]  # (k, m, n)
-            blended = (
-                w[0][:, None, None] * extrap_lvls
-                + w[1][:, None, None] * nwp_lvls
-                + w[2][:, None, None] * noise_lvls
-            ) / jnp.maximum(jnp.sum(w, axis=0)[:, None, None], 1e-12)
-
-            # --- blend means/sigmas + recompose (reference: :3038, :4093) ---
+            wsum = jnp.maximum(jnp.sum(w, axis=0), 1e-12)  # (k,)
             if external:
                 r_means = ext_means[t]
                 r_sigmas = ext_sigmas[t]
@@ -453,9 +425,35 @@ def _blending_scan(
             sigmas = jnp.stack([r_sigmas, nwp_sigmas[t, model_j]])
             w_ms = jnp.stack([w[0], w[1], w[2]])
             c_means, c_sigmas = blend_means_sigmas(means, sigmas, w_ms)
-            field = jnp.sum(
-                blended * c_sigmas[:, None, None] + c_means[:, None, None], axis=0
-            )
+            a_ext = (w[0] * c_sigmas / wsum)[:, None, None]
+            a_nwp = (w[1] * c_sigmas / wsum)[:, None, None]
+            a_noi = (w[2] * c_sigmas / wsum)[:, None, None]
+
+            # Lagrangian composite: everything that needs advecting,
+            # already weighted for recomposition (reference advects each
+            # cascade level separately, :2349)
+            comp = jnp.zeros((m, n), jnp.float32)
+            if not external:
+                comp = jnp.sum(casc_j[:, -1] * a_ext, axis=0)
+            if use_noise:
+                comp = comp + jnp.sum(noise_j[:, -1] * a_noi, axis=0)
+
+            need_warp = (not external) or use_noise
+            if max_disp is not None:
+                disp_j = integrate_displacement_coarse(
+                    vel_j, disp_j, 1.0, max_disp=max_disp, coarse=coarse
+                )
+                if need_warp:
+                    disp_full = upsample_displacement(disp_j, (m, n), coarse)
+                    comp = warp_shifted(comp, disp_full, max_disp, cval=0.0)
+            else:
+                disp_j = integrate_displacement(vel_j, disp_j, 1.0)
+                if need_warp:
+                    comp = warp(comp, disp_j, order=1, cval=0.0)
+
+            field = comp + jnp.sum(nwp_lvls * a_nwp, axis=0) + jnp.sum(c_means)
+            if external:
+                field = field + jnp.sum(ext_j * a_ext, axis=0)
 
             # --- post-processing (reference: :3071) ---
             nwp_field = nwp_fields[t, model_j]
@@ -478,10 +476,8 @@ def _blending_scan(
                     p_radar = jnp.sum(w[0]) / jnp.maximum(
                         jnp.sum(w[0]) + jnp.sum(w[1]), 1e-12
                     )
-                    rsort = jnp.sort(precip_last.ravel())[::-1]
-                    nsort = jnp.sort(
-                        jnp.where(jnp.isnan(nwp_field), precip_min, nwp_field).ravel()
-                    )[::-1]
+                    rsort = rsort_desc
+                    nsort = nsorts_desc[t, model_j]
                     pick = jax.random.bernoulli(
                         jax.random.fold_in(key, t), p_radar, rsort.shape
                     )
@@ -1061,7 +1057,10 @@ def forecast(
     else:
         _, out = _blending_scan(*scan_args, int_steps, **scan_kwargs)
     out = jnp.swapaxes(out, 0, 1)
-    np.asarray(out)
+    # completion only — np.asarray here fetched the full (E, T, m, n)
+    # stack through the ~18 MB/s tunnel (~12 s for 96x12x256^2, ~10x the
+    # actual device time) inside every call
+    out.block_until_ready()
     loop_time = time.time() - t1
 
     if subsel is not None:

@@ -556,7 +556,9 @@ def forecast(
 
     _, out = _sseps_scan(*scan_args, int_steps=int_steps, **scan_kwargs)
     out = jnp.swapaxes(out, 0, 1)
-    np.asarray(out)
+    # completion only: np.asarray would fetch the full stack through the
+    # slow host link inside the timed loop
+    out.block_until_ready()
     loop_time = time.time() - t1
 
     if subsel is not None:
