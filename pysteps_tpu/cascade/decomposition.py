@@ -50,7 +50,15 @@ def decompose_core(field, weights_2d, mask=None, normalize=True, subtract_mean=F
         field = field - jnp.mean(field)
     field_fft = jnp.fft.rfft2(field)
     levels_fft = field_fft[None, :, :] * weights_2d
-    levels = jnp.fft.irfft2(levels_fft, s=shape)
+    from pysteps_tpu.ops import matfft
+
+    if matfft.use_matfft() and matfft.supported(shape):
+        # the k-level batched inverse transform is the FLOP body of every
+        # spatial-domain cascade model's scan; on TPU the DFT-matmul runs
+        # on the MXU (~3x XLA's vector-unit FFT at <=1024^2)
+        levels = matfft.irfft2_mat(levels_fft, shape)
+    else:
+        levels = jnp.fft.irfft2(levels_fft, s=shape)
     means, stds = _masked_moments(levels, mask)
     if normalize:
         levels = (levels - means[:, None, None]) / jnp.maximum(

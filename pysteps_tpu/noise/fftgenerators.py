@@ -350,7 +350,14 @@ def _generate_fft_noise(
         return fN / spectral_utils.std(fN, input_shape, use_full_fft=True)
     fN = _spectral_white(key, input_shape) * filt
     if domain == "spatial":
-        N = jnp.fft.irfft2(fN, s=input_shape)
+        from pysteps_tpu.ops import matfft
+
+        if matfft.use_matfft() and matfft.supported(input_shape):
+            # MXU inverse DFT (one per member-step in every spatial-
+            # domain scan; ~3x XLA's vector-unit FFT at <=1024^2)
+            N = matfft.irfft2_mat(fN, input_shape)
+        else:
+            N = jnp.fft.irfft2(fN, s=input_shape)
         if not standardize:
             return N
         return (N - jnp.mean(N)) / jnp.std(N)
