@@ -766,7 +766,9 @@ def _steps_forecast(precip, velocity, timesteps, cfg, domain_mask, vmax=None):
         # nowcasts/utils.py:265-533): scan the lead times in chunks,
         # stream each chunk to the host callback, and drop it — peak
         # device memory stays O(E * t_chunk * m * n) instead of O(E*T*m*n)
-        t_chunk = min(4, int_steps)
+        # chunk of 6 = the scan's max unroll group, so a short forecast's
+        # first chunk compiles to the same executable as the full run
+        t_chunk = min(6, int_steps)
         carry = None
         t_done = 0
         while t_done < int_steps:
@@ -943,6 +945,11 @@ def _steps_init(
         "probmatching", "domain", "vel_pert", "timestep_min", "mask_rim",
         "struct_radius", "n_iter", "interp_order", "p_par", "p_perp",
         "need_det", "out_dtype", "E", "member_chunk", "max_disp",
+        # static so the streaming chunked path (which passes it) compiles
+        # the SAME program as the full run (which leaves the default) —
+        # a traced-vs-folded scalar changed fusion enough to break the
+        # bitwise streaming == full contract at unroll 6
+        "t_offset",
     ),
 )
 def _steps_scan(
@@ -1170,6 +1177,23 @@ def _steps_scan(
     unroll = (
         ar_order if ar_order > 1 and int_steps % ar_order == 0 else 1
     )
+    # Deeper unrolling exposes cross-step fusion to XLA: at 96x512 the
+    # headline measured 0.533 s (unroll 2) -> 0.476 s (unroll 6), +11%;
+    # unroll 12 blew the compile budget.  Any multiple of ar_order
+    # dividing int_steps keeps the alias property.  Capped at 6, and at
+    # ar_order beyond 1024^2 where the 6x step body makes compiles
+    # multi-minute (PYSTEPS_TPU_UNROLL overrides).
+    unroll_cap = 6 if m * n <= 1024 * 1024 else unroll
+    unroll_env = int(os.environ.get("PYSTEPS_TPU_UNROLL", "0"))
+    if unroll_env:
+        unroll_cap = unroll_env
+    for cand in range(unroll_cap, unroll, -1):
+        if (
+            int_steps % cand == 0
+            and (ar_order <= 1 or cand % ar_order == 0)
+        ):
+            unroll = cand
+            break
 
     def step_group(carry_and_buf, g):
         for j in range(unroll):

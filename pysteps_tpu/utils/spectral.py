@@ -22,9 +22,12 @@ def _radial_bins(m, n):
     side = max(m, n)
     n_bins = int(side / 2) + 1 if side % 2 == 1 else int(side / 2)
     counts = np.bincount(r_grid.ravel(), minlength=n_bins)[:n_bins]
-    # r_max precomputed host-side so rapsd stays traceable under jit
+    # r_max precomputed host-side so rapsd stays traceable under jit.
+    # Cache NUMPY arrays: jnp.asarray under an active trace returns a
+    # Tracer, and caching one leaks it across traces (rapsd is now
+    # called inside jit by the device-side parametric noise fit).
     r_max = int(r_grid.max())
-    return jnp.asarray(r_grid), n_bins, jnp.asarray(np.maximum(counts, 1)), r_max
+    return r_grid, n_bins, np.maximum(counts, 1), r_max
 
 
 def rapsd(

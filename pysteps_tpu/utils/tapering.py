@@ -5,19 +5,34 @@ Windows are static per-shape arrays: they are computed host-side with numpy
 at setup time and fed to jitted kernels as constants.
 """
 
+import functools
+
 import numpy as np
 
 
 def compute_window_function(m, n, func, **kwargs):
     """Radial 2-D window of shape (m, n); ``func`` in {'hann','tukey'}
-    (reference: pysteps/utils/tapering.py:52)."""
+    (reference: pysteps/utils/tapering.py:52).
+
+    Pure in (shape, func, kwargs) and ~40 ms of meshgrid+transcendentals
+    at 512^2, so the result is cached per argument tuple; callers get a
+    fresh writable copy (some mutate the window in place)."""
+    return _window_cached(m, n, func, tuple(sorted(kwargs.items()))).copy()
+
+
+@functools.lru_cache(maxsize=32)
+def _window_cached(m, n, func, kw_items):
+    kwargs = dict(kw_items)
     X, Y = np.meshgrid(np.arange(n), np.arange(m))
     R = np.sqrt(((X / n) - 0.5) ** 2 + ((Y / m) - 0.5) ** 2)
     if func == "hann":
-        return _hann(R)
+        out = _hann(R)
     elif func == "tukey":
-        return _tukey(R, kwargs.get("alpha", 0.2))
-    raise ValueError(f"invalid window function '{func}'")
+        out = _tukey(R, kwargs.get("alpha", 0.2))
+    else:
+        raise ValueError(f"invalid window function '{func}'")
+    out.flags.writeable = False
+    return out
 
 
 def compute_mask_window_function(mask, func, **kwargs):
