@@ -1180,10 +1180,11 @@ def _steps_scan(
     # Deeper unrolling exposes cross-step fusion to XLA: at 96x512 the
     # headline measured 0.533 s (unroll 2) -> 0.476 s (unroll 6), +11%;
     # unroll 12 blew the compile budget.  Any multiple of ar_order
-    # dividing int_steps keeps the alias property.  Capped at 6, and at
-    # ar_order beyond 1024^2 where the 6x step body makes compiles
-    # multi-minute (PYSTEPS_TPU_UNROLL overrides).
-    unroll_cap = 6 if m * n <= 1024 * 1024 else unroll
+    # dividing int_steps keeps the alias property.  Capped at 6 up to
+    # 512^2: at 96x1024^2 (unchunked, 11.25 GB state+output) the 6-step
+    # body's extra live transients OOMed HBM, and larger grids also pay
+    # multi-minute compiles (PYSTEPS_TPU_UNROLL overrides).
+    unroll_cap = 6 if m * n <= 512 * 512 else unroll
     unroll_env = int(os.environ.get("PYSTEPS_TPU_UNROLL", "0"))
     if unroll_env:
         unroll_cap = unroll_env
