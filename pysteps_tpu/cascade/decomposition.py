@@ -18,6 +18,7 @@ is supported at the dict-API level: the compute path stays dense (ragged
 per-level arrays cannot live inside jit, and the dense spectral path is a
 single fused multiply on TPU), and the result is compacted on output.
 """
+import os
 
 import jax.numpy as jnp
 
@@ -52,7 +53,11 @@ def decompose_core(field, weights_2d, mask=None, normalize=True, subtract_mean=F
     levels_fft = field_fft[None, :, :] * weights_2d
     from pysteps_tpu.ops import matfft
 
-    if matfft.use_matfft() and matfft.supported(shape):
+    if (
+        matfft.use_matfft()
+        and matfft.supported(shape)
+        and os.environ.get("PYSTEPS_TPU_MATFFT_DECOMP", "1") == "1"
+    ):
         # the k-level batched inverse transform is the FLOP body of every
         # spatial-domain cascade model's scan; on TPU the DFT-matmul runs
         # on the MXU (~3x XLA's vector-unit FFT at <=1024^2)
