@@ -166,7 +166,14 @@ def _farneback_full(im1, im2, levels, num_iterations, poly_n, poly_sigma,
                     winsize, use_shift):
     """The whole coarse-to-fine solve in ONE compiled program — the
     per-level host loop cost one tunnel dispatch (+ transfers) per
-    pyramid level."""
+    pyramid level.  Inputs are raw fields; the [0, 1] range normalization
+    runs in-graph (host-side nanmin/nanmax of a device array cost a D2H
+    fetch per call)."""
+    lo = jnp.minimum(jnp.nanmin(im1), jnp.nanmin(im2))
+    hi = jnp.maximum(jnp.nanmax(im1), jnp.nanmax(im2))
+    scale = 1.0 / jnp.maximum(hi - lo, 1e-9)
+    im1 = jnp.nan_to_num((im1 - lo) * scale)
+    im2 = jnp.nan_to_num((im2 - lo) * scale)
     pyr = [(im1, im2)]
     for _ in range(levels - 1):
         a, b = pyr[-1]
@@ -217,7 +224,14 @@ def farneback(
     del flags
     num_iterations = iterations
     smoothing_sigma = sigma
-    input_images = np.asarray(input_images, dtype=np.float32)
+    # device-resident inputs stay on device end to end (a numpy round
+    # trip costs ~0.3 s of host-link time per 512^2 retrieval — more
+    # than the entire solve); numpy callers keep numpy-in/numpy-out
+    device_io = isinstance(input_images, jnp.ndarray) and not isinstance(
+        input_images, np.ndarray
+    )
+    if not device_io:
+        input_images = np.asarray(input_images, dtype=np.float32)
     if input_images.ndim != 3 or input_images.shape[0] < 2:
         raise ValueError("input_images must be (T>=2, m, n)")
     if verbose:
@@ -226,14 +240,9 @@ def farneback(
     if size_opening and size_opening > 0:
         from pysteps_tpu.utils.images import morph_opening
 
-        thr = np.nanmin(input_images)
-        im1 = np.asarray(morph_opening(im1, thr, size_opening))
-        im2 = np.asarray(morph_opening(im2, thr, size_opening))
-    lo = np.nanmin([np.nanmin(im1), np.nanmin(im2)])
-    hi = np.nanmax([np.nanmax(im1), np.nanmax(im2)])
-    scale = 1.0 / max(hi - lo, 1e-9)
-    im1 = np.nan_to_num((im1 - lo) * scale)
-    im2 = np.nan_to_num((im2 - lo) * scale)
+        thr = (jnp.nanmin if device_io else np.nanmin)(input_images)
+        im1 = morph_opening(im1, thr, size_opening)
+        im2 = morph_opening(im2, thr, size_opening)
 
     use_shift = jax.default_backend() != "cpu"
     flow = _farneback_full(
@@ -242,6 +251,8 @@ def farneback(
         int(winsize), use_shift,
     )
 
+    if device_io and not (smoothing_sigma and smoothing_sigma > 0):
+        return flow
     flow = np.asarray(flow)
     if smoothing_sigma and smoothing_sigma > 0:
         mag = np.sqrt(flow[0] ** 2 + flow[1] ** 2)
