@@ -386,40 +386,34 @@ def blending_scan_sharded(
                 )
                 disp_j = disp_j - vel_inc
 
-                # advect both Lagrangian components with one halo warp
-                stack = [casc_j[:, -1]]
-                if use_noise:
-                    stack.append(noise_j[:, -1])
-                warped = _warp_halo_multi(
-                    jnp.concatenate(stack), disp_j, halo, 0.0, "y",
-                    exact_gather,
-                )
-                extrap_lvls = warped[:k_levels]
-                noise_lvls = (
-                    warped[k_levels:]
-                    if use_noise
-                    else jnp.zeros((k_levels, m_loc, n))
-                )
-
-                # blend cascades (pointwise; nwp levels are row-sharded)
+                # blend weights + recomposition coefficients FIRST: the
+                # per-level blend weights are scalars, the halo warp is
+                # linear, and the warped levels feed only the recomposed
+                # output — so 2k per-level halo warps collapse into ONE
+                # pre-weighted composite warp (mirror of the unsharded
+                # blending/steps.py r4 rewrite; halves the halo-exchange
+                # ICI bytes too, since only one field is halo-extended)
                 w = jnp.take(w_t[t], model_j, axis=0)  # (3, k)
                 nwp_lvls = jnp.take(nwpc_l[t], model_j, axis=0)
-                blended = (
-                    w[0][:, None, None] * extrap_lvls
-                    + w[1][:, None, None] * nwp_lvls
-                    + w[2][:, None, None] * noise_lvls
-                ) / jnp.maximum(jnp.sum(w, axis=0)[:, None, None], 1e-12)
-
-                # blend means/sigmas + recompose (replicated scalars)
+                wsum = jnp.maximum(jnp.sum(w, axis=0), 1e-12)
                 means = jnp.stack([r_means, jnp.take(nwpm[t], model_j, axis=0)])
                 sigmas = jnp.stack([r_sigmas, jnp.take(nwps[t], model_j, axis=0)])
                 c_means, c_sigmas = _blend_means_sigmas(
                     means, sigmas, jnp.stack([w[0], w[1], w[2]])
                 )
-                field = jnp.sum(
-                    blended * c_sigmas[:, None, None]
-                    + c_means[:, None, None],
-                    axis=0,
+                a_ext = (w[0] * c_sigmas / wsum)[:, None, None]
+                a_nwp = (w[1] * c_sigmas / wsum)[:, None, None]
+                a_noi = (w[2] * c_sigmas / wsum)[:, None, None]
+                comp = jnp.sum(casc_j[:, -1] * a_ext, axis=0)
+                if use_noise:
+                    comp = comp + jnp.sum(noise_j[:, -1] * a_noi, axis=0)
+                comp = _warp_halo_multi(
+                    comp[None], disp_j, halo, 0.0, "y", exact_gather
+                )[0]
+                field = (
+                    comp
+                    + jnp.sum(nwp_lvls * a_nwp, axis=0)
+                    + jnp.sum(c_means)
                 )
 
                 # radar-domain compositing with the NWP field
