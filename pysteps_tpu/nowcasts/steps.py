@@ -826,6 +826,32 @@ def _steps_forecast(precip, velocity, timesteps, cfg, domain_mask, vmax=None):
             _, out_c = _steps_scan(*args_c, int_steps, **chunk_static)
             out = upd(out, out_c, jnp.int32(c0))
             del out_c
+    elif (
+        cfg.mesh is not None
+        and int(cfg.mesh.shape.get("ens", 1)) > 1
+        and E % int(cfg.mesh.shape.get("ens", 1)) == 0
+    ):
+        # manual SPMD over "ens": each device scans its LOCAL members
+        # only.  Letting GSPMD partition the batched program instead
+        # inserts an all-gather of the WHOLE member batch before every
+        # FFT op (observed in the dumped after-optimizations HLO on the
+        # CPU mesh; the XLA-FFT fallback at 2048^2+ hits the same) —
+        # every device then transforms the full ensemble redundantly.
+        # shard_map is collective-free by construction here because the
+        # scan touches members independently.
+        ens_n = int(cfg.mesh.shape["ens"])
+        E_loc = E // ens_n
+        mc = cfg_static["member_chunk"]
+        cfg_local = dict(
+            cfg_static,
+            E=E_loc,
+            member_chunk=(
+                mc if mc and mc < E_loc and E_loc % mc == 0 else None
+            ),
+        )
+        out = _steps_scan_ens_sharded(
+            cfg.mesh, scan_args, int_steps, cfg_local
+        )
     else:
         _, out = _steps_scan(*scan_args, int_steps, **cfg_static)
     # already member-major (E, T, m, n): the scan writes into a single
@@ -936,6 +962,68 @@ def _steps_init(
         eps_par=eps_par, eps_perp=eps_perp,
     )
     return precip_aligned, params, state
+
+
+# member-axis positions in the _steps_scan positional args (member_keys,
+# eps_par, eps_perp) — the only inputs sharded over "ens"
+_SCAN_MEMBER_IDX = (2, 19, 20)
+_sharded_scan_cache = {}
+
+
+def _steps_scan_ens_sharded(mesh, scan_args, int_steps, cfg_local):
+    """Cached jit(shard_map) over the member axis: each device scans its
+    LOCAL members only.  Letting GSPMD partition the batched program
+    instead inserts an all-gather of the WHOLE member batch before every
+    FFT op (observed in the dumped after-optimizations HLO on the CPU
+    mesh; the XLA-FFT fallback at 2048^2+ hits the same), making every
+    device transform the full ensemble redundantly.  The wrapper is
+    cached per (mesh, statics) — a fresh jit(shard_map(closure)) per
+    call would retrace every forecast; and eager (un-jitted) shard_map
+    executes shard programs SEQUENTIALLY (measured 3x slower)."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as SP
+
+    is_arr = [
+        isinstance(v, (jax.Array, np.ndarray)) and i not in _SCAN_MEMBER_IDX
+        for i, v in enumerate(scan_args)
+    ]
+    arr_idx = tuple(i for i, a in enumerate(is_arr) if a)
+    statics = tuple(
+        (i, v)
+        for i, v in enumerate(scan_args)
+        if not is_arr[i] and i not in _SCAN_MEMBER_IDX
+    )
+    key = (mesh, int_steps, statics, tuple(sorted(cfg_local.items())), arr_idx)
+    fn = _sharded_scan_cache.get(key)
+    if fn is None:
+        n_args = len(scan_args)
+
+        def _scan_local(reps, keys_l, epar_l, eperp_l):
+            a = [None] * n_args
+            for i, v in zip(arr_idx, reps):
+                a[i] = v
+            for i, v in statics:
+                a[i] = v
+            a[2], a[19], a[20] = keys_l, epar_l, eperp_l
+            _, out_l = _steps_scan(*a, int_steps, **cfg_local)
+            return out_l
+
+        fn = jax.jit(
+            shard_map(
+                _scan_local, mesh,
+                in_specs=(
+                    tuple(SP() for _ in arr_idx),
+                    SP("ens"), SP("ens"), SP("ens"),
+                ),
+                out_specs=SP("ens"),
+                check_rep=False,
+            )
+        )
+        _sharded_scan_cache[key] = fn
+    return fn(
+        tuple(scan_args[i] for i in arr_idx),
+        scan_args[2], scan_args[19], scan_args[20],
+    )
 
 
 @functools.partial(
