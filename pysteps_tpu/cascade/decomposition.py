@@ -49,20 +49,25 @@ def decompose_core(field, weights_2d, mask=None, normalize=True, subtract_mean=F
     shape = field.shape
     if subtract_mean:
         field = field - jnp.mean(field)
-    field_fft = jnp.fft.rfft2(field)
-    levels_fft = field_fft[None, :, :] * weights_2d
     from pysteps_tpu.ops import matfft
 
-    if (
+    use_mat = (
         matfft.use_matfft()
         and matfft.supported(shape)
         and os.environ.get("PYSTEPS_TPU_MATFFT_DECOMP", "1") == "1"
-    ):
-        # the k-level batched inverse transform is the FLOP body of every
-        # spatial-domain cascade model's scan; on TPU the DFT-matmul runs
-        # on the MXU (~3x XLA's vector-unit FFT at <=1024^2)
+    )
+    if use_mat:
+        # both transforms of the per-member-step decompose run as MXU
+        # DFT-matmuls (~3x XLA's vector-unit FFT at <=1024^2).  This also
+        # leaves the scan free of XLA `fft` ops, which the SPMD
+        # partitioner cannot shard over the member batch (it all-gathers
+        # the whole batch — see nowcasts/steps.py::_steps_scan_ens_sharded)
+        field_fft = matfft.rfft2_mat(field)
+        levels_fft = field_fft[None, :, :] * weights_2d
         levels = matfft.irfft2_mat(levels_fft, shape)
     else:
+        field_fft = jnp.fft.rfft2(field)
+        levels_fft = field_fft[None, :, :] * weights_2d
         levels = jnp.fft.irfft2(levels_fft, s=shape)
     means, stds = _masked_moments(levels, mask)
     if normalize:

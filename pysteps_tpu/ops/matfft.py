@@ -68,6 +68,35 @@ def irfft2_mat(spec, shape, precision="high"):
     return ein("...kr,rx->...kx", Yr, Cr) - ein("...kr,rx->...kx", Yi, Sr)
 
 
+@functools.lru_cache(maxsize=8)
+def _dft_mats(m, n):
+    """Constants for rfft2 of an (m, n) real field."""
+    k = np.arange(m)
+    C = np.cos(2 * np.pi * np.outer(k, k) / m).astype(np.float32)
+    S = np.sin(2 * np.pi * np.outer(k, k) / m).astype(np.float32)
+    rf = n // 2 + 1
+    x = np.arange(n)
+    r = np.arange(rf)
+    CrT = np.cos(2 * np.pi * np.outer(x, r) / n).astype(np.float32)
+    SrT = np.sin(2 * np.pi * np.outer(x, r) / n).astype(np.float32)
+    return C, S, CrT, SrT
+
+
+def rfft2_mat(field, precision="high"):
+    """rfft2 of a real (..., m, n) field via DFT matmuls; equivalent to
+    ``jnp.fft.rfft2(field)`` (no normalization, half-plane output)."""
+    m, n = field.shape[-2:]
+    C, S, CrT, SrT = _dft_mats(m, n)
+    ein = functools.partial(jnp.einsum, precision=precision)
+    # stage 1: length-n r2c DFT over the last axis
+    Zr = ein("...mx,xr->...mr", field, CrT)
+    Zi = -ein("...mx,xr->...mr", field, SrT)
+    # stage 2: length-m c2c DFT over the row axis
+    Xr = ein("km,...mr->...kr", C, Zr) + ein("km,...mr->...kr", S, Zi)
+    Xi = ein("km,...mr->...kr", C, Zi) - ein("km,...mr->...kr", S, Zr)
+    return jax.lax.complex(Xr, Xi)
+
+
 def use_matfft():
     """Matmul DFTs pay off on MXU backends only."""
     from pysteps_tpu.ops.warp import _use_pallas

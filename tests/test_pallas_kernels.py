@@ -71,6 +71,22 @@ def test_match_cdf_pwl_tracks_exact_sort():
     assert abs((fast > -10).mean() - (exact > -10).mean()) < 0.01
 
 
+def test_matfft_rfft2_matches_xla():
+    from pysteps_tpu.ops import matfft
+
+    rng = np.random.default_rng(2)
+    for shape in [(64, 64), (32, 96)]:
+        x = rng.normal(size=shape).astype(np.float32)
+        ref = np.fft.rfft2(x)
+        got = np.asarray(matfft.rfft2_mat(jnp.asarray(x), precision="highest"))
+        np.testing.assert_allclose(got, ref, atol=1e-3 * max(1.0, np.abs(ref).max()))
+        # round trip through the inverse
+        back = np.asarray(
+            matfft.irfft2_mat(jnp.asarray(got), shape, precision="highest")
+        )
+        np.testing.assert_allclose(back, x, atol=1e-4)
+
+
 def test_matfft_irfft2_matches_xla():
     from pysteps_tpu.ops import matfft
 
