@@ -30,7 +30,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pysteps_tpu.extrapolation.semilagrangian import integrate_displacement
+from pysteps_tpu.extrapolation.semilagrangian import (
+    integrate_displacement,
+    model_warp,
+)
 from pysteps_tpu.feature import shitomasi
 from pysteps_tpu.noise.fftgenerators import _spectral_white
 from pysteps_tpu.noise.motion import (
@@ -41,7 +44,10 @@ from pysteps_tpu.noise.motion import (
 from pysteps_tpu.nowcasts.steps import _lagrangian_alignment
 from pysteps_tpu.ops.warp import warp
 
-_KERNEL_SIZE = 33  # static support for the per-feature kernels
+# static zero-pad margin for the SAME FFT convolutions: covers the
+# half-support of the widest kernel the reference's optimizer box allows
+# (sigma2 = ratio*sigma1 <= 50 px; wrap-around tail exp(-160^2/50^2) < 4e-5)
+_KERNEL_PAD = 160
 
 
 def _compute_window_weights(coords, grid_height, grid_width, window_radius):
@@ -66,91 +72,103 @@ def _compute_window_weights(coords, grid_height, grid_width, window_radius):
     return w + 1e-6
 
 
-def _render_kernel(params):
-    """Anisotropic Gaussian kernel on the static support
-    (reference: _compute_kernel_anisotropic, linda.py:465).
+def _kernel_ft(params, pm, pn):
+    """rfft2 of the normalized anisotropic Gaussian kernel, evaluated
+    analytically on the padded grid.
 
-    params: (log_sigma1, log_sigma2, phi) — normalized to sum 1."""
-    half = _KERNEL_SIZE // 2
-    y, x = jnp.meshgrid(
-        jnp.arange(-half, half + 1, dtype=jnp.float32),
-        jnp.arange(-half, half + 1, dtype=jnp.float32),
-        indexing="ij",
-    )
-    # sigma bounds mirror the reference's optimizer box (linda.py:713:
-    # sigma1 in [0.1, 10], sigma2 in [0.2, 5] for exp(-x^2/sigma^2), i.e.
-    # /sqrt(2) in this exp(-0.5 (x/sigma)^2) convention)
-    sigma1 = jnp.clip(jnp.exp(params[0]), 0.1, 7.07)
-    sigma2 = jnp.clip(jnp.exp(params[1]), 0.15, 3.54)
-    phi = params[2]
+    The reference renders the kernel spatially on an adaptive cutoff-6
+    bounding box (_compute_kernel_anisotropic, linda.py:463-490) — its
+    fitted sigma2 = ratio*sigma1 can reach 50 px under the optimizer box,
+    far beyond any practical static spatial support.  The closed-form
+    transform exp(-pi^2 (sigma1^2 fu^2 + sigma2^2 fv^2)) represents any
+    sigma exactly, keeps shapes static for jit, and is real-positive
+    (even-symmetric kernel), so the per-feature convolutions are one
+    real multiply in the spectrum.
+
+    params: (phi, log_sigma1, log_ratio) in the reference's
+    exp(-x'^2/sigma1^2 - y'^2/sigma2^2) convention with bounds
+    sigma1 in [0.1, 10], ratio in [0.2, 5]
+    (reference: _estimate_convol_params, linda.py:715)."""
+    phi = params[0]
+    sigma1 = jnp.clip(jnp.exp(params[1]), 0.1, 10.0)
+    sigma2 = jnp.clip(jnp.exp(params[2]), 0.2, 5.0) * sigma1
+    fy = jnp.fft.fftfreq(pm)[:, None].astype(jnp.float32)
+    fx = jnp.fft.rfftfreq(pn)[None, :].astype(jnp.float32)
     c, s = jnp.cos(phi), jnp.sin(phi)
-    u = c * x + s * y
-    v = -s * x + c * y
-    k = jnp.exp(-0.5 * ((u / sigma1) ** 2 + (v / sigma2) ** 2))
-    return k / jnp.maximum(jnp.sum(k), 1e-12)
-
-
-def _conv_same(field, kernel):
-    return jax.lax.conv_general_dilated(
-        field[None, None], kernel[None, None], (1, 1), "SAME"
-    )[0, 0]
-
-
-def _composite_convolution(field, kernels, weights):
-    """Localized convolution: FFT conv over all feature kernels +
-    weighted sum (reference: linda.py:403).
-
-    A single-channel 33^2 spatial conv is VPU-bound on TPU (~30-45 ms at
-    256^2 — it dominated the benched LINDA scan); the FFT formulation is
-    ~2 batched transforms.  Zero-padding by ks-1 makes the circular FFT
-    convolution exactly equal to SAME zero-padded convolution (the
-    centred kernel's wraparound taps land in the zero margin), and the
-    rendered Gaussian kernel is centro-symmetric, so correlation ==
-    convolution."""
-    m, n = field.shape
-    ks = _KERNEL_SIZE
-    pm, pn = m + ks - 1, n + ks - 1
-    fpad = jnp.pad(field, ((0, ks - 1), (0, ks - 1)))
-    kpad = jnp.roll(
-        jnp.pad(kernels, ((0, 0), (0, pm - ks), (0, pn - ks))),
-        (-(ks // 2), -(ks // 2)),
-        axis=(1, 2),
+    fu = c * fx + s * fy
+    fv = -s * fx + c * fy
+    return jnp.exp(
+        -(jnp.pi**2) * ((sigma1 * fu) ** 2 + (sigma2 * fv) ** 2)
     )
-    out = jnp.fft.irfft2(
-        jnp.fft.rfft2(fpad)[None] * jnp.fft.rfft2(kpad), s=(pm, pn)
+
+
+def _conv_kernels(field, kernels_ft):
+    """SAME zero-padded convolution of one field with every feature
+    kernel -> (F, m, n): pad by _KERNEL_PAD, multiply by the analytic
+    kernel transforms, crop.
+
+    A single-channel wide spatial conv is VPU-bound on TPU (~30-45 ms at
+    256^2 — it dominated the benched LINDA scan); the FFT formulation is
+    ~2 batched transforms.  A zero margin >= the kernel half-support
+    makes the circular FFT convolution exactly equal to SAME zero-padded
+    convolution (wraparound taps land in the zero margin)."""
+    m, n = field.shape
+    fpad = jnp.pad(field, ((0, _KERNEL_PAD), (0, _KERNEL_PAD)))
+    return jnp.fft.irfft2(
+        jnp.fft.rfft2(fpad)[None] * kernels_ft, s=fpad.shape
     )[:, :m, :n]
+
+
+def _conv_mask_norm(kernels, mask):
+    """Per-kernel normalizer of the reference's masked convolution
+    (reference: _masked_convolution, linda.py:1396-1407): the SAME
+    convolution of the finite-mask indicator.  Dividing by it makes
+    boundary (and masked-out-adjacent) pixels proper weighted means
+    instead of zero-damped sums — without it the one-step hindcast is
+    systematically smoother near edges, which deflated the fitted
+    lognormal error shape s by ~17% and the ensemble spread with it."""
+    return jnp.maximum(_conv_kernels(mask.astype(jnp.float32), kernels), 1e-6)
+
+
+def _composite_convolution(field, kernels, weights, norm=None):
+    """Localized convolution: FFT conv over all feature kernels + weighted
+    sum (reference: _composite_convolution, linda.py:403).  With ``norm``
+    (from _conv_mask_norm) this matches the reference's mask-renormalized
+    convolution for fields that are finite on the mask."""
+    out = _conv_kernels(field, kernels)
+    if norm is not None:
+        out = out / norm
     return jnp.sum(out * weights, axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=("n_steps", "lr"))
 def _fit_kernels(src, dst, weights, mask, n_steps=150, lr=0.1):
-    """Fit per-feature kernel params by weighted LSQ with Adam
-    (reference: _estimate_convol_params, linda.py:673)."""
-    src = jnp.where(mask, src, 0.0)
-    dst = jnp.where(mask, dst, 0.0)
-    maskf = mask.astype(jnp.float32)
-    # evaluate the kernel application spectrally: a single-channel 33^2
-    # spatial conv is VPU-bound on TPU (~45 ms per Adam step, 6.7 s per
-    # fit); one rfft2 of src amortized over the whole fit + a small
-    # kernel FFT and inverse per step is ~20x faster.  The circular
-    # (wraparound) border differs from SAME zero padding within one
-    # kernel radius of the edge — immaterial for the windowed LSQ.  The
-    # rendered Gaussian is centro-symmetric, so correlation == convolution.
+    """Fit per-feature kernel params (phi, log sigma1, log ratio) by
+    weighted LSQ with Adam, replacing the reference's per-feature scipy
+    least_squares with the same optimizer box and start point
+    (_estimate_convol_params, linda.py:673-740: p0 = (0, 1, 1),
+    sigma1 in [0.1, 10], ratio in [0.2, 5]).  The prediction uses the
+    same mask-renormalized SAME convolution as the forecast loop; the
+    src and mask spectra are computed once and amortized over the fit."""
     m_, n_ = src.shape
-    src_hat = jnp.fft.rfft2(src)
-    ks = _KERNEL_SIZE
+    pm, pn = m_ + _KERNEL_PAD, n_ + _KERNEL_PAD
+    maskf = mask.astype(jnp.float32)
+    pad = ((0, _KERNEL_PAD), (0, _KERNEL_PAD))
+    src_hat = jnp.fft.rfft2(jnp.pad(jnp.where(mask, src, 0.0), pad))
+    mask_hat = jnp.fft.rfft2(jnp.pad(maskf, pad))
+    dstm = jnp.where(mask, dst, 0.0)
 
     def loss_one(params, w):
-        k = _render_kernel(params)
-        kpad = jnp.roll(
-            jnp.pad(k, ((0, m_ - ks), (0, n_ - ks))),
-            (-(ks // 2), -(ks // 2)), axis=(0, 1),
-        )
-        pred = jnp.fft.irfft2(src_hat * jnp.fft.rfft2(kpad), s=src.shape)
-        return jnp.sum(w * maskf * (pred - dst) ** 2)
+        kf = _kernel_ft(params, pm, pn)
+        pred = jnp.fft.irfft2(kf * src_hat, s=(pm, pn))[:m_, :n_]
+        norm = jnp.fft.irfft2(kf * mask_hat, s=(pm, pn))[:m_, :n_]
+        pred = pred / jnp.maximum(norm, 1e-6)
+        # the reference restricts each feature's residuals to
+        # mask & weight > 1e-3 with sqrt(weight) scaling (linda.py:686)
+        return jnp.sum(w * (w > 1e-3) * maskf * (pred - dstm) ** 2)
 
-    def fit_one(w, key_init):
-        params0 = jnp.asarray([jnp.log(2.0), jnp.log(2.0), 0.0])
+    def fit_one(w):
+        params0 = jnp.zeros(3, jnp.float32)  # phi=0, sigma1=1, ratio=1
         import optax
 
         opt = optax.adam(lr)
@@ -166,9 +184,8 @@ def _fit_kernels(src, dst, weights, mask, n_steps=150, lr=0.1):
         (p, _), _ = jax.lax.scan(step, (params0, state0), None, length=n_steps)
         return p
 
-    params = jax.vmap(lambda w: fit_one(w, None))(weights)
-    kernels = jax.vmap(_render_kernel)(params)
-    return kernels
+    params = jax.vmap(fit_one)(weights)
+    return jax.vmap(lambda p: _kernel_ft(p, pm, pn))(params)
 
 
 @jax.jit
@@ -412,13 +429,14 @@ def _generate_error_perturbations(key, pert_params, shape):
     static_argnames=("int_steps", "add_perturbations", "E", "shape", "vel_pert"),
 )
 def _linda_scan(
-    diff_window, forecast0, velocity, kernels_1, kernels_2, interp_weights,
-    psi_field, mask_adv, member_keys, pert_params, int_steps,
+    diff_window, forecast0, velocity, kernels_1, kernels_2, norm_1, norm_2,
+    interp_weights, psi_field, mask_adv, member_keys, pert_params, int_steps,
     add_perturbations, E, shape, vel_pert=False, vp_coeffs=None,
     eps_par=None, eps_perp=None, V_n=None, V_perp=None, vsf=1.0,
     timestep_min=1.0,
 ):
     m, n = shape
+    maskf = mask_adv.astype(jnp.float32)
     diffs0 = jnp.broadcast_to(diff_window, (E,) + diff_window.shape)
     fc0 = jnp.broadcast_to(forecast0, (E, m, n))
     disp0 = jnp.zeros((E, 2, m, n), jnp.float32)
@@ -435,14 +453,20 @@ def _linda_scan(
             d_new = jnp.sum(psi_field * d_j[-p:][::-1], axis=0)
             d_j = jnp.concatenate([d_j[1:], d_new[None]], axis=0)
             f_j = f_j + d_j[-1]
-            # convolve differences and the forecast (IDE smoothing)
+            # convolve differences and the forecast (IDE smoothing) — with
+            # the reference's mask renormalization (masked fields are
+            # zeroed, sums renormalized by the convolved mask)
             d_j = jnp.stack(
                 [
-                    _composite_convolution(d_j[i], kernels_1, interp_weights)
+                    _composite_convolution(
+                        d_j[i] * maskf, kernels_1, interp_weights, norm_1
+                    )
                     for i in range(d_j.shape[0])
                 ]
             )
-            f_j = _composite_convolution(f_j, kernels_2, interp_weights)
+            f_j = _composite_convolution(
+                f_j * maskf, kernels_2, interp_weights, norm_2
+            )
             out = jnp.maximum(f_j, 0.0)
             out = jnp.where(mask_adv, out, jnp.nan)
             if add_perturbations:
@@ -493,16 +517,38 @@ def _linda_init_core(
     (reference spreads this over linda.py:1145-1282)."""
     precip_min = jnp.nanmin(precip)
     precip_filled = jnp.where(jnp.isfinite(precip), precip, precip_min)
-    mask_adv = jnp.all(jnp.isfinite(precip), axis=0)
     precip_lagr = _lagrangian_alignment(
         precip_filled, velocity, n_iter=n_iter, interp_order=interp_order
     )
-    precip_lagr_diff = jnp.diff(precip_lagr, axis=0)
+
+    # Advection mask.  The reference aligns with outval="min" — pixels
+    # advected in from outside the domain are treated as dry and VALID;
+    # only advected *input NaNs* are masked (linda.py:1180-1186:
+    # mask_adv = all finite over the ALIGNED fields, which are
+    # NaN only where an input NaN landed).  Reproduce it by advecting
+    # each frame's finiteness indicator along the same displacement
+    # chain with cval=1 (outside-domain = valid); any pixel whose
+    # stencil touched an input NaN drops below 1.
+    p1 = precip.shape[0]
+    fin = jnp.isfinite(precip).astype(jnp.float32)
+    valid_frames = [fin[-1]]
+    disp_v = jnp.zeros_like(velocity)
+    for k in range(1, p1):
+        disp_v = integrate_displacement(velocity, disp_v, 1.0, n_iter=n_iter)
+        valid_frames.append(
+            model_warp(
+                fin[p1 - 1 - k], disp_v, interp_order=interp_order, cval=1.0
+            )
+        )
+    mask_adv = jnp.all(jnp.stack(valid_frames) > 0.999, axis=0)
+    maskf = mask_adv.astype(jnp.float32)
+    precip_lagr_diff = jnp.diff(precip_lagr, axis=0) * maskf
 
     # kernel 1: evolution of the differenced field (reference: :1203)
     kernels_1 = _fit_kernels(
         precip_lagr_diff[-2], precip_lagr_diff[-1], weights_j, mask_adv
     )
+    norm_1 = _conv_mask_norm(kernels_1, mask_adv)
     # convolve older differences (reference: :1220); diff_c excludes the
     # newest (raw) difference — it is the regression *source* set
     diff_c = [
@@ -511,7 +557,7 @@ def _linda_init_core(
     for i in range(len(diff_c)):
         for _ in range(ari_order - i):
             diff_c[i] = _composite_convolution(
-                diff_c[i], kernels_1, interp_weights
+                diff_c[i] * maskf, kernels_1, interp_weights, norm_1
             )
 
     # ARI parameters (reference: :1240)
@@ -534,17 +580,28 @@ def _linda_init_core(
     diff_stack = jnp.stack(diff_c[-p_ord:])
     d_new = jnp.sum(psi_field * diff_stack[::-1], axis=0)
     precip_fct = jnp.maximum(precip_lagr[-2] + d_new, 0.0)
-    kernels_2 = _fit_kernels(precip_fct, precip_filled[-1], weights_j, mask_adv)
+    kernels_2 = _fit_kernels(
+        precip_fct, precip_filled[-1], weights_j, mask_adv
+    )
+    norm_2 = _conv_mask_norm(kernels_2, mask_adv)
 
-    # the main scan's AR state: the newest ari_order entries of the FULL
-    # convolved-difference list; the newest (raw, unconvolved) difference
-    # drives the first prediction (reference: _linda_forecast, :985-992)
-    diff_window = jnp.stack(
-        (diff_c + [precip_lagr_diff[-1]])[-ari_order:]
-    ).astype(jnp.float32)
+    # the main scan's AR state: the reference hands _linda_forecast the
+    # NEWEST ari_order raw diffs (precip_lagr_diff[1:], linda.py:363) and
+    # convolves window entry j (ari_order - j) times before the loop
+    # (linda.py:978-984) — so for ari_order=1 the first prediction is
+    # driven by the CONVOLVED newest difference, not the raw one
+    win = [precip_lagr_diff[i] for i in range(1, precip_lagr_diff.shape[0])]
+    for j in range(len(win)):
+        for _ in range(ari_order - j):
+            win[j] = _composite_convolution(
+                win[j] * maskf, kernels_1, interp_weights, norm_1
+            )
+    diff_window = jnp.stack(win).astype(jnp.float32)
     return (
         kernels_1.astype(jnp.float32),
         kernels_2.astype(jnp.float32),
+        norm_1.astype(jnp.float32),
+        norm_2.astype(jnp.float32),
         psi_field.astype(jnp.float32),
         diff_window,
         mask_adv,
@@ -656,8 +713,8 @@ def forecast(
     # (reference: :1145-1282) — one XLA program, see _linda_init_core ---
     velocity_j = jnp.asarray(velocity, jnp.float32)
     (
-        kernels_1, kernels_2, psi_field, diff_window, mask_adv,
-        precip_lagr_last, diff_c_stack,
+        kernels_1, kernels_2, norm_1, norm_2, psi_field, diff_window,
+        mask_adv, precip_lagr_last, diff_c_stack,
     ) = _linda_init_core(
         jnp.asarray(precip), velocity_j, weights_j, interp_weights,
         ari_order=ari_order,
@@ -685,8 +742,8 @@ def forecast(
         hind = _linda_scan(
             diff_c_stack,
             jnp.asarray(precip_filled[-2], jnp.float32),
-            velocity_j, kernels_1, kernels_2, interp_weights,
-            psi_field, mask_adv,
+            velocity_j, kernels_1, kernels_2, norm_1, norm_2,
+            interp_weights, psi_field, mask_adv,
             jax.random.PRNGKey(0)[None], degenerate_pert, 1, False, 1, (m, n),
         )
         fct = np.asarray(hind[0, 0])
@@ -760,6 +817,8 @@ def forecast(
         velocity_j,
         kernels_1,
         kernels_2,
+        norm_1,
+        norm_2,
         interp_weights,
         psi_field,
         mask_adv,

@@ -820,9 +820,8 @@ def _steps_forecast(precip, velocity, timesteps, cfg, domain_mask, vmax=None):
         chunk_static = dict(cfg_static, E=mc, member_chunk=None)
         for c0 in range(0, E, mc):
             args_c = list(scan_args)
-            args_c[2] = scan_args[2][c0 : c0 + mc]       # member_keys
-            args_c[19] = scan_args[19][c0 : c0 + mc]     # eps_par
-            args_c[20] = scan_args[20][c0 : c0 + mc]     # eps_perp
+            for mi in _scan_member_idx():  # member_keys, eps_par, eps_perp
+                args_c[mi] = scan_args[mi][c0 : c0 + mc]
             _, out_c = _steps_scan(*args_c, int_steps, **chunk_static)
             out = upd(out, out_c, jnp.int32(c0))
             del out_c
@@ -964,10 +963,19 @@ def _steps_init(
     return precip_aligned, params, state
 
 
-# member-axis positions in the _steps_scan positional args (member_keys,
-# eps_par, eps_perp) — the only inputs sharded over "ens"
-_SCAN_MEMBER_IDX = (2, 19, 20)
+# member-axis inputs of _steps_scan (the only ones sharded over "ens"
+# or sliced by the outer member-chunk path); positions are derived from
+# the function signature in _scan_member_idx() so they cannot drift
+_SCAN_MEMBER_ARGS = ("member_keys", "eps_par", "eps_perp")
 _sharded_scan_cache = {}
+
+
+@functools.lru_cache(maxsize=1)
+def _scan_member_idx():
+    import inspect
+
+    params = tuple(inspect.signature(_steps_scan).parameters)
+    return tuple(params.index(name) for name in _SCAN_MEMBER_ARGS)
 
 
 def _steps_scan_ens_sharded(mesh, scan_args, int_steps, cfg_local):
@@ -980,49 +988,50 @@ def _steps_scan_ens_sharded(mesh, scan_args, int_steps, cfg_local):
     cached per (mesh, statics) — a fresh jit(shard_map(closure)) per
     call would retrace every forecast; and eager (un-jitted) shard_map
     executes shard programs SEQUENTIALLY (measured 3x slower)."""
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as SP
 
+    member_idx = _scan_member_idx()
     is_arr = [
-        isinstance(v, (jax.Array, np.ndarray)) and i not in _SCAN_MEMBER_IDX
+        isinstance(v, (jax.Array, np.ndarray)) and i not in member_idx
         for i, v in enumerate(scan_args)
     ]
     arr_idx = tuple(i for i, a in enumerate(is_arr) if a)
     statics = tuple(
         (i, v)
         for i, v in enumerate(scan_args)
-        if not is_arr[i] and i not in _SCAN_MEMBER_IDX
+        if not is_arr[i] and i not in member_idx
     )
     key = (mesh, int_steps, statics, tuple(sorted(cfg_local.items())), arr_idx)
     fn = _sharded_scan_cache.get(key)
     if fn is None:
         n_args = len(scan_args)
 
-        def _scan_local(reps, keys_l, epar_l, eperp_l):
+        def _scan_local(reps, member_locals):
             a = [None] * n_args
             for i, v in zip(arr_idx, reps):
                 a[i] = v
             for i, v in statics:
                 a[i] = v
-            a[2], a[19], a[20] = keys_l, epar_l, eperp_l
+            for i, v in zip(member_idx, member_locals):
+                a[i] = v
             _, out_l = _steps_scan(*a, int_steps, **cfg_local)
             return out_l
 
         fn = jax.jit(
-            shard_map(
-                _scan_local, mesh,
+            jax.shard_map(
+                _scan_local, mesh=mesh,
                 in_specs=(
                     tuple(SP() for _ in arr_idx),
-                    SP("ens"), SP("ens"), SP("ens"),
+                    tuple(SP("ens") for _ in member_idx),
                 ),
                 out_specs=SP("ens"),
-                check_rep=False,
+                check_vma=False,
             )
         )
         _sharded_scan_cache[key] = fn
     return fn(
         tuple(scan_args[i] for i in arr_idx),
-        scan_args[2], scan_args[19], scan_args[20],
+        tuple(scan_args[i] for i in member_idx),
     )
 
 

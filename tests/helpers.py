@@ -4,8 +4,17 @@ import numpy as np
 
 
 def make_synthetic_sequence(
-    n_frames=6, shape=(256, 256), velocity=(2.0, 1.0), seed=42
+    n_frames=6, shape=(256, 256), velocity=(2.0, 1.0), seed=42,
+    evolution=0.0,
 ):
+    """Advecting rain-cell sequence.  With ``evolution`` > 0, each frame
+    additionally carries an AR(1) multiplicative growth/decay field in the
+    Lagrangian frame (scale = ``evolution`` in log-space), so the sequence
+    is NOT pure advection: a perfect advection model still faces genuine,
+    unpredictable temporal evolution.  Pure advection (evolution=0) makes
+    model-parity scores degenerate — an exact Lagrangian model scores ~0
+    error and any quality comparison collapses to comparing boundary
+    artifacts."""
     rng = np.random.RandomState(seed)
     m, n = shape
     yy, xx = np.meshgrid(np.arange(m), np.arange(n), indexing="ij")
@@ -37,13 +46,26 @@ def make_synthetic_sequence(
     field0[field0 < 0.5] = 0.0
 
     u, v = velocity
+    ky = np.fft.fftfreq(m)[:, None]
+    kx = np.fft.fftfreq(n)[None, :]
+
+    def smooth_field():
+        w = rng.randn(m, n)
+        g = np.fft.irfft2(np.fft.rfft2(w) * filt, s=shape)
+        return g / max(g.std(), 1e-12)
+
+    growth = np.zeros(shape)
+    rho = 0.7  # AR(1) persistence of the growth/decay field
     frames = []
     for t in range(n_frames):
+        field_t = field0
+        if evolution > 0.0:
+            if t > 0:
+                growth = rho * growth + np.sqrt(1 - rho**2) * smooth_field()
+            field_t = field0 * np.exp(evolution * growth)
         # exact shift by (u, v) per frame via Fourier phase shift
         shift_y, shift_x = v * t, u * t
-        F = np.fft.fft2(field0)
-        ky = np.fft.fftfreq(m)[:, None]
-        kx = np.fft.fftfreq(n)[None, :]
+        F = np.fft.fft2(field_t)
         phase = np.exp(-2j * np.pi * (ky * shift_y + kx * shift_x))
         f = np.real(np.fft.ifft2(F * phase))
         f[f < 0.1] = 0.0
