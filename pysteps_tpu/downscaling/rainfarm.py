@@ -7,6 +7,8 @@ fusion and kernel smoothing are all jnp FFT/conv ops; randomness comes
 from a jax.random key.
 """
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -15,6 +17,7 @@ from pysteps_tpu.utils.dimension import aggregate_fields
 from pysteps_tpu.utils.spectral import rapsd
 
 
+@jax.jit
 def _gaussianize(precip, key):
     """Rank-order gaussianization (reference: rainfarm.py:28)."""
     flat = jnp.asarray(precip).ravel()
@@ -63,14 +66,15 @@ def _compute_noise_field(freq_array_highres, alpha, key):
 
 def _apply_spectral_fusion(array_low, array_high, freq_array_low, freq_array_high, ds_factor):
     """Merge low-res observations with high-res noise in the frequency
-    domain (reference: rainfarm.py:100; D'Onofrio et al. 2014)."""
+    domain (reference: rainfarm.py:100; D'Onofrio et al. 2014).
+    Jit-traceable: PSD normalization stays on device."""
     nax = array_low.shape[0]
     nx = array_high.shape[0]
     k0 = nax // 2
 
-    psd_low = float(np.asarray(rapsd(jnp.asarray(array_low)))[k0 - 1]) * nax**2
-    psd_high = float(np.asarray(rapsd(jnp.asarray(array_high)))[k0 - 1]) * nx**2
-    array_high = array_high * np.sqrt(psd_low / max(psd_high, 1e-30))
+    psd_low = rapsd(jnp.asarray(array_low))[k0 - 1] * nax**2
+    psd_high = rapsd(jnp.asarray(array_high))[k0 - 1] * nx**2
+    array_high = array_high * jnp.sqrt(psd_low / jnp.maximum(psd_high, 1e-30))
 
     fft_low = jnp.fft.fft2(jnp.asarray(array_low))
     fft_high = jnp.fft.fft2(jnp.asarray(array_high))
@@ -139,6 +143,63 @@ def _balanced_spatial_average(array, kernel):
     return jnp.where(valid, out, jnp.nan)
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "ds_factor", "kernel_type", "spectral_fusion", "use_threshold",
+    ),
+)
+def _downscale_core(
+    precip, precip_transformed, alpha, key, threshold,
+    ds_factor, kernel_type, spectral_fusion, use_threshold,
+):
+    """One fused device program: noise synthesis, optional spectral
+    fusion, kernel smoothing and coarse-aggregate conservation.  Eager
+    op-by-op execution costs 30-60 ms per dispatch over the axon tunnel
+    (and eager complex FFTs are unimplemented on the TPU path), so the
+    whole pipeline traces into a single XLA executable; frequency grids
+    and kernels are host-numpy closure constants (shape-static)."""
+    m, n = precip.shape
+    freq_array = _compute_freq_array(np.empty((m, n)))
+    freq_array_highres = _compute_freq_array(np.empty((m, n)), ds_factor)
+
+    noise_field = _compute_noise_field(freq_array_highres, alpha, key)
+
+    if spectral_fusion:
+        noise_field = noise_field / noise_field.shape[0] ** 2
+        noise_field = jnp.exp(noise_field)
+        noise_field = _apply_spectral_fusion(
+            precip_transformed, noise_field, freq_array,
+            freq_array_highres, ds_factor,
+        )
+
+    noise_field = noise_field / jnp.std(noise_field)
+    noise_field = jnp.exp(noise_field)
+
+    noise_lowres = aggregate_fields(noise_field, ds_factor, axis=(0, 1))
+
+    precip_expanded = jnp.kron(precip, jnp.ones((ds_factor, ds_factor)))
+    noise_lowres_expanded = jnp.kron(
+        noise_lowres, jnp.ones((ds_factor, ds_factor))
+    )
+
+    if kernel_type:
+        kernel = _make_kernel[kernel_type](ds_factor)
+        precip_expanded = _balanced_spatial_average(precip_expanded, kernel)
+        noise_lowres_expanded = _balanced_spatial_average(
+            noise_lowres_expanded, kernel
+        )
+
+    norm_k0 = precip_expanded / jnp.maximum(noise_lowres_expanded, 1e-12)
+    precip_highres = noise_field * norm_k0
+
+    if use_threshold:
+        precip_highres = jnp.where(
+            precip_highres < threshold, 0.0, precip_highres
+        )
+    return precip_highres
+
+
 def downscale(
     precip,
     ds_factor,
@@ -157,60 +218,79 @@ def downscale(
         raise ValueError("All values in 'precip' must be finite.")
     if not isinstance(ds_factor, int) or ds_factor <= 0:
         raise ValueError("'ds_factor' must be a positive integer.")
+    if kernel_type and kernel_type not in _make_kernel:
+        raise ValueError(
+            f"kernel type '{kernel_type}' is invalid, available: "
+            f"{list(_make_kernel)}"
+        )
     if key is None:
         key = jax.random.PRNGKey(seed if seed is not None else 0)
     k_gauss, k_noise = jax.random.split(key)
 
+    precip_j = jnp.asarray(precip, jnp.float32)
     precip_transformed = (
-        np.asarray(_gaussianize(precip, k_gauss)) if spectral_fusion else precip
+        _gaussianize(precip_j, k_gauss) if spectral_fusion else precip_j
     )
-
-    freq_array = _compute_freq_array(precip_transformed)
-    freq_array_highres = _compute_freq_array(precip_transformed, ds_factor)
 
     if alpha is None:
-        alpha = _estimate_alpha(precip_transformed, freq_array)
-
-    noise_field = _compute_noise_field(freq_array_highres, alpha, k_noise)
-
-    if spectral_fusion:
-        noise_field = noise_field / noise_field.shape[0] ** 2
-        noise_field = jnp.exp(noise_field)
-        noise_field = _apply_spectral_fusion(
-            precip_transformed, np.asarray(noise_field), freq_array,
-            freq_array_highres, ds_factor,
+        # host-side slope fit (np.polyfit on the log-log PSD); one small
+        # D2H of the gaussianized field when fusion is on
+        freq_array = _compute_freq_array(precip)
+        alpha = _estimate_alpha(
+            np.asarray(precip_transformed) if spectral_fusion else precip,
+            freq_array,
         )
 
-    noise_field = noise_field / jnp.std(noise_field)
-    noise_field = jnp.exp(noise_field)
-
-    noise_lowres = aggregate_fields(noise_field, ds_factor, axis=(0, 1))
-
-    precip_expanded = jnp.kron(
-        jnp.asarray(precip), jnp.ones((ds_factor, ds_factor))
+    precip_highres = _downscale_core(
+        precip_j, precip_transformed, jnp.float32(alpha), k_noise,
+        jnp.float32(threshold if threshold is not None else 0.0),
+        ds_factor=ds_factor, kernel_type=kernel_type,
+        spectral_fusion=bool(spectral_fusion),
+        use_threshold=threshold is not None,
     )
-    noise_lowres_expanded = jnp.kron(
-        noise_lowres, jnp.ones((ds_factor, ds_factor))
-    )
-
-    if kernel_type:
-        if kernel_type not in _make_kernel:
-            raise ValueError(
-                f"kernel type '{kernel_type}' is invalid, available: "
-                f"{list(_make_kernel)}"
-            )
-        kernel = _make_kernel[kernel_type](ds_factor)
-        precip_expanded = _balanced_spatial_average(precip_expanded, kernel)
-        noise_lowres_expanded = _balanced_spatial_average(
-            noise_lowres_expanded, kernel
-        )
-
-    norm_k0 = precip_expanded / jnp.maximum(noise_lowres_expanded, 1e-12)
-    precip_highres = noise_field * norm_k0
-
-    if threshold is not None:
-        precip_highres = jnp.where(precip_highres < threshold, 0.0, precip_highres)
 
     if return_alpha:
         return precip_highres, alpha
     return precip_highres
+
+
+def downscale_ensemble(
+    precip,
+    ds_factor,
+    n_members,
+    alpha=None,
+    threshold=None,
+    kernel_type=None,
+    spectral_fusion=False,
+    seed=None,
+):
+    """Batched RainFARM: ``n_members`` independent realizations in ONE
+    device program (vmap over noise keys).  TPU-native extension of the
+    reference's single-realization API (rainfarm.py:212) — ensemble
+    downscaling of a nowcast otherwise pays per-call dispatch latency
+    for every member.  Returns (n_members, m*ds, n*ds)."""
+    precip = np.asarray(precip, np.float64)
+    if not np.isfinite(precip).all():
+        raise ValueError("All values in 'precip' must be finite.")
+    key = jax.random.PRNGKey(seed if seed is not None else 0)
+    k_gauss, k_noise = jax.random.split(key)
+    precip_j = jnp.asarray(precip, jnp.float32)
+    precip_transformed = (
+        _gaussianize(precip_j, k_gauss) if spectral_fusion else precip_j
+    )
+    if alpha is None:
+        freq_array = _compute_freq_array(precip)
+        alpha = _estimate_alpha(
+            np.asarray(precip_transformed) if spectral_fusion else precip,
+            freq_array,
+        )
+    keys = jax.random.split(k_noise, n_members)
+    return jax.vmap(
+        lambda k: _downscale_core(
+            precip_j, precip_transformed, jnp.float32(alpha), k,
+            jnp.float32(threshold if threshold is not None else 0.0),
+            ds_factor=ds_factor, kernel_type=kernel_type,
+            spectral_fusion=bool(spectral_fusion),
+            use_threshold=threshold is not None,
+        )
+    )(keys)

@@ -306,6 +306,34 @@ def _spectral_white(key, input_shape):
     return W
 
 
+def _spectral_phase_white(key, input_shape, use_full_fft=False):
+    """Unit-modulus random-phase spectrum, reproducing the reference's
+    SPECTRAL-domain noise draw (generate_noise_2d_fft_filter,
+    fftgenerators.py: theta ~ U[0, 2pi), N = cos + i sin): each
+    realization carries the filter's PSD EXACTLY (no chi^2 modulus
+    fluctuations), which is a different law from filtered Gaussian white
+    noise — spectral- and spatial-domain STEPS ensembles differ in the
+    reference, and matching it keeps the spectral-domain parity row
+    honest.  The kx=0 column's phases are antisymmetrized as in the
+    reference; like the reference, the even-n Nyquist column is left
+    unconstrained (irfft2 resolves the inconsistency identically)."""
+    m, n = input_shape
+    rf = n if use_full_fft else n // 2 + 1
+    theta = jax.random.uniform(
+        key, (m, rf), minval=0.0, maxval=2.0 * jnp.pi, dtype=jnp.float32
+    )
+    if not use_full_fft:
+        if m % 2 == 0:
+            theta = theta.at[m // 2 + 1 :, 0].set(
+                -theta[1 : m // 2, 0][::-1]
+            )
+        else:
+            theta = theta.at[m // 2 + 1 :, 0].set(
+                -theta[1 : m // 2 + 1, 0][::-1]
+            )
+    return jax.lax.complex(jnp.cos(theta), jnp.sin(theta))
+
+
 def _generate_fft_noise(
     key, filt, input_shape, use_full_fft, domain="spatial", standardize=True,
     packed=False,
@@ -330,25 +358,33 @@ def _generate_fft_noise(
     if packed and domain == "spectral" and not use_full_fft:
         from pysteps_tpu.ops import packfft
 
-        fN = packfft.mul_real(packfft.white(key, input_shape), filt)
+        W = packfft.pack(_spectral_phase_white(key, input_shape))
+        fN = packfft.mul_real(W, filt)
         fN = packfft.zero_dc(fN)
         if not standardize:
             return fN
         return fN / packfft.std(fN, input_shape)
     if use_full_fft:
+        if domain == "spectral":
+            # reference spectral path: unit-modulus random phases
+            fN = _spectral_phase_white(key, input_shape, use_full_fft=True)
+            fN = fN * filt
+            fN = fN.at[0, 0].set(0.0)
+            if not standardize:
+                return fN
+            return fN / spectral_utils.std(
+                fN, input_shape, use_full_fft=True
+            )
         white = jax.random.normal(key, (m, n), dtype=jnp.float32)
         fN = jnp.fft.fft2(white) * filt
-        if domain == "spatial":
-            N = jnp.real(jnp.fft.ifft2(fN))
-            if not standardize:
-                return N
-            return (N - jnp.mean(N)) / jnp.std(N)
-        # spectral output: zero the DC bin, unit spectral std
-        fN = fN.at[0, 0].set(0.0)
+        N = jnp.real(jnp.fft.ifft2(fN))
         if not standardize:
-            return fN
-        return fN / spectral_utils.std(fN, input_shape, use_full_fft=True)
-    fN = _spectral_white(key, input_shape) * filt
+            return N
+        return (N - jnp.mean(N)) / jnp.std(N)
+    if domain == "spectral":
+        fN = _spectral_phase_white(key, input_shape) * filt
+    else:
+        fN = _spectral_white(key, input_shape) * filt
     if domain == "spatial":
         from pysteps_tpu.ops import matfft
 

@@ -58,9 +58,11 @@ def _sprog_scan(
         displacement = integrate_displacement(
             velocity, displacement, 1.0, n_iter=n_iter, max_disp=max_disp
         )
+        # NaN outside the domain, matching the reference's output
+        # extrapolation (semilagrangian outval default)
         out = model_warp(
             field, displacement, max_disp=max_disp,
-            interp_order=interp_order, cval=precip_min,
+            interp_order=interp_order, cval=jnp.nan,
         )
         out = jnp.where(domain_mask, jnp.nan, out)
         return (window, displacement), out

@@ -264,9 +264,11 @@ def _sseps_scan(
             disp_j = integrate_displacement_coarse(
                 vel_j, disp_j, 1.0, max_disp=max_disp, coarse=coarse
             )
+            # NaN outside the domain, matching the reference's output
+            # extrapolation (semilagrangian outval default)
             out = model_warp_coarse(
                 field, disp_j, (m, n), coarse,
-                max_disp=max_disp, cval=precip_min,
+                max_disp=max_disp, cval=jnp.nan,
             )
             out = jnp.where(domain_mask, jnp.nan, out)
             return key, casc_j, wstates_j, mask_j, disp_j, out

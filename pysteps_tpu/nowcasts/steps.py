@@ -1211,10 +1211,14 @@ def _steps_scan(
                 vel_j, disp_j, 1.0, n_iter=n_iter, max_disp=max_disp,
                 coarse=coarse,
             )
+            # outside-domain pixels are NaN like the reference's output
+            # extrapolation (semilagrangian outval default, steps has no
+            # override): filling with precip_min booked a dry inflow band
+            # into every score while the reference excludes it
             out_field = model_warp_coarse(
                 field, disp_j, (m, n), coarse,
                 max_disp=max_disp, interp_order=interp_order,
-                cval=precip_min,
+                cval=jnp.nan,
             )
             out_field = jnp.where(domain_mask, jnp.nan, out_field)
             return key, casc_j, mask_j, disp_j, out_field

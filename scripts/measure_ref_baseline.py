@@ -116,6 +116,55 @@ def measure_model(pysteps, model, side):
             outdir_path_skill=skill_dir,
         )
         frames = 4 * N_TIMESTEPS
+    elif model == "sseps":
+        meta = {
+            "accutime": 5, "unit": "dBZ", "transform": "dB",
+            "zerovalue": -15.0, "threshold": -10.0,
+            "xpixelsize": 1000.0, "ypixelsize": 1000.0,
+        }
+        pysteps.nowcasts.get_method("sseps")(
+            precip_db[:3], meta, velocity, N_TIMESTEPS,
+            n_ens_members=24, n_cascade_levels=6, win_size=side // 2,
+            vel_pert_method=None, seed=1, num_workers=1,
+        )
+        frames = 24 * N_TIMESTEPS
+    elif model == "lagprob":
+        pysteps.nowcasts.get_method("lagrangian_probability")(
+            precip[2], velocity, N_TIMESTEPS, threshold=1.0, slope=2
+        )
+        frames = N_TIMESTEPS
+    elif model == "pca_enkf":
+        t_iss = datetime.datetime(2021, 6, 29, 12, 0)
+        obs_ts = np.array([t_iss - datetime.timedelta(minutes=5), t_iss])
+        nwp_ts = np.array([
+            t_iss + datetime.timedelta(minutes=5 * i)
+            for i in range(N_TIMESTEPS + 1)
+        ])
+        rng = np.random.RandomState(1)
+        nwp = np.stack([
+            np.repeat(precip_db[2][None], N_TIMESTEPS + 1, axis=0)
+            + 0.5 * rng.randn(N_TIMESTEPS + 1, side, side)
+            for _ in range(24)
+        ]).astype(np.float64)
+        from pysteps.blending import pca_ens_kalman_filter as ref_pca
+
+        ref_pca.forecast(
+            obs_precip=np.asarray(precip_db[:2], np.float64),
+            obs_timestamps=obs_ts, nwp_precip=nwp, nwp_timestamps=nwp_ts,
+            velocity=np.asarray(velocity, np.float64),
+            forecast_horizon=5 * N_TIMESTEPS, issuetime=t_iss,
+            n_ens_members=24, n_cascade_levels=6, precip_thr=-10.0,
+            norain_thr=0.01, noise_method="nonparametric", seed=1,
+            num_workers=1,
+        )
+        frames = 24 * N_TIMESTEPS
+    elif model == "rainfarm":
+        # 24-realization ensemble downscaling (the reference API is
+        # single-realization: loop with distinct seeds, as a user would)
+        coarse = np.asarray(precip[2][::4, ::4], np.float64)
+        for s in range(24):
+            pysteps.downscaling.get_method("rainfarm")(coarse, 4)
+        frames = 24
     else:
         raise ValueError(model)
     return {"elapsed_s": round(time.time() - t0, 3), "frames": frames,
@@ -163,7 +212,10 @@ def main():
                                        "parametric")))
     for model, side in [("extrap", 512), ("sprog", 512), ("anvil", 512),
                         ("linda", 256), ("linda", 512),
-                        ("blend", 256), ("blend", 512)]:
+                        ("blend", 256), ("blend", 512),
+                        ("sseps", 256), ("sseps", 512),
+                        ("lagprob", 512), ("pca_enkf", 256),
+                        ("rainfarm", 512)]:
         jobs.append((f"{model}_{side}",
                      lambda m=model, s=side: measure_model(pysteps, m, s)))
     for method in ("lucaskanade", "darts", "farneback", "vet", "proesmans"):

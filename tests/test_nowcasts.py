@@ -80,7 +80,10 @@ def test_steps_crps(
     )
     fc = np.asarray(fc)
     assert fc.shape == (5, 3, 256, 256)
-    assert np.all(np.isfinite(fc))
+    # outside-domain inflow pixels are NaN (reference semantics:
+    # semilagrangian outval default); the interior must be finite
+    b = int(3 * max(VELOCITY)) + 2
+    assert np.all(np.isfinite(fc[:, :, b:-b, b:-b]))
     crps = probscores.CRPS(fc[:, -1], db[5])
     # synthetic sequence with exact motion: CRPS well below the dB-space
     # spread of the field (reference CI bound analog)
