@@ -153,6 +153,27 @@ def upsample_displacement(disp_c, shape, coarse=4):
     return jnp.einsum("ya,cab,xb->cyx", Uy, disp_c, Ux)
 
 
+def upsample_planes(disp_c, shape, coarse):
+    """Bilinear-upsample a coarse displacement into the three planes the
+    fused Pallas warp kernels consume: ``dy`` at (m, n) and the (2, n, m)
+    transposed (dx, dy) pair — two small matmuls, no index/fraction
+    planes in HBM."""
+    m, n = shape
+    if coarse <= 1:
+        return disp_c[1], jnp.swapaxes(disp_c, 1, 2)
+    mc, nc = disp_c.shape[1:]
+    key = (m, mc, n, nc)
+    if key not in _upsample_mats:
+        _upsample_mats[key] = (
+            _bilinear_upsample_matrix(m, mc),
+            _bilinear_upsample_matrix(n, nc),
+        )
+    Uy, Ux = _upsample_mats[key]
+    dy = jnp.einsum("ya,ab,xb->yx", Uy, disp_c[1], Ux)
+    disp_t = jnp.einsum("ya,cab,xb->cxy", Uy, disp_c, Ux)
+    return dy, disp_t
+
+
 def model_warp(field, displacement, max_disp=None, interp_order=1, cval=jnp.nan):
     """Warp used inside the model scan loops: shift-decomposition fast path
     when a static displacement bound is available, exact gather otherwise."""
@@ -187,16 +208,7 @@ def model_warp_coarse(
         try:
             from pysteps_tpu.ops.pallas_warp import warp_fused_pallas
 
-            mc, nc = disp_c.shape[1:]
-            key = (m, mc, n, nc)
-            if key not in _upsample_mats:
-                _upsample_mats[key] = (
-                    _bilinear_upsample_matrix(m, mc),
-                    _bilinear_upsample_matrix(n, nc),
-                )
-            Uy, Ux = _upsample_mats[key]
-            dy = jnp.einsum("ya,ab,xb->yx", Uy, disp_c[1], Ux)
-            disp_t = jnp.einsum("ya,cab,xb->cxy", Uy, disp_c, Ux)
+            dy, disp_t = upsample_planes(disp_c, shape, coarse)
             return warp_fused_pallas(field, dy, disp_t, int(max_disp), cval)
         except Exception:  # noqa: BLE001 — Mosaic unavailable: XLA fallback
             pass

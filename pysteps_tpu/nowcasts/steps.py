@@ -42,6 +42,7 @@ from pysteps_tpu.extrapolation.semilagrangian import (
     integrate_displacement_coarse,
     model_warp,
     model_warp_coarse,
+    upsample_planes,
 )
 from pysteps_tpu.noise.fftgenerators import (
     _generate_fft_noise,
@@ -241,6 +242,27 @@ def _member_update(
     else:
         field = recompose_core(cascades_j[-1], means_last, stds_last)
     return cascades_j, field
+
+
+def _chain_available(probmatching, interp_order, max_disp, shape):
+    """Whether the fused match+rim+warp chain (ops/pallas_chain.py) can
+    serve this configuration.  Evaluated OUTSIDE the jitted scan so the
+    result participates in the jit cache key (PYSTEPS_TPU_NO_CHAIN flips
+    it without stale-executable reuse)."""
+    try:
+        from pysteps_tpu.ops import pallas_chain
+        from pysteps_tpu.ops.warp import _use_pallas
+
+        return bool(
+            probmatching == "cdf"
+            and interp_order == 1
+            and max_disp is not None
+            and pallas_chain.supported(shape)
+            and _use_pallas()
+            and not os.environ.get("PYSTEPS_TPU_NO_CHAIN")
+        )
+    except Exception:  # noqa: BLE001 — Mosaic unavailable: XLA fallback
+        return False
 
 
 def _ar_step_lags(lags, phi, eps=None):
@@ -716,6 +738,9 @@ def _steps_forecast(precip, velocity, timesteps, cfg, domain_mask, vmax=None):
             else None
         ),
         max_disp=max_disp_scan,
+        use_chain=_chain_available(
+            cfg.probmatching_method, interp_order, max_disp_scan, (m, n)
+        ),
     )
 
     # multi-chip: shard the member axis over the mesh's "ens" axis; the
@@ -1047,6 +1072,7 @@ def _steps_scan_ens_sharded(mesh, scan_args, int_steps, cfg_local):
         # a traced-vs-folded scalar changed fusion enough to break the
         # bitwise streaming == full contract at unroll 6
         "t_offset",
+        "use_chain",
     ),
 )
 def _steps_scan(
@@ -1058,7 +1084,7 @@ def _steps_scan(
     int_steps, noise, mask_method, probmatching, domain, vel_pert,
     timestep_min, mask_rim, struct_radius, n_iter, interp_order, need_det, E,
     out_dtype="float32", member_chunk=None, max_disp=None, t_offset=0,
-    carry_init=None,
+    carry_init=None, use_chain=False,
 ):
     m, n = precip_last.shape
     spectral = domain == "spectral"
@@ -1127,6 +1153,18 @@ def _steps_scan(
     # velocity) run at 1/coarse^2 cost; one bilinear upsample per step
     # feeds the full-res output warp
     coarse = 4 if (max_disp is not None and m % 4 == 0 and n % 4 == 0) else 1
+    # fused spatial chain (ops/pallas_chain.py): PWL match + rim mask +
+    # warp in one resident-VMEM kernel pair — ~1/3 the HBM passes and a
+    # hierarchical 2-level PWL evaluation (~5x less VPU compare work).
+    # ``use_chain`` is a STATIC argument (computed by _chain_available in
+    # the caller) so the PYSTEPS_TPU_NO_CHAIN kill-switch keys the jit
+    # cache instead of being baked into a shared executable.
+    if use_chain:
+        from pysteps_tpu.ops import pallas_chain, pallas_histmatch
+
+        chain_ok = pm_match is pallas_histmatch.match_cdf_pwl
+    else:
+        chain_ok = False
     vel_c = coarsen_velocity(velocity, coarse)
     V_n_c = coarsen_velocity(V_n, coarse) if vel_pert else None
     V_perp_c = coarsen_velocity(V_perp, coarse) if vel_pert else None
@@ -1180,22 +1218,6 @@ def _steps_scan(
             elif mask_method == "sprog":
                 field = jnp.where(sprog_m, field, fmin)
 
-            # --- probability matching ---
-            if probmatching == "cdf":
-                field = pm_match(field, pm_state)
-            elif probmatching == "mean":
-                wet = field >= precip_thr
-                mu_fct = jnp.sum(jnp.where(wet, field, 0.0)) / jnp.maximum(
-                    jnp.sum(wet), 1
-                )
-                field = jnp.where(wet, field - mu_fct + mu_0, field)
-
-            # --- incremental mask update ---
-            if mask_method == "incremental":
-                mask_j = nowcast_utils.compute_dilated_mask_from_field(
-                    field, precip_thr, struct_radius, mask_rim
-                )
-
             # --- velocity perturbation + incremental advection ---
             if vel_pert:
                 a1, b1, c1 = p_par
@@ -1211,15 +1233,52 @@ def _steps_scan(
                 vel_j, disp_j, 1.0, n_iter=n_iter, max_disp=max_disp,
                 coarse=coarse,
             )
+
             # outside-domain pixels are NaN like the reference's output
             # extrapolation (semilagrangian outval default, steps has no
             # override): filling with precip_min booked a dry inflow band
             # into every score while the reference excludes it
-            out_field = model_warp_coarse(
-                field, disp_j, (m, n), coarse,
-                max_disp=max_disp, interp_order=interp_order,
-                cval=jnp.nan,
-            )
+            if chain_ok:
+                # fused match + rim + warp (one VMEM-resident kernel pair)
+                edges_c, d0_c, d1_c, q0_c, zval_c, ztrg_c = (
+                    pallas_histmatch.build_pwl_coeffs(
+                        field.reshape(-1), pm_state
+                    )
+                )
+                e16_c, M3_c = pallas_chain.pack_hier_lut(edges_c, d0_c, d1_c)
+                dy_f, disp_t = upsample_planes(disp_j, (m, n), coarse)
+                out_field, rim_new = pallas_chain.match_warp_rim(
+                    field, e16_c, M3_c, q0_c, zval_c, ztrg_c,
+                    jnp.float32(precip_thr), dy_f, disp_t, jnp.nan,
+                    max_disp,
+                    struct_radius if struct_radius else 1,
+                    mask_rim if mask_rim else 0,
+                    do_rim=(mask_method == "incremental"),
+                )
+                if mask_method == "incremental":
+                    mask_j = rim_new
+            else:
+                # --- probability matching ---
+                if probmatching == "cdf":
+                    field = pm_match(field, pm_state)
+                elif probmatching == "mean":
+                    wet = field >= precip_thr
+                    mu_fct = jnp.sum(
+                        jnp.where(wet, field, 0.0)
+                    ) / jnp.maximum(jnp.sum(wet), 1)
+                    field = jnp.where(wet, field - mu_fct + mu_0, field)
+
+                # --- incremental mask update ---
+                if mask_method == "incremental":
+                    mask_j = nowcast_utils.compute_dilated_mask_from_field(
+                        field, precip_thr, struct_radius, mask_rim
+                    )
+
+                out_field = model_warp_coarse(
+                    field, disp_j, (m, n), coarse,
+                    max_disp=max_disp, interp_order=interp_order,
+                    cval=jnp.nan,
+                )
             out_field = jnp.where(domain_mask, jnp.nan, out_field)
             return key, casc_j, mask_j, disp_j, out_field
 

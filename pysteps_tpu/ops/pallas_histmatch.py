@@ -176,13 +176,14 @@ def prepare_target(ranked, zvalue_trg):
     return ranked, zvalue_trg, c_t, tlo, tscale, n_wet_trg
 
 
-@jax.jit
-def match_cdf_pwl(initial, tstate):
-    """Piecewise-linear equivalent of ``_match_cdf_presorted``
-    (reference: postprocessing/probmatching.py:55 semantics: rank-conserving
-    value transfer, wet-area-ratio adjustment, zero-pixel override)."""
+def build_pwl_coeffs(initial, tstate):
+    """LUT build for the PWL match: knot placement, exact-rank
+    measurement, target quantiles, wet-area adjustment, delta rows.
+
+    Returns ``(edges, d0, d1, q0, zvalue, zvalue_trg)`` — everything the
+    apply kernels (flat or hierarchical) need.  Traceable; runs once per
+    (member, lead) inside the scan."""
     ranked, zvalue_trg, c_t, tlo, tscale, n_wet_trg = tstate
-    shape = initial.shape
     size = initial.size
     init = initial.reshape(-1)
 
@@ -276,6 +277,17 @@ def match_cdf_pwl(initial, tstate):
     c0 = jnp.concatenate([q[:-1] - slope[:-1] * edges[:-1], q[-1:]])
     d0 = jnp.diff(c0, prepend=q[:1])
     d1 = jnp.diff(slope, prepend=jnp.zeros((1,)))
+    return edges, d0, d1, q[0], zvalue, zvalue_trg
+
+
+@jax.jit
+def match_cdf_pwl(initial, tstate):
+    """Piecewise-linear equivalent of ``_match_cdf_presorted``
+    (reference: postprocessing/probmatching.py:55 semantics: rank-conserving
+    value transfer, wet-area-ratio adjustment, zero-pixel override)."""
+    shape = initial.shape
+    init = initial.reshape(-1)
+    edges, d0, d1, q0, zvalue, zvalue_trg = build_pwl_coeffs(init, tstate)
     # triple-bfloat16 split of the delta rows: the MXU consumes bf16, and
     # three rows reconstruct f32-accurate sums even for steep segments.
     # The split masks mantissa bits (bf16 == the top 16 bits of an f32)
@@ -297,6 +309,6 @@ def match_cdf_pwl(initial, tstate):
     for i, row in enumerate(split3(d0) + split3(d1)):
         w = w.at[i].set(row)
 
-    out = pwl_apply(init, edges, w, q[0])
+    out = pwl_apply(init, edges, w, q0)
     out = jnp.where(init == zvalue, zvalue_trg, out)
     return out.reshape(shape)
