@@ -53,7 +53,10 @@ HEADLINE_CONFIGS = [
 # banked as their own entries (the 512 headline stays comparable across
 # rounds), attempted after the headline climb
 LARGE_CONFIGS = [
-    (96, 1024, 16),
+    # bf16 output (the large-grid operating point, same policy as 2048)
+    # lets the in-scan member chunk widen 16 -> 32: r5 measured 2.65 s
+    # (f32, mc=16) -> 2.12 s (bf16, mc=32); mc=48 RESOURCE_EXHAUSTED
+    (96, 1024, 32),
     # CONUS-scale: 1-km ~2048^2 (BASELINE.json north star).  bf16 output
     # stack (f32 would be 19.3 GB > 15.75 GB HBM) + outer member chunks
     # of 4 (chunks of 6 and 8 measured RESOURCE_EXHAUSTED next to the
@@ -174,8 +177,10 @@ def run_child_steps(n_members, side, member_chunk=None, noise="nonparametric"):
     kwargs = _steps_kwargs(n_members, noise)
     if member_chunk:
         kwargs["member_chunk"] = member_chunk
-    if n_members * N_TIMESTEPS * side * side * 4 > 12_000_000_000:
-        # full f32 output stack would not fit next to the scan state
+    if side >= 1024:
+        # large-grid operating point: bf16 output stack (at 2048 a f32
+        # stack would not even fit; at 1024 the freed headroom buys a
+        # 2x-wider in-scan member chunk, +27% measured)
         kwargs["output_dtype"] = "bfloat16"
     # device-resident inputs: measures compute throughput (a production
     # pipeline uploads the radar fields once); over the axon tunnel
