@@ -77,6 +77,10 @@ SECONDARY = [
     ("linda", {"side": 512}, "linda_512"),
     ("blend", {"side": 256, "members": 96}, "blend_256"),
     ("blend", {"side": 512, "members": 96}, "blend_512"),
+    # CONUS-scale blending (BASELINE config #5): outer member chunks +
+    # bf16 output mirror the STEPS large-grid policy
+    ("blend", {"side": 1024, "members": 96}, "blend_1024"),
+    ("blend", {"side": 2048, "members": 96}, "blend_2048"),
     ("sseps", {"side": 256, "members": 24}, "sseps_256"),
     ("sseps", {"side": 512, "members": 24}, "sseps_512"),
     ("lagprob", {"side": 512}, "lagprob_512"),
@@ -257,12 +261,23 @@ def run_child_model(model, side, members=0):
         nwp = (nwp + 0.3 * rng.randn(*nwp.shape)).astype(np.float32)[None]
         from pysteps_tpu import blending
 
+        extra = {}
+        if side >= 1024:
+            # large-grid operating point: the spatial cascade carry
+            # (extrap+noise x AR(2) x 8 levels) is ~13 GB at 96x1024^2 —
+            # outer member chunks + bf16 output, as for STEPS
+            extra = dict(
+                output_dtype="bfloat16",
+                member_chunk=12 if side == 1024 else 2,
+            )
+
         def fn(seed):
             return blending.steps.forecast(
                 db, nwp, velocity, velocity[None], N_TIMESTEPS, 5.0,
                 n_ens_members=members, n_cascade_levels=8,
                 precip_thr=-10.0, kmperpixel=1.0, seed=seed,
                 noise_method="nonparametric", vel_pert_method=None,
+                **extra,
             )
 
         frames = members * N_TIMESTEPS

@@ -25,6 +25,7 @@ TPU-native redesign:
 
 import dataclasses
 import functools
+import os
 import time
 
 import jax
@@ -293,6 +294,7 @@ def blend_means_sigmas(means, sigmas, weights):
         "int_steps", "mask_method", "probmatching", "resample_distribution",
         "mask_rim", "struct_radius", "E", "noise_filt_shape", "external",
         "max_disp", "vel_pert", "p_par", "p_perp", "use_noise",
+        "vel_coarse",
     ),
 )
 def _blending_scan(
@@ -305,7 +307,7 @@ def _blending_scan(
     external=False, ext_cascades=None, ext_means=None, ext_sigmas=None,
     max_disp=None, vel_pert=False, p_par=None, p_perp=None,
     eps_par=None, eps_perp=None, vsf=1.0, timestep_min=1.0,
-    use_noise=True, t_offset=0, carry_init=None,
+    use_noise=True, t_offset=0, carry_init=None, vel_coarse=False,
 ):
     """The blended forecast loop.
 
@@ -329,9 +331,14 @@ def _blending_scan(
     if max_disp is not None and coarse > 1:
         T_, nm_ = velocity_blend.shape[:2]
         mc, nc = m // coarse, n // coarse
-        vel_all = velocity_blend.reshape(
-            T_, nm_, 2, mc, coarse, nc, coarse
-        ).mean(axis=(-3, -1))
+        if vel_coarse:
+            # caller already pooled (outer-chunk path: keeps the full-res
+            # (T, n_models, 2, m, n) stack — 805 MB at 2048^2 — off HBM)
+            vel_all = velocity_blend
+        else:
+            vel_all = velocity_blend.reshape(
+                T_, nm_, 2, mc, coarse, nc, coarse
+            ).mean(axis=(-3, -1))
         displacement0 = jnp.zeros((E, 2, mc, nc), jnp.float32)
     else:
         vel_all = velocity_blend
@@ -577,6 +584,8 @@ def forecast(
     nowcasting_method="steps",
     timestep_start_full_nwp_weight=None,
     mesh=None,
+    output_dtype="float32",
+    member_chunk=None,
 ):
     """STEPS blending forecast (reference: blending/steps.py:3383).
 
@@ -1047,6 +1056,85 @@ def forecast(
             return None, init_time, loop_time
         return None
 
+    # Outer member chunking for memory-desperate large grids (mirrors
+    # nowcasts/steps.py): the scan carry holds every member's SPATIAL
+    # cascade state (extrap + noise: E x k x p x m x n x 2) next to the
+    # full output stack — 96 members at 1024^2 is ~13 GB of carry alone.
+    # Running the whole time scan per member chunk keeps one chunk's
+    # state live; chunk outputs land member-major in a donated buffer.
+    state_bytes = (
+        n_ens_members * n_cascade_levels * ar_order * m * n * 4 * 2
+    )
+    out_itemsize = 2 if output_dtype == "bfloat16" else 4
+    out_bytes = n_ens_members * int_steps * m * n * out_itemsize
+    outer_thr = int(
+        os.environ.get("PYSTEPS_TPU_OUTER_CHUNK_BYTES", 12_500_000_000)
+    )
+    if (
+        member_chunk
+        and n_ens_members % member_chunk == 0
+        and not spatial
+        and subsel is None
+        and state_bytes + out_bytes > outer_thr
+    ):
+        E = n_ens_members
+        out = jnp.zeros((E, int_steps, m, n), output_dtype)
+        upd = jax.jit(
+            lambda buf, chunk, i: jax.lax.dynamic_update_slice(
+                buf,
+                jnp.swapaxes(chunk, 0, 1).astype(buf.dtype),
+                (i, 0, 0, 0),
+            ),
+            donate_argnums=0,
+        )
+        # slim the chunk-invariant device buffers (they stay live across
+        # every chunk next to the full output stack): pre-pool the
+        # per-step velocities to the coarse displacement grid (the scan
+        # only ever consumes the pooled form) and store the normalized
+        # NWP cascades as bf16 (they re-promote to f32 in the weighted
+        # recompose; ~0.4% of a unit-variance level, re-anchored by the
+        # CDF match)
+        base_args = list(scan_args)
+        coarse_f = (
+            4 if (max_disp is not None and m % 4 == 0 and n % 4 == 0) else 1
+        )
+        vel_coarse_flag = False
+        if coarse_f > 1:
+            vb = base_args[4]
+            T_, nm_ = vb.shape[:2]
+            base_args[4] = vb.reshape(
+                T_, nm_, 2, m // coarse_f, coarse_f, n // coarse_f, coarse_f
+            ).mean(axis=(-3, -1))
+            vel_coarse_flag = True
+        base_args[5] = base_args[5].astype(jnp.bfloat16)   # nwp cascades
+        for c0 in range(0, E, member_chunk):
+            args_c = list(base_args)
+            args_c[3] = scan_args[3][c0 : c0 + member_chunk]   # member_keys
+            args_c[9] = scan_args[9][c0 : c0 + member_chunk]   # member_model
+            kwargs_c = dict(
+                scan_kwargs, E=member_chunk, vel_coarse=vel_coarse_flag
+            )
+            for k in ("eps_par", "eps_perp"):
+                if scan_kwargs.get(k) is not None:
+                    kwargs_c[k] = scan_kwargs[k][c0 : c0 + member_chunk]
+            if scan_kwargs.get("ext_cascades") is not None:
+                kwargs_c["ext_cascades"] = scan_kwargs["ext_cascades"][
+                    :, c0 : c0 + member_chunk
+                ]
+            _, out_c = _blending_scan(*args_c, int_steps, **kwargs_c)
+            out = upd(out, out_c, jnp.int32(c0))
+            del out_c
+        out.block_until_ready()
+        loop_time = time.time() - t1
+        if callback is not None:
+            arr = np.asarray(out)
+            for t in range(arr.shape[1]):
+                callback(arr[:, t])
+        result = out if return_output else None
+        if measure_time:
+            return result, init_time, loop_time
+        return result
+
     if spatial:
         from pysteps_tpu.parallel.sharded_blending import blending_scan_sharded
 
@@ -1057,6 +1145,8 @@ def forecast(
     else:
         _, out = _blending_scan(*scan_args, int_steps, **scan_kwargs)
     out = jnp.swapaxes(out, 0, 1)
+    if output_dtype != "float32":
+        out = out.astype(output_dtype)
     # completion only — np.asarray here fetched the full (E, T, m, n)
     # stack through the ~18 MB/s tunnel (~12 s for 96x12x256^2, ~10x the
     # actual device time) inside every call

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-_MAX_SIDE = 1024
+from pysteps_tpu.tuning import MATFFT_MAX_SIDE as _MAX_SIDE
 
 
 @functools.lru_cache(maxsize=8)

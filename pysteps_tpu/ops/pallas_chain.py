@@ -45,7 +45,7 @@ _BIG = 1e9
 INTERPRET = False
 # whole-field kernels: ~5 persistent + ~4 transient field buffers must
 # sit under the 16 MB scoped-vmem stack
-_MAX_FIELD_BYTES = 1_200_000
+from pysteps_tpu.tuning import CHAIN_MAX_FIELD_BYTES as _MAX_FIELD_BYTES
 
 
 def supported(shape):

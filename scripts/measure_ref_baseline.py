@@ -213,6 +213,7 @@ def main():
     for model, side in [("extrap", 512), ("sprog", 512), ("anvil", 512),
                         ("linda", 256), ("linda", 512),
                         ("blend", 256), ("blend", 512),
+                        ("blend", 1024), ("blend", 2048),
                         ("sseps", 256), ("sseps", 512),
                         ("lagprob", 512), ("pca_enkf", 256),
                         ("rainfarm", 512)]:

@@ -504,3 +504,49 @@ def test_steps_blending_parametric_noise(blending_data):
     assert np.all(np.isfinite(fc))
     crps = probscores.CRPS(fc[:, -1], db[4])
     assert crps < 3.0, f"parametric blended CRPS {crps}"
+
+
+def test_blending_outer_member_chunk_matches(monkeypatch, sequence_db=None):
+    """The memory-desperate outer member-chunk path (bf16 output, pooled
+    velocities, bf16 NWP cascades) must reproduce the unchunked forecast
+    within bf16 output resolution."""
+    import numpy as np
+
+    from pysteps_tpu import blending
+    from tests.helpers import make_synthetic_sequence
+
+    frames = np.asarray(
+        make_synthetic_sequence(n_frames=3, shape=(64, 64),
+                                velocity=(1.0, 0.5), seed=5)
+    )
+    db = (10 * np.log10(np.maximum(frames, 0.01) / 0.01) - 10.0).astype(
+        np.float32
+    )
+    velocity = np.zeros((2, 64, 64), np.float32)
+    velocity[0], velocity[1] = 1.0, 0.5
+    rng = np.random.RandomState(2)
+    nwp = np.repeat(db[-1][None], 4, axis=0)[None] + 0.3 * rng.randn(
+        1, 4, 64, 64
+    ).astype(np.float32)
+    kwargs = dict(
+        n_ens_members=4, n_cascade_levels=4, precip_thr=-10.0,
+        kmperpixel=1.0, seed=9, noise_method="nonparametric",
+        vel_pert_method=None,
+    )
+    ref = np.asarray(
+        blending.steps.forecast(db, nwp, velocity, velocity[None], 3, 5.0,
+                                **kwargs)
+    )
+    monkeypatch.setenv("PYSTEPS_TPU_OUTER_CHUNK_BYTES", "1")
+    out = np.asarray(
+        blending.steps.forecast(
+            db, nwp, velocity, velocity[None], 3, 5.0,
+            output_dtype="bfloat16", member_chunk=2, **kwargs,
+        )
+    ).astype(np.float32)
+    assert out.shape == ref.shape
+    # bf16 output resolution ~0.4% of magnitude; NWP-cascade bf16 storage
+    # adds a comparable perturbation before CDF matching re-anchors
+    span = np.nanmax(ref) - np.nanmin(ref)
+    d = np.nanmax(np.abs(np.nan_to_num(out) - np.nan_to_num(ref)))
+    assert d < 0.05 * max(span, 1.0), d
