@@ -288,6 +288,20 @@ def blend_means_sigmas(means, sigmas, weights):
     return combined_means, combined_sigmas
 
 
+@jax.jit
+def _presort_targets(precip_last, nwp_fields, precip_min):
+    """Descending-sorted radar + per-(t, model) NWP intensity
+    distributions for the resampled CDF match."""
+    rsort_desc = jnp.sort(precip_last.ravel())[::-1]
+    nsorts_desc = jnp.sort(
+        jnp.where(jnp.isnan(nwp_fields), precip_min, nwp_fields).reshape(
+            nwp_fields.shape[0], nwp_fields.shape[1], -1
+        ),
+        axis=-1,
+    )[..., ::-1]
+    return rsort_desc, nsorts_desc
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -308,6 +322,7 @@ def _blending_scan(
     max_disp=None, vel_pert=False, p_par=None, p_perp=None,
     eps_par=None, eps_perp=None, vsf=1.0, timestep_min=1.0,
     use_noise=True, t_offset=0, carry_init=None, vel_coarse=False,
+    sorts_pre=None,
 ):
     """The blended forecast loop.
 
@@ -350,15 +365,16 @@ def _blending_scan(
     # hoisted sorted intensity distributions for resampled CDF matching:
     # the radar sort is call-constant and the NWP sorts depend only on
     # (t, model) — in-scan they cost 2 of the 4 per-step sorts the r4
-    # trace found (~150 ms of a 1.0 s device scan at 96x256^2)
+    # trace found (~150 ms of a 1.0 s device scan at 96x256^2).  The
+    # outer member-chunk path passes them pre-sorted (``sorts_pre``) so
+    # they are computed once, not once per chunk.
     if probmatching == "cdf" and resample_distribution:
-        rsort_desc = jnp.sort(precip_last.ravel())[::-1]
-        nsorts_desc = jnp.sort(
-            jnp.where(jnp.isnan(nwp_fields), precip_min, nwp_fields).reshape(
-                nwp_fields.shape[0], nwp_fields.shape[1], -1
-            ),
-            axis=-1,
-        )[..., ::-1]
+        if sorts_pre is not None:
+            rsort_desc, nsorts_desc = sorts_pre
+        else:
+            rsort_desc, nsorts_desc = _presort_targets(
+                precip_last, nwp_fields, precip_min
+            )
     else:
         rsort_desc = nsorts_desc = None
 
@@ -1095,6 +1111,15 @@ def forecast(
         # recompose; ~0.4% of a unit-variance level, re-anchored by the
         # CDF match)
         base_args = list(scan_args)
+        member_keys_all = scan_args[3]
+        member_model_all = scan_args[9]
+        # FREE the full-resolution originals FIRST: the slimmed copies
+        # below must not sit next to them (velocities 805 MB + f32 NWP
+        # cascades 1.6 GB + the pre-swapaxes NWP locals ~2 GB at 2048^2
+        # OOMed the target presort before anything even ran)
+        del scan_args
+        nwp_levels = nwp_means_all = nwp_sigmas_all = None
+        precip_models_used = velocity_blend = None
         coarse_f = (
             4 if (max_disp is not None and m % 4 == 0 and n % 4 == 0) else 1
         )
@@ -1102,17 +1127,29 @@ def forecast(
         if coarse_f > 1:
             vb = base_args[4]
             T_, nm_ = vb.shape[:2]
-            base_args[4] = vb.reshape(
-                T_, nm_, 2, m // coarse_f, coarse_f, n // coarse_f, coarse_f
-            ).mean(axis=(-3, -1))
+            base_args[4] = jax.jit(
+                lambda v: v.reshape(
+                    T_, nm_, 2, m // coarse_f, coarse_f,
+                    n // coarse_f, coarse_f,
+                ).mean(axis=(-3, -1))
+            )(vb)
             vel_coarse_flag = True
+            del vb
         base_args[5] = base_args[5].astype(jnp.bfloat16)   # nwp cascades
+        # sort the CDF-match targets ONCE (they are chunk-invariant; the
+        # in-scan hoist would redo them per chunk)
+        sorts_pre = None
+        if probmatching_method == "cdf" and bool(resample_distribution):
+            sorts_pre = _presort_targets(
+                base_args[18], base_args[8], base_args[19]
+            )
         for c0 in range(0, E, member_chunk):
             args_c = list(base_args)
-            args_c[3] = scan_args[3][c0 : c0 + member_chunk]   # member_keys
-            args_c[9] = scan_args[9][c0 : c0 + member_chunk]   # member_model
+            args_c[3] = member_keys_all[c0 : c0 + member_chunk]
+            args_c[9] = member_model_all[c0 : c0 + member_chunk]
             kwargs_c = dict(
-                scan_kwargs, E=member_chunk, vel_coarse=vel_coarse_flag
+                scan_kwargs, E=member_chunk, vel_coarse=vel_coarse_flag,
+                sorts_pre=sorts_pre,
             )
             for k in ("eps_par", "eps_perp"):
                 if scan_kwargs.get(k) is not None:

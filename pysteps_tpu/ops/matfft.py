@@ -50,13 +50,33 @@ def _idft_mats(m, n):
 
 def supported(shape):
     m, n = shape
-    return m <= _MAX_SIDE and n <= _MAX_SIDE
+    if m <= _MAX_SIDE and n <= _MAX_SIDE:
+        return True
+    # beyond the dense-matrix window: four-step factorized matmul DFT
+    # (ops/fourstep.py) — needs even n and power-of-two-factorable axes
+    from pysteps_tpu.ops import fourstep
+
+    return bool(
+        n % 2 == 0
+        and fourstep._factor(m) is not None
+        and fourstep._factor(n // 2) is not None
+    )
 
 
 def irfft2_mat(spec, shape, precision="high"):
     """Inverse rfft2 of a complex (..., m, n//2+1) half-plane via DFT
-    matmuls; equivalent to ``jnp.fft.irfft2(spec, s=shape)``."""
+    matmuls; equivalent to ``jnp.fft.irfft2(spec, s=shape)``.  Sides
+    beyond the dense-matrix window route through the four-step
+    factorized matmuls (ops/fourstep.py)."""
     m, n = shape
+    if m > _MAX_SIDE or n > _MAX_SIDE:
+        from pysteps_tpu.ops import fourstep
+
+        yr, yi = fourstep.fft_c2c(
+            jnp.real(spec), jnp.imag(spec), inverse=True, axis=-2,
+            precision=precision,
+        )
+        return fourstep.irfft_last(yr / m, yi / m, precision=precision)
     C, S, Cr, Sr = _idft_mats(m, n)
     ein = functools.partial(jnp.einsum, precision=precision)
     Xr = jnp.real(spec)
@@ -86,6 +106,14 @@ def rfft2_mat(field, precision="high"):
     """rfft2 of a real (..., m, n) field via DFT matmuls; equivalent to
     ``jnp.fft.rfft2(field)`` (no normalization, half-plane output)."""
     m, n = field.shape[-2:]
+    if m > _MAX_SIDE or n > _MAX_SIDE:
+        from pysteps_tpu.ops import fourstep
+
+        zr, zi = fourstep.rfft_last(field, precision=precision)
+        xr, xi = fourstep.fft_c2c(
+            zr, zi, inverse=False, axis=-2, precision=precision
+        )
+        return jax.lax.complex(xr, xi)
     C, S, CrT, SrT = _dft_mats(m, n)
     ein = functools.partial(jnp.einsum, precision=precision)
     # stage 1: length-n r2c DFT over the last axis
