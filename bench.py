@@ -783,11 +783,20 @@ def main():
             "unit": "fields/s",
             "vs_baseline": round(rate / ref, 2) if ref else None,
         }
-        if ref is None:
+        if method in ("vet", "proesmans"):
+            # honesty caveat: the baseline is a NumPy-vectorized port of
+            # the reference's OpenMP Cython (unbuildable here); a
+            # compiled prange kernel would plausibly run ~10-30x faster
+            # than the port, so vs_baseline OVERSTATES the margin over
+            # the real reference
             entry["note"] = (
-                "reference native extension unbuildable here (no Cython)"
-                if method in ("vet", "proesmans") else "no reference baseline"
+                "baseline = NumPy-vectorized port of the reference "
+                "Cython (_vet.pyx/_proesmans.pyx unbuildable, no "
+                "Cython); the true margin over a compiled OpenMP "
+                "reference is smaller"
             )
+        elif ref is None:
+            entry["note"] = "no reference baseline"
         bank.add(f"motion_{method}", entry)
 
     # ---- scaling sweeps (virtual CPU mesh proxy; no TPU involved) ----

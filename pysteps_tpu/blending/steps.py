@@ -291,14 +291,16 @@ def blend_means_sigmas(means, sigmas, weights):
 @jax.jit
 def _presort_targets(precip_last, nwp_fields, precip_min):
     """Descending-sorted radar + per-(t, model) NWP intensity
-    distributions for the resampled CDF match."""
+    distributions for the resampled CDF match.  The NWP sorts run
+    sequentially (lax.map over lead times): the batched TPU sort's
+    workspace for 12 x 4.2M rows at once OOMed the 2048^2 config."""
     rsort_desc = jnp.sort(precip_last.ravel())[::-1]
-    nsorts_desc = jnp.sort(
-        jnp.where(jnp.isnan(nwp_fields), precip_min, nwp_fields).reshape(
-            nwp_fields.shape[0], nwp_fields.shape[1], -1
-        ),
-        axis=-1,
-    )[..., ::-1]
+    flat = jnp.where(jnp.isnan(nwp_fields), precip_min, nwp_fields).reshape(
+        nwp_fields.shape[0], nwp_fields.shape[1], -1
+    )
+    nsorts_desc = jax.lax.map(
+        lambda row: jnp.sort(row, axis=-1)[..., ::-1], flat
+    )
     return rsort_desc, nsorts_desc
 
 
@@ -1094,7 +1096,6 @@ def forecast(
         and state_bytes + out_bytes > outer_thr
     ):
         E = n_ens_members
-        out = jnp.zeros((E, int_steps, m, n), output_dtype)
         upd = jax.jit(
             lambda buf, chunk, i: jax.lax.dynamic_update_slice(
                 buf,
@@ -1119,7 +1120,7 @@ def forecast(
         # OOMed the target presort before anything even ran)
         del scan_args
         nwp_levels = nwp_means_all = nwp_sigmas_all = None
-        precip_models_used = velocity_blend = None
+        precip_models_used = velocity_blend = cascades_full = None
         coarse_f = (
             4 if (max_disp is not None and m % 4 == 0 and n % 4 == 0) else 1
         )
@@ -1136,6 +1137,10 @@ def forecast(
             vel_coarse_flag = True
             del vb
         base_args[5] = base_args[5].astype(jnp.bfloat16)   # nwp cascades
+        # sync: the frees above only take effect once queued init work
+        # drains; without this the presort dispatches against a device
+        # still holding the full-resolution buffers
+        base_args[5].block_until_ready()
         # sort the CDF-match targets ONCE (they are chunk-invariant; the
         # in-scan hoist would redo them per chunk)
         sorts_pre = None
@@ -1143,6 +1148,10 @@ def forecast(
             sorts_pre = _presort_targets(
                 base_args[18], base_args[8], base_args[19]
             )
+            jax.tree.map(lambda a: a.block_until_ready(), sorts_pre)
+        # the 9.7 GB output stack allocates only AFTER the presort (its
+        # sort workspace needs the headroom)
+        out = jnp.zeros((E, int_steps, m, n), output_dtype)
         for c0 in range(0, E, member_chunk):
             args_c = list(base_args)
             args_c[3] = member_keys_all[c0 : c0 + member_chunk]

@@ -225,4 +225,9 @@ def test_steps_fractional_timesteps():
     lo = np.minimum(out_frac[:, 0], out_frac[:, 2])
     hi = np.maximum(out_frac[:, 0], out_frac[:, 2])
     mid = out_frac[:, 1]
-    assert np.all(mid >= lo - 1e-4) and np.all(mid <= hi + 1e-4)
+    # outside-domain inflow pixels are NaN (reference outval semantics):
+    # bound the interpolant only where all three frames are finite
+    ok = np.isfinite(lo) & np.isfinite(hi) & np.isfinite(mid)
+    assert ok.mean() > 0.8
+    assert np.all(mid[ok] >= lo[ok] - 1e-4)
+    assert np.all(mid[ok] <= hi[ok] + 1e-4)
