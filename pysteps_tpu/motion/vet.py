@@ -500,9 +500,19 @@ def vet(
         # scipy CG on the Cython cost+gradient; float32 device math breaks
         # scipy's Wolfe line searches, and a fixed-step first-order loop
         # stays entirely on the accelerator)
+        # per-scale budget: every Adam step costs the same (the warp
+        # dominates, independent of sector count), but the coarse scales
+        # optimize 8-32 parameters that converge well before 150 steps —
+        # their job is only to seed the finer scales (r5 profile: each
+        # scale's fixed 150 steps was ~1.0 s of a 4.2 s solve)
+        n_scale_steps = (
+            max(maxiter, 150)
+            if max(int(si), int(sj)) > 4
+            else max(maxiter, 80)
+        )
         x, final_cost = _minimize_adam(
             pairs_cost, jnp.asarray(guess.ravel(), jnp.float32),
-            n_steps=max(maxiter, 150),
+            n_steps=n_scale_steps,
         )
         guess = np.asarray(x, np.float64).reshape(guess.shape)
         if verbose:

@@ -53,7 +53,17 @@ def supported(shape):
     if m <= _MAX_SIDE and n <= _MAX_SIDE:
         return True
     # beyond the dense-matrix window: four-step factorized matmul DFT
-    # (ops/fourstep.py) — needs even n and power-of-two-factorable axes
+    # (ops/fourstep.py) — needs even n and power-of-two-factorable axes.
+    # OPT-IN above the window (PYSTEPS_TPU_FOURSTEP=1): the roundtrip
+    # measured 1.34x faster than the XLA FFT at 2048^2 (1767 vs 2370
+    # us/member), but its transpose/reshape transients (~1-1.5 GB per
+    # member chunk in-scan) OOM the memory-desperate 96x2048^2 STEPS
+    # config that is this path's only large-grid consumer — a measured
+    # speed-vs-memory tradeoff, kept as tested infrastructure.
+    import os
+
+    if not os.environ.get("PYSTEPS_TPU_FOURSTEP"):
+        return False
     from pysteps_tpu.ops import fourstep
 
     return bool(

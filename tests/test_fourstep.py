@@ -34,9 +34,13 @@ def test_fourstep_1d_matches_numpy(n):
     assert np.abs(np.asarray(back) - x).max() < 1e-5
 
 
-def test_matfft_routes_large_grids():
+def test_matfft_routes_large_grids(monkeypatch):
     from pysteps_tpu.ops import matfft
 
+    # the large-grid window is opt-in (speed-vs-memory tradeoff; see
+    # matfft.supported)
+    assert not matfft.supported((2048, 2048))
+    monkeypatch.setenv("PYSTEPS_TPU_FOURSTEP", "1")
     assert matfft.supported((2048, 2048))
     assert matfft.supported((1536, 2048))
     rng = np.random.RandomState(1)
