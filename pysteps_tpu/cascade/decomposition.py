@@ -158,15 +158,17 @@ def recompose_spectral_core(levels_fft, means, stds, shape, packed=False):
 
     size = shape[0] * shape[1]
     use_mat = matfft.use_matfft() and matfft.supported(shape)
-    if packed or use_mat:
+    if shape[0] * shape[1] <= 1024 * 1024:
         out_fft = jnp.sum(levels_fft * stds[:, None, None], axis=0)
     else:
-        # XLA-FFT path (beyond matfft's window, e.g. 2048^2+): unroll the
+        # large grids (2048^2+, any transform backend): unroll the
         # k-level weighted sum.  The reduce formulation makes XLA pick a
         # level-minor layout for the (E, k, m, n/2+1) cube inside the scan
         # and materialize two tile-padded copies at 16x expansion — 8 GB
-        # each at 96x2048^2 (measured, r4) — OOMing HBM; k static
-        # multiply-adds fuse into one natural-layout pass instead.
+        # each at 96x2048^2 (measured, r4; re-hit in r5 when the dense
+        # DFT-matmul window moved to 2048 and this branch still used the
+        # reduce form) — OOMing HBM; k static multiply-adds fuse into
+        # one natural-layout pass instead.
         out_fft = levels_fft[0] * stds[0]
         for kk in range(1, levels_fft.shape[0]):
             out_fft = out_fft + levels_fft[kk] * stds[kk]

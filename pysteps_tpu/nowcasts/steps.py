@@ -842,7 +842,12 @@ def _steps_forecast(precip, velocity, timesteps, cfg, domain_mask, vmax=None):
             ),
             donate_argnums=0,
         )
-        chunk_static = dict(cfg_static, E=mc, member_chunk=None)
+        from pysteps_tpu import tuning as _tuning
+
+        chunk_static = dict(
+            cfg_static, E=mc,
+            member_chunk=_tuning.inner_chunk_for_outer(m, n, mc),
+        )
         for c0 in range(0, E, mc):
             args_c = list(scan_args)
             for mi in _scan_member_idx():  # member_keys, eps_par, eps_perp
@@ -1245,10 +1250,10 @@ def _steps_scan(
                         field.reshape(-1), pm_state
                     )
                 )
-                e16_c, M3_c = pallas_chain.pack_hier_lut(edges_c, d0_c, d1_c)
+                e8_c, T_c = pallas_histmatch.pack_gather_lut(edges_c, d0_c, d1_c)
                 dy_f, disp_t = upsample_planes(disp_j, (m, n), coarse)
                 out_field, rim_new = pallas_chain.match_warp_rim(
-                    field, e16_c, M3_c, q0_c, zval_c, ztrg_c,
+                    field, e8_c, T_c, q0_c, zval_c, ztrg_c,
                     jnp.float32(precip_thr), dy_f, disp_t, jnp.nan,
                     max_disp,
                     struct_radius if struct_radius else 1,

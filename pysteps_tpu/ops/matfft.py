@@ -54,15 +54,16 @@ def supported(shape):
         return True
     # beyond the dense-matrix window: four-step factorized matmul DFT
     # (ops/fourstep.py) — needs even n and power-of-two-factorable axes.
-    # OPT-IN above the window (PYSTEPS_TPU_FOURSTEP=1): the roundtrip
-    # measured 1.34x faster than the XLA FFT at 2048^2 (1767 vs 2370
-    # us/member), but its transpose/reshape transients (~1-1.5 GB per
-    # member chunk in-scan) OOM the memory-desperate 96x2048^2 STEPS
-    # config that is this path's only large-grid consumer — a measured
-    # speed-vs-memory tradeoff, kept as tested infrastructure.
+    # The roundtrip measured 1.34x faster than the XLA FFT at 2048^2
+    # (1767 vs 2580 us/member); its transpose/reshape transients
+    # (~0.25-0.4 GB per member) are bounded by the in-scan member
+    # sub-chunk the outer-chunk path applies above the dense window
+    # (tuning.inner_chunk_for_outer), which is what let this flip from
+    # the r5 opt-in to default-on.  PYSTEPS_TPU_NO_FOURSTEP=1 restores
+    # the XLA FFT above the window.
     import os
 
-    if not os.environ.get("PYSTEPS_TPU_FOURSTEP"):
+    if os.environ.get("PYSTEPS_TPU_NO_FOURSTEP"):
         return False
     from pysteps_tpu.ops import fourstep
 

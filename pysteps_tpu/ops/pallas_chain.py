@@ -11,17 +11,17 @@ pixel (measured r5: match 52 us + rim 7 us + warp 49 us per member at
 512^2 while a field pass costs ~3 us).  Fused, the matched field lives
 in VMEM scratch and is consumed in place by both the rim
 distance-transform and the vertical resample, and the PWL map is
-evaluated hierarchically:
+evaluated hierarchically with the sublane-gather formulation
+(ops/pallas_histmatch.py::_pwl_gather_kernel):
 
-* 16 coarse compares pick the 8-edge block (exact one-hot from adjacent
-  differences of the step vector);
-* one tiny batched MXU matmul against a stationary (72, 16) selection
-  matrix gathers the block's fine edges, deltas and prefix sums — the
-  matrix rows are bf16-masked f32 triples, so selection by an exact 0/1
-  one-hot reconstructs full f32 precision;
-* 7 fine compares finish the segment sum.
+* 8 coarse compares pick the 16-edge block;
+* span-8 sublane ``take_along_axis`` gathers select the block's 15
+  fine edges, deltas and prefix sums from an f32 (8, 48) table —
+  exact, no MXU contraction (the one-hot-matmul variant this replaced
+  was bound by its padded MXU contraction, ~6% utilization);
+* 15 fine compares finish the segment sum.
 
-Per-pixel compare work drops from ~256 ops to ~50.  The kernel pair
+The kernel pair
 (vertical stage + rim, then horizontal stage on the transposed
 intermediate) keeps every intermediate except one XLA transpose out of
 HBM: ~10 field passes total.
@@ -148,24 +148,45 @@ def _chunk_lerp(src, idx0, idx1, frac, lanes):
 
 
 def _k1_kernel(m, n, D, kr, r, rc, do_rim,
-               x_ref, e16_ref, M3_ref, scal_ref, dy_ref,
+               x_ref, e8_ref, T_ref, scal_ref, dy_ref,
                c_ref, mask_ref, matched_s):
     """Stage 1: PWL match into VMEM scratch, then vertical resample and
-    (optionally) the bounded-L1 rim mask, both reading the scratch."""
+    (optionally) the bounded-L1 rim mask, both reading the scratch.
+
+    The match stage is the r5 sublane-gather formulation (see
+    ops/pallas_histmatch.py::_pwl_gather_kernel): the one-hot matmul it
+    replaces was bound by a padded MXU contraction, not the compare
+    cube — the gather apply measured 2.5x faster standalone."""
     q0 = scal_ref[0, 0]
     thr = scal_ref[0, 1]
     zval = scal_ref[0, 2]
     ztrg = scal_ref[0, 3]
-    e16 = e16_ref[...]
-    Mv = jnp.broadcast_to(
-        M3_ref[...].astype(jnp.bfloat16)[None], (rc, 72, G)
-    )
+    e8 = e8_ref[...]  # (8, 1)
+    T = T_ref[...]  # (8, 48)
+    cols = [
+        jnp.broadcast_to(T[:, c : c + 1], (8, n)) for c in range(47)
+    ]
 
     def pwl_chunk(i, _):
-        x = x_ref[pl.ds(i * rc, rc), :]
-        out = q0 + _pwl_hier(x, e16, Mv)
-        # dry-pixel override (probmatching.py:110 semantics)
-        matched_s[pl.ds(i * rc, rc), :] = jnp.where(x == zval, ztrg, out)
+        for u in range(rc // 8):
+            r0 = pl.multiple_of(i * rc + u * 8, 8)
+            x = x_ref[pl.ds(r0, 8), :]
+            idx = jnp.zeros((8, n), jnp.int32)
+            for g in range(1, 8):
+                idx += (x >= e8[g, 0]).astype(jnp.int32)
+
+            def col(c):
+                return jnp.take_along_axis(cols[c], idx, axis=0)
+
+            acc0 = col(45)
+            acc1 = col(46)
+            for j in range(15):
+                sf = (x >= col(j)).astype(jnp.float32)
+                acc0 += col(15 + j) * sf
+                acc1 += col(30 + j) * sf
+            out = q0 + acc0 + x * acc1
+            # dry-pixel override (probmatching.py:110 semantics)
+            matched_s[pl.ds(r0, 8), :] = jnp.where(x == zval, ztrg, out)
         return 0
 
     jax.lax.fori_loop(0, m // rc, pwl_chunk, 0)
@@ -235,16 +256,17 @@ def _k2_kernel(m, n, D, ct_ref, dxt_ref, dyt_ref, scal_ref, out_ref, outt_s):
 @functools.partial(
     jax.jit, static_argnames=("D", "kr", "r", "do_rim")
 )
-def match_warp_rim(field, e16, M3, q0, zval, ztrg, thr, dy, disp_t, cval,
+def match_warp_rim(field, e8, T, q0, zval, ztrg, thr, dy, disp_t, cval,
                    D, kr, r, do_rim=True):
     """Fused PWL CDF match + dilated rim mask + bilinear warp.
 
-    ``field``: (m, n) masked forecast; ``e16``/``M3``: hierarchical LUT
-    from :func:`pack_hier_lut`; ``dy``: (m, n) vertical displacement;
-    ``disp_t``: (2, n, m) transposed displacement planes; ``D``: static
-    displacement bound.  Returns ``(warped, rim_mask)`` — equivalent to
-    ``match_cdf_pwl`` + ``compute_dilated_mask_from_field`` +
-    ``warp_fused_pallas`` at a third of the HBM passes.
+    ``field``: (m, n) masked forecast; ``e8``/``T``: gather LUT from
+    :func:`pysteps_tpu.ops.pallas_histmatch.pack_gather_lut`; ``dy``:
+    (m, n) vertical displacement; ``disp_t``: (2, n, m) transposed
+    displacement planes; ``D``: static displacement bound.  Returns
+    ``(warped, rim_mask)`` — equivalent to ``match_cdf_pwl`` +
+    ``compute_dilated_mask_from_field`` + ``warp_fused_pallas`` at a
+    third of the HBM passes.
     """
     m, n = field.shape
     D = int(-(-D // _TILE) * _TILE)
@@ -257,8 +279,8 @@ def match_warp_rim(field, e16, M3, q0, zval, ztrg, thr, dy, disp_t, cval,
                           bool(do_rim)),
         in_specs=[
             pl.BlockSpec((m, n), memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, 1), memory_space=pltpu.VMEM),
-            pl.BlockSpec((72, G), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 1), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 48), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 4), memory_space=pltpu.VMEM),
             pl.BlockSpec((m, n), memory_space=pltpu.VMEM),
         ],
@@ -273,7 +295,7 @@ def match_warp_rim(field, e16, M3, q0, zval, ztrg, thr, dy, disp_t, cval,
         scratch_shapes=[pltpu.VMEM((m, n), jnp.float32)],
         interpret=INTERPRET,
     )(
-        field.astype(jnp.float32), e16, M3, scal1, dy.astype(jnp.float32)
+        field.astype(jnp.float32), e8, T, scal1, dy.astype(jnp.float32)
     )
     scal2 = jnp.asarray(cval, jnp.float32).reshape(1, 1)
     out = pl.pallas_call(

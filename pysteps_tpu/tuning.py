@@ -50,9 +50,12 @@ CHAIN_MAX_FIELD_BYTES = 1_200_000
 HISTMATCH_ROWS_PER_CHUNK = 64
 
 #: DFT-by-matmul window (ops/matfft.py): the O(side) extra arithmetic
-#: rides the MXU free while HBM-bound up to 1024; beyond that the
-#: n^3 matmul cost overtakes the XLA FFT.
-MATFFT_MAX_SIDE = 1024
+#: rides the MXU free while HBM-bound up to 1024; at 2048 the dense
+#: contraction is MXU-bound but still measured faster than the XLA FFT
+#: (the VPU Cooley-Tukey achieves ~40 GB/s), with ~50 MB of constants
+#: and in-place einsum transients — unlike the four-step factorization,
+#: whose copy chains OOM the memory-desperate 96x2048^2 config.
+MATFFT_MAX_SIDE = 2048
 
 # ------------------------------------------------------------ advection
 #: static displacement bound for shift-decomposition/Pallas warps;
@@ -77,3 +80,19 @@ def outer_chunk_bytes():
     return int(
         os.environ.get("PYSTEPS_TPU_OUTER_CHUNK_BYTES", OUTER_CHUNK_BYTES)
     )
+
+
+def inner_chunk_for_outer(m, n, mc):
+    """In-scan member sub-chunk applied INSIDE outer member chunks.
+
+    The 96x2048^2 config has <0.5 GB of transient headroom next to its
+    12.3 GB of fixed buffers: the DFT-matmul spectral hop's bf16x3
+    einsum operand transients OOM a 4-member vmap (measured r5), so the
+    outer chunks run their member step through lax.map pairs.  Unlike
+    the XLA FFT (pathologically slow at small batch), the matmul DFT is
+    batch-insensitive here — its GEMM M dimension is ~2 * 1025 rows at
+    batch 2, already MXU-saturating.
+    """
+    if m * n > 2048 * 2048 and mc and mc > 2:
+        return 2
+    return None

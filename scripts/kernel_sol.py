@@ -134,6 +134,19 @@ def main():
     report(rows, "match_cdf_pwl_full", us, 3 * mb,
            note="apply + LUT build (subsample sort + tail count)")
 
+    # r5: the sublane-gather hierarchical apply (no MXU contraction)
+    def gather_apply(c):
+        e, d0, d1, q0g, zv, zt = ph.build_pwl_coeffs(
+            c.reshape(-1), tstate
+        )
+        e8, T = ph.pack_gather_lut(e, d0, d1)
+        return ph.pwl_apply_gather(c.reshape(-1), e8, T, q0g, zv, zt
+                                   ).reshape(c.shape)
+
+    us = bench(gather_apply, field, batch)
+    report(rows, "pwl_apply_gather_full", us, 3 * mb,
+           note="LUT build + span-8 sublane-gather apply (VPU only)")
+
     # --- fused spatial chain (match + rim + warp), when supported ---
     from pysteps_tpu.ops import pallas_chain as pc
 
@@ -142,7 +155,7 @@ def main():
             e, d0, d1, q0c, zv, zt = ph.build_pwl_coeffs(
                 c.reshape(-1), tstate
             )
-            e16, M3 = pc.pack_hier_lut(e, d0, d1)
+            e16, M3 = ph.pack_gather_lut(e, d0, d1)
             out, rim = pc.match_warp_rim(
                 c, e16, M3, q0c, zv, zt, jnp.float32(1.0), dy, disp_t,
                 jnp.float32(0.0), 48, 10, 10, do_rim=True,

@@ -37,12 +37,16 @@ def test_fourstep_1d_matches_numpy(n):
 def test_matfft_routes_large_grids(monkeypatch):
     from pysteps_tpu.ops import matfft
 
-    # the large-grid window is opt-in (speed-vs-memory tradeoff; see
-    # matfft.supported)
-    assert not matfft.supported((2048, 2048))
-    monkeypatch.setenv("PYSTEPS_TPU_FOURSTEP", "1")
+    # 2048 sits inside the dense-matrix window (r5: measured 1.54x
+    # faster than the XLA FFT with in-place transients); factorable
+    # grids beyond it route through the four-step matmuls unless the
+    # kill switch is set
     assert matfft.supported((2048, 2048))
     assert matfft.supported((1536, 2048))
+    assert matfft.supported((4096, 4096))
+    monkeypatch.setenv("PYSTEPS_TPU_NO_FOURSTEP", "1")
+    assert not matfft.supported((4096, 4096))
+    monkeypatch.delenv("PYSTEPS_TPU_NO_FOURSTEP")
     rng = np.random.RandomState(1)
     m, n = 2048, 2048
     x = rng.randn(m, n).astype(np.float32)

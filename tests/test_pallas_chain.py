@@ -64,7 +64,7 @@ def test_fused_chain_matches_composition():
     edges, d0, d1, q0, zval, ztrg = ph.build_pwl_coeffs(
         init.reshape(-1), tstate
     )
-    e16, M3 = pc.pack_hier_lut(edges, d0, d1)
+    e16, M3 = ph.pack_gather_lut(edges, d0, d1)
     out, rim = pc.match_warp_rim(
         init, e16, M3, q0, zval, ztrg, thr, dy, disp_t, cval, D, kr, r,
         do_rim=True,
@@ -99,8 +99,8 @@ def test_hier_lut_is_exact_pwl():
     ) * (cum @ d1.astype(np.float64))
     ref = np.where(np.asarray(init).reshape(-1) == zval, ztrg, ref)
 
-    e16, M3 = pc.pack_hier_lut(jnp.asarray(edges), jnp.asarray(d0),
-                               jnp.asarray(d1))
+    e16, M3 = ph.pack_gather_lut(jnp.asarray(edges), jnp.asarray(d0),
+                                 jnp.asarray(d1))
     out, _ = pc.match_warp_rim(
         init, e16, M3, jnp.float32(q0), jnp.float32(zval),
         jnp.float32(ztrg), jnp.float32(1.0),

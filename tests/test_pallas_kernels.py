@@ -44,6 +44,47 @@ def test_rim_kernels_match_xla_path():
         np.testing.assert_allclose(tiled, ref, atol=1e-6)
 
 
+def test_pwl_apply_variants_agree():
+    """The three apply kernels (flat compare-cube, one-hot-matmul
+    hierarchical, sublane-gather hierarchical) evaluate the same
+    128-segment PWL map; agreement is exact up to bf16x3 summation
+    order (~1e-6 relative)."""
+    rng = np.random.default_rng(7)
+    field = np.maximum(
+        rng.normal(0.0, 2.0, (128, 128)), 0.0
+    ).astype(np.float32)
+    target = np.sort(
+        np.maximum(rng.normal(0.5, 3.0, 128 * 128), 0.0)
+    ).astype(np.float32)
+    tstate = pallas_histmatch.prepare_target(
+        jnp.asarray(target), jnp.float32(target[0])
+    )
+    init = jnp.asarray(field).reshape(-1)
+    edges, d0, d1, q0, zv, zt = pallas_histmatch.build_pwl_coeffs(
+        init, tstate
+    )
+    flat = np.asarray(
+        pallas_histmatch.match_cdf_pwl_flat(jnp.asarray(field), tstate)
+    )
+    from pysteps_tpu.ops.pallas_chain import pack_hier_lut
+
+    e16, M3 = pack_hier_lut(edges, d0, d1)
+    hier = np.asarray(
+        pallas_histmatch.pwl_apply_hier(init, e16, M3, q0, zv, zt)
+    ).reshape(field.shape)
+    e8, T = pallas_histmatch.pack_gather_lut(edges, d0, d1)
+    gath = np.asarray(
+        pallas_histmatch.pwl_apply_gather(init, e8, T, q0, zv, zt)
+    ).reshape(field.shape)
+    scale = np.abs(flat).max()
+    assert np.abs(hier - flat).max() < 1e-5 * scale
+    assert np.abs(gath - flat).max() < 1e-5 * scale
+    # the default dispatcher picks the gather kernel at this size
+    assert (
+        pallas_histmatch._tile_rows(field.size // 128) % 32 == 0
+    )
+
+
 def test_match_cdf_pwl_tracks_exact_sort():
     rng = np.random.default_rng(0)
     shape = (64, 64)
